@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Capability target: alibaba/table-computing's `StreamProcessing` runtime
+  * (reference: src/main/java/com/alibaba/tc/sp/StreamProcessing.java:36-38 —
+  * thread-per-core scheduling; README.md:135-137 — off-heap sizing). On Spark,
+  * all of that is session configuration: Tungsten handles columnar/off-heap
+  * memory, the shuffle service handles `Rehash`, and AQE replaces the
+  * reference's "tune thread count by measured throughput" loop (README.md:141-152).
+  *
+  * Scale stance (100 TB / 1000 executors): nothing here is local-mode-specific
+  * except the `master` default. Shuffle partition count is a starting hint —
+  * AQE coalesces/splits at runtime; on a real cluster you'd raise
+  * `spark.sql.shuffle.partitions` to ~2-3x total cores and let AQE shrink.
+  */
+object GraftSession {
+  def builder(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // Skewed group/join keys re-split at runtime; essential at 100 TB where
+      // a single hot key would otherwise straggle one executor.
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // The test data uses parquet TIMESTAMP(NANOS); Spark's TimestampType is
+      // micros. Read nanos as LongType and derive epoch-millis columns — this
+      // mirrors the reference's own convention of BIGINT epoch-ms event time
+      // (reference: window/SlideWindow.java:334-335 enforces a BIGINT time col).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft runtime confs to an externally-created session (e.g. the
+    * driver-owned one in Verify/Bench). Only mutable confs.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent oracle in `oracleSql`.
+  *
+  * Conventions shared by queries and oracles (determinism across engines):
+  *   - event time is BIGINT epoch-millis (`__time__`), like the reference
+  *     (sp/input/AbstractStreamTable.java:25-38); parquet nanos are integer-
+  *     divided, never via double.
+  *   - double aggregates are `round(..., 2)` on both sides so the hash compare
+  *     is insensitive to summation order.
+  *   - every ranked/limited output has a total-order tie-break key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue by
+    * return flag for oversized parts — scan → broadcast join → filter →
+    * hash agg → top-k, the reference's EP2 batch shape (SURVEY §3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("p_size") > 20)
+      .groupBy(col("l_returnflag"), col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("l_returnflag"), col("p_brand"))
+      .limit(100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = batch.Relational.queries
+
+  def oracleSql: Map[String, String] = batch.Relational.oracleSql
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * The reference declares source schemas up front (`columnTypeMap`,
+  * reference: sp/input/AbstractStreamTable.java:55-92); we do the same by
+  * trusting the parquet footer schema — Catalyst prunes columns and pushes
+  * filters into the scan, so loading "the whole table" is free until an
+  * action touches it.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with the reference's event-time convention: `__time__` =
+    * BIGINT epoch-millis (reference: sp/input/AbstractStreamTable.java:25-38
+    * reserves `__time__`; window/SlideWindow.java:334-335 requires BIGINT).
+    * The raw `ts` column arrives as LongType epoch-nanos (see GraftSession);
+    * we also derive `ts_t` (TimestampType, ms precision) for Spark's native
+    * window()/session_window() operators.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      // Integer division — `/` on longs promotes to double, which cannot
+      // represent 1.7e18 nanos exactly (53-bit mantissa) and would corrupt ms.
+      .withColumn("__time__", expr("ts div 1000000"))
+      .withColumn("ts_t", timestamp_millis(col("__time__")))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

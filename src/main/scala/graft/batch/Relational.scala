@@ -1,0 +1,292 @@
+package graft.batch
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch relational operator coverage (SURVEY §2.4-2.7, §2.10-2.11).
+  *
+  * Each entry is the Spark-first expression of one reference capability:
+  *   - `Table.filter(Criteria)`        → `df.filter(column predicate)`
+  *     (reference: table/Table.java:265-280)
+  *   - `Table.select(ScalarFunction)`  → `df.select(expressions)`
+  *     (reference: table/Table.java:306-331)
+  *   - `Table.select(TransformFunction)` (UDTF, 1→N rows) → `explode`
+  *     (reference: table/Table.java:333-373)
+  *   - `Table.project/projectNegative` → `select`/`drop`
+  *     (reference: table/Table.java:631-659)
+  *   - `Table.groupBy(AggregationFunction)` → `groupBy().agg()`
+  *     (reference: table/Table.java:436-467)
+  *   - `AggregationUtil.groupConcat`   → sorted `collect_list` + `concat_ws`
+  *     (reference: util/AggregationUtil.java:8-15)
+  *   - `Table.innerJoin/leftJoin/outerJoin` → `join(..., type)`
+  *     (reference: table/Table.java:573-624)
+  *   - `Table.over(OverWindowFunction)` → `Window.partitionBy.orderBy`
+  *     (reference: table/Table.java:469-533)
+  *   - `WindowUtil.topN`               → `orderBy.limit` (TakeOrderedAndProject)
+  *     (reference: util/WindowUtil.java:19-53)
+  *   - `DataAnalysis.mergeToOneTable`  → `union`
+  *     (reference: sp/DataAnalysis.java:50-62)
+  *   - `ScalarUtil`/`DateUtil` casts/substr/trim/date fns → built-in functions
+  *     (reference: util/ScalarUtil.java:8-54, util/DateUtil.java:8-22)
+  *
+  * Scale notes: every query here is a declarative plan — filters and column
+  * pruning reach the parquet scan, the part/nation/customer dims broadcast
+  * (≤64 MB threshold), aggregations run partial+final, top-k runs as
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filter / projection -------------------------------------
+    "q_filter" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))),
+
+    "q_select_scalar" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        col("p_size").cast("long").as("size_l"),
+        round(col("p_retailprice") * 1.1, 2).as("price_adj"))),
+
+    "q_project_rename" -> ((s, d) =>
+      nat(s, d)
+        .drop("n_regionkey")
+        .withColumnRenamed("n_name", "nation_name")),
+
+    // UDTF / 1→N flat-map (reference TransformFunction)
+    "q_flatmap_explode" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        explode(split(col("p_name"), " ")).as("token"))),
+
+    // --- aggregation -------------------------------------------------------
+    "q_groupby_agg" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          count(lit(1)).as("cnt"))),
+
+    "q_count_distinct" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    "q_group_concat" -> ((s, d) =>
+      nat(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"))),
+
+    // --- joins ---------------------------------------------------------------
+    "q_join_inner" -> ((s, d) => {
+      val l = li(s, d); val p = part(s, d).filter(col("p_size") > 40)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("p_brand"), round(col("l_extendedprice"), 2).as("price"))
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      val o = ord(s, d)
+      val c = cust(s, d).filter(col("c_acctbal") > 5000)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"))
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      val c = cust(s, d).filter(col("c_custkey") % 3 === 0)
+      val o = ord(s, d).filter(col("o_custkey") % 5 === 0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = cust(s, d)
+      val o = ord(s, d).filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = cust(s, d)
+      val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // --- over windows -----------------------------------------------------
+    "q_over_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d).select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+    }),
+
+    "q_over_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+    }),
+
+    // --- top-k / sort / limit ----------------------------------------------
+    "q_topn" -> ((s, d) =>
+      ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .limit(100)),
+
+    "q_grouped_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+    }),
+
+    // --- set ops ---------------------------------------------------------
+    "q_union_all" -> ((s, d) => {
+      val c = cust(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(c.filter(col("c_acctbal") > 9000).select(col("c_custkey")))
+    }),
+
+    "q_distinct" -> ((s, d) =>
+      li(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    "q_intersect" -> ((s, d) =>
+      ord(s, d).filter(col("o_totalprice") > 150000).select(col("o_custkey")).distinct()
+        .intersect(cust(s, d).filter(col("c_acctbal") > 0).select(col("c_custkey").as("o_custkey")))),
+
+    "q_except" -> ((s, d) =>
+      cust(s, d).select(col("c_custkey")).distinct()
+        .except(ord(s, d).select(col("o_custkey").as("c_custkey")).distinct())),
+
+    // --- scalar & date function library ------------------------------------
+    "q_scalar_dates" -> ((s, d) =>
+      ord(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("epoch_ms"),
+        trim(col("o_orderpriority")).as("prio"),
+        col("o_totalprice").cast("decimal(18,2)").as("total_dec")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin,
+
+    "q_select_scalar" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_type, 1, 5) AS type5,
+        |CAST(p_size AS BIGINT) AS size_l, round(p_retailprice * 1.1, 2) AS price_adj FROM part""".stripMargin,
+
+    "q_project_rename" ->
+      "SELECT n_nationkey, n_name AS nation_name FROM nation",
+
+    "q_flatmap_explode" ->
+      "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part",
+
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |round(avg(l_quantity), 6) AS avg_qty, max(l_quantity) AS max_qty,
+        |min(l_shipdate) AS min_ship, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_group_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand, round(l_extendedprice, 2) AS price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size > 40""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT o_orderkey, c_name FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 5 = 0) o ON c_custkey = o_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_over_rank" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |FROM part""".stripMargin,
+
+    "q_over_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_grouped_topn" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t WHERE rn <= 3""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q_except" ->
+      """SELECT DISTINCT c_custkey FROM customer
+        |EXCEPT SELECT DISTINCT o_custkey AS c_custkey FROM orders""".stripMargin,
+
+    "q_scalar_dates" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+        |CAST(year(o_orderdate) AS BIGINT) AS y,
+        |epoch_ms(o_orderdate) AS epoch_ms,
+        |trim(o_orderpriority) AS prio,
+        |CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+        |FROM orders""".stripMargin
+  )
+}
