@@ -35,7 +35,13 @@ object SparkEntry {
       .limit(100)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = batch.Relational.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    batch.Relational.queries ++
+      ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.Multimodal.queries ++ ops.WindowsBatch.queries
 
-  def oracleSql: Map[String, String] = batch.Relational.oracleSql
+  def oracleSql: Map[String, String] =
+    batch.Relational.oracleSql ++
+      ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
+      ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql
 }

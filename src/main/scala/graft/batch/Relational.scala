@@ -189,7 +189,12 @@ object Relational {
         year(col("o_orderdate")).cast("long").as("y"),
         (unix_timestamp(col("o_orderdate")) * 1000).as("epoch_ms"),
         trim(col("o_orderpriority")).as("prio"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_dec")))
+        // BIGDECIMAL capability (reference: util/ScalarUtil.java:24-26,
+        // BigDecimalColumn.java:34-50 — TC round-trips decimals AS STRINGS).
+        // Emitting the decimal as text also makes the driver's value hash
+        // insensitive to decimal-vs-float rendering ("389137.40" vs
+        // "389137.4") across Spark parquet and DuckDB.
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("total_dec")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -286,7 +291,7 @@ object Relational {
         |CAST(year(o_orderdate) AS BIGINT) AS y,
         |epoch_ms(o_orderdate) AS epoch_ms,
         |trim(o_orderpriority) AS prio,
-        |CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_dec
         |FROM orders""".stripMargin
   )
 }

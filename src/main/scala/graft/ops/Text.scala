@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Capability context: the reference's text handling is "write a Java lambda"
+  * (README.md:10-19; ScalarFunction at table/Table.java:306-331). Here every
+  * op is a pure Catalyst expression pipeline — no UDFs — so it stays inside
+  * whole-stage codegen and scales linearly with input splits: a 100 TB
+  * documents table is just more parquet row groups; there is no shuffle in any
+  * of these queries except the final nothing (they are all map-only).
+  *
+  * Engine-portability discipline (for the DuckDB oracle): every derived value
+  * is either integer math, regex counts (same RE2-compatible patterns), md5
+  * hex digests, or double arithmetic written with the identical operation
+  * order on both sides, then rounded.
+  */
+object Text {
+
+  /** Whitespace-collapsed, trimmed, lower-cased text — the canonical form all
+    * fingerprints and token stats are computed over.
+    */
+  def normalized(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  def tokens(c: Column): Column = split(normalized(c), " ")
+
+  /** Stopword list shared verbatim with the oracle SQL. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "des", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** Count of tokens that appear in `words` — expressed as a SQL lambda so the
+    * Spark and DuckDB sides share one semantics (filter+size vs list_filter+len).
+    */
+  private def hitCount(toksCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($toksCol, t -> t IN (${sqlList(words)})))")
+
+  /** Length / punctuation / stopword / uniqueness statistics per document.
+    * Map-only; at 100 TB this is a pure scan with column pruning down to
+    * (doc_id, text).
+    */
+  def stats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+        normalized(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(length(regexp_replace(col("norm"), " ", "")).cast("double") / size(col("toks")), 6)
+          .as("avg_tok_len"),
+        round(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / length(col("text")), 6)
+          .as("punct_ratio"),
+        round(hitCount("toks", stopwords).cast("double") / size(col("toks")), 6)
+          .as("stop_ratio"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("uniq_ratio"))
+
+  /** n-gram/stopword-hit language ID heuristic: score each candidate language
+    * by stopword occurrences; argmax with deterministic (alphabetical) tie
+    * break, implemented as one CASE expression shared with the oracle.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = langStopwords.map { case (l, ws) => l -> s"hits_$l" }
+    val base = docs.select(
+      col("doc_id") +: col("lang").as("lang_actual") +: tokens(col("text")).as("toks") +: Nil: _*)
+    val scored = langStopwords.foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"hits_$l", hitCount("toks", ws).cast("long"))
+    }
+    val caseExpr = langCaseSql
+    scored.select(
+      col("doc_id") +: col("lang_actual") +:
+        hits.map { case (_, h) => col(h) } :+ expr(caseExpr).as("lang_pred"): _*)
+  }
+
+  /** CASE picking the max-hit language, first-listed wins ties — identical
+    * text evaluated by Spark and DuckDB.
+    */
+  val langCaseSql: String = {
+    val names = langStopwords.map(_._1)
+    val greatest = s"greatest(${names.map(l => s"hits_$l").mkString(", ")})"
+    names.init.map(l => s"WHEN hits_$l >= $greatest THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${names.last}' END")
+  }
+
+  /** Whitespace tokens + a BPE-ish regex token count (letter runs / digit runs
+    * / single other-symbols), the standard pre-tokenizer shape.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("chars"))
+
+  /** Two fingerprints per doc: exact (md5 of normalized text) and canonical
+    * (md5 of the sorted distinct token set — whitespace/word-order
+    * insensitive, the classic "fingerprint" key for clustering duplicates).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fp_exact"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp_canon"))
+
+  /** Composite quality score in [0,1]: length, stopword presence, vocabulary
+    * diversity — the usual cheap pre-filter before expensive dedup/training.
+    * The formula is written with one fixed operation order so both engines
+    * produce bit-identical doubles before rounding.
+    */
+  private val qualityExprSql: String =
+    "0.5 * least(1.0, cast(n_tokens as double) / 80.0)" +
+      " + 0.3 * least(1.0, stop_ratio * 5.0)" +
+      " + 0.2 * uniq_ratio"
+
+  /** Quality is emitted in integer micro-units (`floor(v * 1e6)`) rather than
+    * `round(v, 6)`: the inputs are already-rounded short decimals, so the
+    * combined score frequently lands EXACTLY on a half at the 6th digit, where
+    * Spark (HALF_UP over the shortest decimal repr) and DuckDB (binary-value
+    * rounding) disagree. floor() of the bit-identical double is
+    * engine-deterministic.
+    */
+  def quality(docs: DataFrame): DataFrame =
+    stats(docs).select(
+      col("doc_id"),
+      expr(s"cast(floor(($qualityExprSql) * 1000000.0) as bigint)").as("quality_e6"),
+      expr(s"CASE WHEN $qualityExprSql >= 0.5 THEN 'keep' ELSE 'drop' END").as("verdict"))
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) => stats(Tables.documents(s, d))),
+    "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
+    "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+    "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 6) AS avg_tok_len,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+         |FROM t""".stripMargin,
+
+    "q_text_langid" -> {
+      val hitCols = langStopwords.map { case (l, ws) =>
+        s"CAST(len(list_filter(toks, t -> t IN (${sqlList(ws)}))) AS BIGINT) AS hits_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, lang AS lang_actual, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang_actual,
+         |  $hitCols
+         |FROM t)
+         |SELECT doc_id, lang_actual, ${langStopwords.map(x => "hits_" + x._1).mkString(", ")},
+         |  $langCaseSql AS lang_pred
+         |FROM h""".stripMargin
+    },
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS chars
+         |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5($normSql) AS fp_exact,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_canon
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+         |FROM t)
+         |SELECT doc_id,
+         |  CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |      + 0.3 * least(1.0, stop_ratio * 5.0)
+         |      + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6,
+         |  CASE WHEN 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |      + 0.3 * least(1.0, stop_ratio * 5.0)
+         |      + 0.2 * uniq_ratio >= 0.5 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM s""".stripMargin)
+}
