@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot inner loops of the similarity /
+  * dedup operators. The reference's equivalent is a hand-written Java lambda
+  * over its columnar buffers (README.md:10-19); the Spark-first equivalent of
+  * "hand-written inner loop" is a codegen'd `Expression` — these stay inside
+  * whole-stage codegen, unlike `aggregate`/`zip_with` higher-order functions
+  * (CodegenFallback, interpreted per element) and unlike Scala UDFs
+  * (serialization boundary per row).
+  *
+  * Both expressions fold left-to-right in ascending element order, so any
+  * engine replaying the same formula sequentially (e.g. DuckDB `list_sum`
+  * over a comprehension) produces bit-identical doubles.
+  */
+
+/** Dot product of two double arrays: sum_i a[i]*b[i], i ascending. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int graftN = Math.min($a.numElements(), $b.numElements());
+         |double graftAcc = 0.0;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  graftAcc += $a.getDouble(graftI) * $b.getDouble(graftI);
+         |}
+         |${ev.value} = graftAcc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** |A ∩ B| for two SORTED long arrays (single merge walk, no hash set built
+  * per row — the per-pair cost that dominates quadratic n-gram dedup).
+  * Inputs must be sorted ascending and duplicate-free; `Dedup` prepares them
+  * with `array_sort(array_distinct(...))`.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int graftN = $a.numElements(); int graftM = $b.numElements();
+         |int graftI = 0; int graftJ = 0; long graftC = 0L;
+         |while (graftI < graftN && graftJ < graftM) {
+         |  long graftX = $a.getLong(graftI); long graftY = $b.getLong(graftJ);
+         |  if (graftX < graftY) graftI++;
+         |  else if (graftX > graftY) graftJ++;
+         |  else { graftC++; graftI++; graftJ++; }
+         |}
+         |${ev.value} = graftC;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** 60-bit SimHash from an array of 60-bit token hashes: bit i of the result
+  * is set iff sum over tokens of (bit i of hash ? +1 : -1) is positive.
+  * Native loop — the interpreted higher-order-function formulation costs
+  * ~60×|tokens| boxed lambda steps per document.
+  */
+case class SimHash60(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var i = 0
+      while (i < 60) { votes(i) += (((h >> i) & 1L) * 2 - 1).toInt; i += 1 }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) sim |= 1L << i; i += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int graftN = $a.numElements();
+         |int[] graftVotes = new int[60];
+         |for (int graftT = 0; graftT < graftN; graftT++) {
+         |  long graftH = $a.getLong(graftT);
+         |  for (int graftI = 0; graftI < 60; graftI++) {
+         |    graftVotes[graftI] += (int) (((graftH >> graftI) & 1L) * 2 - 1);
+         |  }
+         |}
+         |long graftSim = 0L;
+         |for (int graftI = 0; graftI < 60; graftI++) {
+         |  if (graftVotes[graftI] > 0) graftSim |= 1L << graftI;
+         |}
+         |${ev.value} = graftSim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+}
+
+/** Column-level entry points + SQL registration. */
+object GraftFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def simhash60(a: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(a)))
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "graft_simhash60" -> (es => SimHash60(es(0))))
+
+  /** Register by name on an existing session so `expr("graft_dot(a, b)")` /
+    * pure-SQL users resolve them.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
+  * injection path for clusters where the session is built by the platform.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Seq(
+      ("graft_dot", (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      ("graft_sorted_intersect_count",
+        (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftExpressions", name),
+        builder))
+    }
+}

@@ -1,26 +1,27 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.{Determinism, GraftFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
   * Scale design (the point of this module): every signature (fingerprint,
-  * minhash array, simhash) is computed MAP-ONLY with Catalyst higher-order
-  * functions — no explode-then-regroup shuffle, no UDFs, fully codegen'd.
-  * The only shuffles are the final candidate joins, which are:
-  *   - exact: groupBy(md5) — one hash agg, combiner does the heavy lifting;
-  *   - minhash/simhash: an equi-join on (band, signature) — the LSH trick
-  *     that replaces the O(N²) all-pairs compare with a key-join whose
-  *     fan-out is bounded by collision rate. This is THE 100 TB dedup shape
-  *     (same as Spark's own MinHashLSH, reimplemented engine-portably so a
-  *     DuckDB oracle can replay it bit-for-bit).
+  * minhash array, simhash) is computed MAP-ONLY; the only shuffles are the
+  * final candidate joins, which are equi-joins on compact keys — the LSH
+  * trick that replaces O(N²) all-pairs compares with key-joins whose fan-out
+  * is bounded by collision rate. This is THE 100 TB dedup shape (same as
+  * Spark's MinHashLSH, re-expressed engine-portably so a DuckDB oracle can
+  * replay it bit-for-bit).
   *
-  * All hashes derive from md5 hex prefixes (15 hex chars = 60-bit positive
-  * longs) so the identical integers come out of any engine — no dependence on
-  * Spark's Murmur3 `hash()` (which DuckDB lacks).
+  * Hash discipline: one md5 per shingle/token (15 hex chars = 60-bit positive
+  * long); everything downstream is integer arithmetic — minhash permutations
+  * are universal-hash `(a*h + b) mod (2^31-1)` with md5-derived constants
+  * (Determinism.scala), not repeated md5 calls. Per-pair inner loops run in
+  * codegen'd native expressions (GraftExpressions.scala), not interpreted
+  * higher-order functions.
   */
 object Dedup {
 
@@ -59,30 +60,50 @@ object Dedup {
   val MinhashPerms = 16
   val MinhashBands = 4
   val MinhashRows = MinhashPerms / MinhashBands // 4
+  val MersennePrime = 2147483647L // 2^31 - 1
 
-  /** 16 minhashes per doc: mh_i = min over shingles of hash(i ++ ":" ++ s).
-    * Pure expression (nested transform/array_min) — map-only, codegen'd.
+  /** Permutation coefficients (a in [1, p-1], b in [0, p-1]), md5-derived —
+    * fixed public constants shared verbatim with the oracle SQL.
     */
-  private val minhashArraySql: String =
-    s"transform(sequence(0, ${MinhashPerms - 1}), " +
-      s"i -> array_min(transform(shingles, s -> ${hashSql("concat(cast(i as string), ':', s)")})))"
+  val permCoeffs: IndexedSeq[(Long, Long)] = (0 until MinhashPerms).map { i =>
+    (Determinism.md5Long(s"perm-a:$i") % (MersennePrime - 1) + 1,
+      Determinism.md5Long(s"perm-b:$i") % MersennePrime)
+  }
 
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    withShingles(docs).select(col("doc_id"), expr(minhashArraySql).as("mh"))
+  /** 16 minhashes per doc: mh_i = min over shingles of (a_i*h + b_i) mod p,
+    * h = md5-hash(shingle) mod p. One md5 per shingle, then pure integer
+    * expressions — map-only. (a*h < 2^62: no overflow in any engine.)
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val mhSql = permCoeffs
+      .map { case (a, b) =>
+        s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${MersennePrime}L))"
+      }
+      .mkString("array(", ", ", ")")
+    withShingles(docs)
+      .select(col("doc_id"),
+        expr(s"transform(shingles, s -> ${hashSql("s")} % ${MersennePrime}L)").as("hs"))
+      .select(col("doc_id"), expr(mhSql).as("mh"))
+  }
 
   /** LSH candidate pairs: band signature = the 4 minhashes of the band; a pair
     * is a candidate iff some band matches. Self-join on (band, sig) — the
-    * shuffle key is 4 longs, and at 100 TB the join is a plain hash join whose
-    * input is N×4 rows, not N² pairs. `est_jaccard` = fraction of the 16
-    * minhashes that agree (the standard unbiased Jaccard estimate).
+    * shuffle key is 4 longs, and at 100 TB the join input is N×4 rows, never
+    * N² pairs. `est_jaccard` = fraction of the 16 minhashes that agree (the
+    * standard unbiased Jaccard estimate).
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val bands = sigs.select(
       col("doc_id"), col("mh"),
       explode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
         s"b -> struct(b as band, slice(mh, b * $MinhashRows + 1, $MinhashRows) as sig))")).as("bs"))
       .select(col("doc_id"), col("mh"), col("bs.band"), col("bs.sig"))
+      // Shared exchange: both self-join branches reuse this one shuffle, so
+      // signatures are computed once; explicit count keeps AQE from
+      // collapsing the bucket-expansion parallelism.
+      .repartition(n, col("band"), col("sig"))
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("mh").as("mh_a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("mh").as("mh_b"))
     a.join(b, Seq("band", "sig"))
@@ -96,37 +117,47 @@ object Dedup {
   // --- SimHash --------------------------------------------------------------
 
   /** 60-bit SimHash over the distinct token set: bit i is set iff the sum of
-    * (±1 per token, sign = bit i of the token hash) is positive. Map-only
-    * nested-lambda expression; integer math → engine-exact.
+    * (±1 per token, sign = bit i of the token hash) is positive. Map-only;
+    * integer math → engine-exact.
     */
-  private val simhashSql: String = {
-    val tokHashes = s"transform(array_distinct(toks), t -> ${hashSql("t")})"
-    "aggregate(transform(sequence(0, 59), i -> " +
-      s"CASE WHEN aggregate($tokHashes, 0L, (acc, h) -> acc + (shiftright(h, i) & 1) * 2 - 1) > 0 " +
-      "THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, v) -> acc + v)"
-  }
-
+  /** Token hashes are materialized in their own projection, then folded by
+    * the native SimHash60 expression (codegen'd loop — the equivalent
+    * nested higher-order functions run interpreted, ~60×|tokens| boxed steps
+    * per document).
+    */
   def simhashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr(simhashSql).as("simhash"))
+      .select(col("doc_id"),
+        expr(s"transform(array_distinct(toks), t -> ${hashSql("t")})").as("hs"))
+      .select(col("doc_id"), GraftFunctions.simhash60(col("hs")).as("simhash"))
 
   val SimhashMaxHamming = 1
 
-  /** Near-dup pairs with hamming(simhash) <= 1, found by banded LSH: split the
-    * 60 bits into 4 bands of 15; by pigeonhole, distance <= 1 pairs agree on
-    * at least 3 bands, so joining on any single band finds them all. The join
-    * key is one 15-bit chunk — again a key-join, never N².
+  /** Near-dup pairs with hamming(simhash) <= 1, found by pigeonhole blocking:
+    * split 60 bits into 4 bands of 15; distance <= 1 flips at most one band,
+    * so the pair agrees EXACTLY on the 45 bits formed by the other three
+    * bands. Join key = "simhash with band b deleted" (45-bit long) — far more
+    * selective than any single 15-bit chunk, which matters here because
+    * same-vocabulary docs share chunk values en masse. Exact hamming filter
+    * after the join keeps correctness independent of blocking.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sh = simhashes(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b as band, (shiftright(simhash, b * 15) & 32767) as chunk))")).as("bc"))
-      .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
-    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
+      explode(expr("transform(sequence(0, 3), b -> struct(b as omit, " +
+        "((simhash & (shiftleft(1L, b * 15) - 1)) | " +
+        "shiftleft(shiftright(simhash, (b + 1) * 15), b * 15)) as k))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.omit"), col("bk.k"))
+      // Explicit partition count: AQE would coalesce this small shuffle to
+      // one partition and serialize the within-bucket pair expansion. Both
+      // join branches share this one exchange subtree, so ReuseExchange
+      // computes the signatures once.
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("omit"), col("k"))
+    val a = banded.select(col("omit"), col("k"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("omit"), col("k"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("omit", "k"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
@@ -144,16 +175,36 @@ object Dedup {
     * At real scale you'd feed `minhashCandidates` output instead of blocking —
     * the expression is the same. (AQE skew-join splits the big language
     * blocks at runtime.)
+    *
+    * Inner loop: shingles are md5-hashed to longs ONCE per doc and sorted, so
+    * the per-pair cost is a codegen'd merge walk (SortedIntersectCount) — no
+    * per-pair hash-set builds, no string compares. 60-bit hashes make
+    * cross-shingle collisions (the only way counts could differ from the
+    * string-set oracle) ~2^-61 per pair.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = withShingles(docs)
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("lang"))
+    // ONE derived column per side: hs (sorted shingle hashes). Set sizes come
+    // from size(hs) — carrying a separate count column would make
+    // CollapseProject inline (= recompute) the whole shingle-construction
+    // expression once per consumer.
+    val sh = docs
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
+    // Probe side spread across all cores with an EXPLICIT partition count
+    // (AQE would coalesce the tiny shuffle to one partition and serialize the
+    // quadratic pair expansion): with only ~5 language blocks the broadcast
+    // join parallelism comes entirely from the probe side's partitioning.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      .repartition(n, col("doc_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    a.join(broadcast(b), Seq("lang"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(size(array_intersect(sh_a, sh_b)) as double) / " +
-          "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))").as("jaccard"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -162,28 +213,19 @@ object Dedup {
 
   val CosineThreshold = 0.4
 
-  /** Cosine computed with one fixed operation order (sequential fold over the
-    * array, dot / (sqrt(na) * sqrt(nb))) in double precision, so any engine
-    * reproduces the same IEEE result. Arrays are cast float→double FIRST —
-    * multiplying in float then widening would differ.
-    */
-  private[ops] def cosineSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), cast(0.0 as double), (acc, v) -> acc + v)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-
   /** Brute-force all-pairs cosine above threshold. Quadratic by design — the
     * correctness baseline for the LSH path (Similarity.scala); at bench scale
-    * (2000 vectors) this is 4M codegen'd dot products. The broadcast of one
-    * side keeps it shuffle-free.
+    * (2000 vectors) this is 4M codegen'd dot products. Vectors are L2-
+    * normalized ONCE (map-side) so the per-pair work is a single DotProduct;
+    * the broadcast of one side keeps it shuffle-free.
     */
   def embeddingPairs(embs: DataFrame): DataFrame = {
-    val e = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val e = Similarity.normalized(embs)
+    val a = e.select(col("vec_id").as("vec_a"), col("nv").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("nv").as("vb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), expr(cosineSql("va", "vb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        GraftFunctions.dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
@@ -203,6 +245,9 @@ object Dedup {
   private def duckHash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private val duckShingles =
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])"
+  private val duckPerms = permCoeffs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+    .mkString("SELECT * FROM (VALUES ", ", ", ") AS v(i, a, b)")
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -210,12 +255,13 @@ object Dedup {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      s"""WITH perms AS ($duckPerms),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |sh AS (SELECT doc_id, $duckShingles AS shingles FROM t WHERE len(toks) >= 3),
-         |mh AS (SELECT doc_id, i,
-         |         min(${duckHash("i::VARCHAR || ':' || s")}) AS h
-         |       FROM sh, unnest(shingles) u(s), range($MinhashPerms) r(i)
-         |       GROUP BY doc_id, i),
+         |hs AS (SELECT doc_id, ${duckHash("s")} % $MersennePrime AS h
+         |       FROM sh, unnest(shingles) u(s)),
+         |mh AS (SELECT doc_id, p.i AS i, min((p.a * h + p.b) % $MersennePrime) AS h
+         |       FROM hs, perms p GROUP BY doc_id, p.i),
          |sig AS (SELECT doc_id, i // $MinhashRows AS band,
          |          string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
          |        FROM mh GROUP BY doc_id, i // $MinhashRows),
@@ -248,14 +294,12 @@ object Dedup {
          |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= $JaccardThreshold""".stripMargin,
 
-    "q_dedup_embedding" -> {
-      val dot = "list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))"
-      val dotA = "list_sum(list_transform(list_zip(a.v, a.v), z -> z[1] * z[2]))"
-      val dotB = "list_sum(list_transform(list_zip(b.v, b.v), z -> z[1] * z[2]))"
+    "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+         |nv AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |        $dot / (sqrt($dotA) * sqrt($dotB)) AS cos
-         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= $CosineThreshold""".stripMargin
-    })
+         |        list_sum([a.nv[i] * b.nv[i] for i in range(1, 65)]) AS cos
+         |      FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= $CosineThreshold""".stripMargin)
 }
