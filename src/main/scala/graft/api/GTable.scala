@@ -1,0 +1,152 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** TC-compatibility facade: the reference's eager lambda-driven `Table` API
+  * (table/Table.java) re-expressed over a lazy DataFrame. A reference user's
+  * program maps 1:1:
+  *
+  * | reference (Table.java)                  | GTable                         |
+  * |-----------------------------------------|--------------------------------|
+  * | `filter(Criteria)` :265-280             | `filter(Row => Boolean)`       |
+  * | `select(ScalarFunction, cols)` :306-331 | `select(schema)(Row => Seq)`   |
+  * | `select(TransformFunction)` :333-373    | `flatSelect(schema)(Row=>Seq[Seq])` |
+  * | `project` / `projectNegative` :631-659  | `project` / `projectNegative`  |
+  * | `addColumns` :204-216                   | `addColumn(name, Column)`      |
+  * | `groupBy(AggregationFunction)` :436-467 | `groupBy(keys, schema)(fn)`    |
+  * | `over(OverWindowFunction)` :469-533     | `over(partition, order, schema)(fn)` |
+  * | `innerJoin/leftJoin/outerJoin` :573-624 | same names, rename maps incl.  |
+  * | `Index`-probe join criteria             | equi-join on key columns (the  |
+  * |                                         | hash index is the join's build side) |
+  * | `DataAnalysis.mergeToOneTable`          | `union`                        |
+  *
+  * Two deliberate deltas from the reference:
+  *   - lambdas declare their OUTPUT SCHEMA up front (the reference infers
+  *     column types from the first non-null value, Column.java:154-178 — an
+  *     implementation artifact; SURVEY §1.3 decision);
+  *   - UDF rows returning null filter the row, like the reference
+  *     (Table.java:317-320) — preserved.
+  *
+  * Scale note: lambda operators serialize through encoders and block
+  * whole-stage codegen — they are the compatibility path. New code should
+  * use Column expressions (`graft.ops`/`graft.batch`), which the rest of the
+  * engine demonstrates; this class exists so every reference program has a
+  * direct translation.
+  */
+class GTable(val df: DataFrame) {
+
+  private def enc(schema: StructType): Encoder[Row] = Encoders.row(schema)
+
+  /** Criteria.filter(Row) — row-predicate filter. */
+  def filter(p: Row => Boolean): GTable =
+    new GTable(df.filter(p))
+
+  /** ScalarFunction: one row in, one row out (null → row dropped). */
+  def select(schema: StructType)(fn: Row => Seq[Any]): GTable =
+    new GTable(df.flatMap((r: Row) => Option(fn(r)).map(vs => Row.fromSeq(vs)))(enc(schema)).toDF())
+
+  /** TransformFunction: one row in, N rows out (null/empty → dropped). */
+  def flatSelect(schema: StructType)(fn: Row => Seq[Seq[Any]]): GTable =
+    new GTable(df.flatMap((r: Row) =>
+      Option(fn(r)).getOrElse(Nil).map(vs => Row.fromSeq(vs)))(enc(schema)).toDF())
+
+  def project(cols: String*): GTable = new GTable(df.select(cols.map(col): _*))
+
+  def projectNegative(cols: String*): GTable = new GTable(df.drop(cols: _*))
+
+  def addColumn(name: String, c: Column): GTable = new GTable(df.withColumn(name, c))
+
+  def rename(mapping: (String, String)*): GTable =
+    new GTable(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+
+  /** AggregationFunction.agg(key, rows) — arbitrary per-group aggregation.
+    * Output = key columns ++ schema columns; returning null drops the group
+    * (the reference's HAVING idiom, Table.java:455-459).
+    */
+  def groupBy(keys: Seq[String], schema: StructType)(
+      fn: (Seq[Any], Seq[Row]) => Seq[Any]): GTable = {
+    val keySchema = StructType(keys.map(k => df.schema(k)))
+    val outSchema = StructType(keySchema ++ schema)
+    val keyIdx = keys.map(df.schema.fieldIndex)
+    val grouped = df.groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)))(enc(keySchema))
+    new GTable(grouped.flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+      Option(fn(key.toSeq, rows.toSeq)).map(vs => Row.fromSeq(key.toSeq ++ vs))
+    }(enc(outSchema)).toDF())
+  }
+
+  /** OverWindowFunction.transform(partition rows sorted by orderBy) → one
+    * output row per input row, appended as new columns (Table.java:469-533).
+    * Sort order: ascending, nulls first — the reference's comparator
+    * (Table.java:490-506).
+    */
+  def over(partitionBy: Seq[String], orderBy: Seq[String], newCols: StructType)(
+      fn: Seq[Row] => Seq[Seq[Any]]): GTable = {
+    val keySchema = StructType(partitionBy.map(k => df.schema(k)))
+    val outSchema = StructType(df.schema ++ newCols)
+    val keyIdx = partitionBy.map(df.schema.fieldIndex)
+    val ordIdx = orderBy.map(df.schema.fieldIndex)
+    val ord = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        var k = 0
+        while (k < ordIdx.length) {
+          val i = ordIdx(k)
+          val (x, y) = (a.get(i), b.get(i))
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1 // nulls first, Table.java:492-499
+            else if (y == null) 1
+            else x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+    val grouped = df.groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)))(enc(keySchema))
+    new GTable(grouped.flatMapGroups { (_: Row, rows: Iterator[Row]) =>
+      val sorted = rows.toSeq.sorted(ord)
+      val extra = fn(sorted)
+      require(extra.length == sorted.length,
+        s"over function must return one row per input row (${extra.length} != ${sorted.length})")
+      sorted.lazyZip(extra).map((r, vs) => Row.fromSeq(r.toSeq ++ vs)).toSeq
+    }(enc(outSchema)).toDF())
+  }
+
+  // --- joins (Table.java:573-624; rename maps As.java:6-16) -----------------
+
+  private def renamed(t: GTable, m: Map[String, String]): DataFrame =
+    m.foldLeft(t.df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  private def joinOn(other: GTable, keys: Seq[(String, String)], how: String,
+      leftAs: Map[String, String], rightAs: Map[String, String]): GTable = {
+    val l = renamed(this, leftAs)
+    val r = renamed(other, rightAs)
+    val cond = keys.map { case (lk, rk) => l(leftAs.getOrElse(lk, lk)) === r(rightAs.getOrElse(rk, rk)) }
+      .reduce(_ && _)
+    new GTable(l.join(r, cond, how))
+  }
+
+  def innerJoin(other: GTable, keys: Seq[(String, String)],
+      leftAs: Map[String, String] = Map.empty, rightAs: Map[String, String] = Map.empty): GTable =
+    joinOn(other, keys, "inner", leftAs, rightAs)
+
+  def leftJoin(other: GTable, keys: Seq[(String, String)],
+      leftAs: Map[String, String] = Map.empty, rightAs: Map[String, String] = Map.empty): GTable =
+    joinOn(other, keys, "left", leftAs, rightAs)
+
+  def outerJoin(other: GTable, keys: Seq[(String, String)],
+      leftAs: Map[String, String] = Map.empty, rightAs: Map[String, String] = Map.empty): GTable =
+    joinOn(other, keys, "full_outer", leftAs, rightAs)
+
+  def union(other: GTable): GTable = new GTable(df.union(other.df))
+
+  def size: Long = df.count()
+
+  def print(n: Int = 100): Unit = df.show(n, truncate = false)
+}
+
+object GTable {
+  def apply(df: DataFrame): GTable = new GTable(df)
+}

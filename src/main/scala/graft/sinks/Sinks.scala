@@ -1,0 +1,86 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Sink connectors (SURVEY §2.3). The reference's sinks are queue + writer
+  * threads with hand-batched writes (AbstractOutputTable.java:10-53); on
+  * Spark the equivalent unit is `foreachBatch` — each micro-batch is a
+  * DataFrame written by the batch writers, which already batch/retry/
+  * parallelize per partition.
+  */
+object Sinks {
+
+  /** MySQL-style auto-DDL: CREATE TABLE IF NOT EXISTS derived from the
+    * schema, mirroring MysqlOutputTable (sp/output/MysqlOutputTable.java:
+    * 56-157 builds the same statement text from column types; BIGDECIMAL
+    * round-trips as VARCHAR per Type.java:47-61).
+    */
+  def createTableDdl(table: String, schema: StructType, indexCols: Seq[String] = Nil): String = {
+    def sqlType(dt: DataType): String = dt match {
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "TEXT"
+      case _: DecimalType => "VARCHAR(64)"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+    }
+    val cols = schema.fields.map(f => s"`${f.name}` ${sqlType(f.dataType)}").mkString(", ")
+    val idx =
+      if (indexCols.isEmpty) ""
+      else s", INDEX idx_${table}_0 (${indexCols.map(c => s"`$c`").mkString(", ")})"
+    s"CREATE TABLE IF NOT EXISTS `$table` ($cols$idx)"
+  }
+
+  /** JDBC sink: per-micro-batch append through the batch JDBC writer (which
+    * does the multi-row batched inserts the reference hand-codes,
+    * MysqlOutputTable.java:159-306).
+    */
+  def jdbcSink(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties): DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").jdbc(url, table, props)
+    }
+
+  /** Kafka sink: rows → JSON payload; `__time__` becomes the record key and
+    * is dropped from the payload (KafkaOutputTable.java:37-178 semantics).
+    */
+  def kafkaJsonSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[Row] = {
+    val payloadCols = df.columns.filterNot(_ == "__time__").map(col)
+    df.select(
+      col("__time__").cast("string").as("key"),
+      to_json(struct(payloadCols.toSeq: _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+  }
+
+  /** Partitioned parquet append — the warehouse sink a training-data pipeline
+    * actually fans out to at 100 TB (hour/date partition columns keep
+    * rewrite units bounded).
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String] = Nil): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+
+  /** Console sink (Table.print parity, table/Table.java:48-67). */
+  def consoleSink(df: DataFrame, numRows: Int = 100): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("numRows", numRows.toString)
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming trailing-frame over-windows — the one operator family Spark has
+  * no built-in for (no streaming OVER), and the genuinely custom stateful
+  * code in this engine (SURVEY §4.2).
+  *
+  * Reference semantics re-expressed:
+  *   - `OverWindowByDuration` (window/OverWindowByDuration.java:29-98,
+  *     InThreadOverWindow.java:18-105): per row, aggregate over the trailing
+  *     event-time frame `(t - size, t]` of the same key; rows older than the
+  *     frame of the newest row are evicted from state.
+  *   - `OverWindowBySize` (window/OverWindowBySize.java:32-98): per row,
+  *     aggregate over the last N rows of the key (arrival order within key,
+  *     FIFO eviction beyond N).
+  *
+  * Implementation: `flatMapGroupsWithState` over a per-key sorted buffer —
+  * Spark's state store supplies exactly what the reference hand-built with
+  * `SlideTable`/`SortedTable` (SlideTableByColumn.java:10-163): durable
+  * per-key ordered state with eviction. State stays O(frame) per key; keys
+  * distribute across executors by hash — the 1000-executor layout is the
+  * same plan with more partitions.
+  *
+  * Works identically on batch Datasets via `flatMapGroups` (used by the
+  * specs to cross-check against `WindowsBatch`'s SQL-window formulation).
+  */
+object OverWindows {
+
+  case class Event(key: Long, time: Long, value: Double)
+  case class OverOut(key: Long, time: Long, value: Double, n: Long, sum: Double, min: Double, max: Double)
+  case class Buffer(rows: List[Event])
+
+  private def stats(frame: Seq[Event], e: Event): OverOut = {
+    var n = 0L; var sum = 0.0
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    frame.foreach { r =>
+      n += 1; sum += r.value
+      if (r.value < mn) mn = r.value
+      if (r.value > mx) mx = r.value
+    }
+    OverOut(e.key, e.time, e.value, n, sum, mn, mx)
+  }
+
+  /** One micro-batch step for the duration frame: merge, sort, emit one
+    * output row per input row (frame = rows of the key with time in
+    * (t - sizeMs, t]), evict state older than (maxTime - sizeMs].
+    */
+  private[streaming] def durationStep(
+      sizeMs: Long)(buffered: List[Event], incoming: Iterator[Event]): (Iterator[OverOut], Buffer) = {
+    val newEvents = incoming.toVector.sortBy(e => (e.time, e.value))
+    val all = (buffered ++ newEvents).sortBy(e => (e.time, e.value))
+    val out = newEvents.map { e =>
+      stats(all.filter(r => r.time > e.time - sizeMs && r.time <= e.time), e)
+    }
+    val maxT = if (all.nonEmpty) all.map(_.time).max else Long.MinValue
+    val kept = all.filter(_.time > maxT - sizeMs)
+    (out.iterator, Buffer(kept.toList))
+  }
+
+  /** One micro-batch step for the count frame: emit stats over the trailing
+    * `n` rows (by (time, value) order within the key), keep only the last
+    * n-1 rows in state.
+    */
+  private[streaming] def sizeStep(
+      n: Int)(buffered: List[Event], incoming: Iterator[Event]): (Iterator[OverOut], Buffer) = {
+    val newEvents = incoming.toVector.sortBy(e => (e.time, e.value))
+    var window = buffered.toVector
+    val out = newEvents.map { e =>
+      window = (window :+ e).takeRight(n)
+      stats(window, e)
+    }
+    (out.iterator, Buffer(window.takeRight(n - 1).toList))
+  }
+
+  private def runStateful(
+      events: Dataset[Event],
+      step: (List[Event], Iterator[Event]) => (Iterator[OverOut], Buffer)): Dataset[OverOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Buffer, OverOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[Event], state: GroupState[Buffer]) =>
+          val buffered = state.getOption.map(_.rows).getOrElse(Nil)
+          val (out, next) = step(buffered, it)
+          state.update(next)
+          out
+      }
+  }
+
+  /** Streaming RANGE BETWEEN (size-1) PRECEDING AND CURRENT ROW. */
+  def byDuration(events: Dataset[Event], sizeMs: Long): Dataset[OverOut] =
+    runStateful(events, durationStep(sizeMs))
+
+  /** Streaming ROWS BETWEEN (n-1) PRECEDING AND CURRENT ROW. */
+  def bySize(events: Dataset[Event], n: Int): Dataset[OverOut] =
+    runStateful(events, sizeStep(n))
+
+  /** Batch equivalents via flatMapGroups — same step functions, no state
+    * (whole key group in one call). Used to cross-check streaming results.
+    */
+  def byDurationBatch(events: Dataset[Event], sizeMs: Long): Dataset[OverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key).flatMapGroups { (_: Long, it: Iterator[Event]) =>
+      durationStep(sizeMs)(Nil, it)._1
+    }
+  }
+
+  def bySizeBatch(events: Dataset[Event], n: Int): Dataset[OverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key).flatMapGroups { (_: Long, it: Iterator[Event]) =>
+      sizeStep(n)(Nil, it)._1
+    }
+  }
+
+  /** Adapter from a raw events DataFrame (key/time/value columns). */
+  def fromDf(df: DataFrame, key: String, time: String, value: String): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col(key).cast("long").as("key"), col(time).cast("long").as("time"),
+      col(value).cast("double").as("value")).as[Event]
+  }
+}

@@ -1,0 +1,87 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Ports the reference's operator unit tests (TableTest.java:26-233) to the
+  * GTable facade: groupBy with count/string-agg (:117-127), scalar select
+  * with null-filter (:129-136), over+rank (:139-171), join row counts / null
+  * padding / renames (:173-233).
+  */
+class GTableSpec extends SparkSpec {
+
+  private def people: GTable = {
+    import spark.implicits._
+    GTable(Seq(
+      ("alice", "eng", 100),
+      ("bob", "eng", 80),
+      ("carol", "sales", 90),
+      ("dave", "sales", 70),
+      ("erin", "sales", 95)).toDF("name", "dept", "score"))
+  }
+
+  test("filter via row predicate (Criteria)") {
+    assert(people.filter(_.getAs[Int]("score") > 85).size == 3)
+  }
+
+  test("select scalar function; returning null drops the row") {
+    val out = people.select(StructType(Seq(
+      StructField("name_u", StringType), StructField("score2", IntegerType)))) { r =>
+      if (r.getAs[Int]("score") < 80) null
+      else Seq(r.getAs[String]("name").toUpperCase, r.getAs[Int]("score") * 2)
+    }
+    val rows = out.df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == Set(("ALICE", 200), ("BOB", 160), ("CAROL", 180), ("ERIN", 190)))
+  }
+
+  test("flatSelect transform function (1 -> N rows)") {
+    val out = people.flatSelect(StructType(Seq(StructField("c", StringType)))) { r =>
+      r.getAs[String]("name").take(2).map(ch => Seq(ch.toString))
+    }
+    assert(out.size == 10)
+  }
+
+  test("groupBy aggregation function: count + concat, null drops group (HAVING)") {
+    val out = people.groupBy(Seq("dept"), StructType(Seq(
+      StructField("n", IntegerType), StructField("names", StringType)))) { (key, rows) =>
+      if (key.head == "sales" && rows.size < 2) null
+      else Seq(rows.size, rows.map(_.getAs[String]("name")).sorted.mkString(","))
+    }
+    val got = out.df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("eng", 2, "alice,bob"), ("sales", 3, "carol,dave,erin")))
+  }
+
+  test("over window function: rank within dept by score desc") {
+    val out = people.over(Seq("dept"), Seq("score"), StructType(Seq(StructField("rk", IntegerType)))) {
+      rows => rows.indices.map(i => Seq(rows.length - i)) // ascending sort -> rank from top
+    }
+    val got = out.df.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Int]("rk"))).toMap
+    assert(got("alice") == 1 && got("bob") == 2)
+    assert(got("erin") == 1 && got("carol") == 2 && got("dave") == 3)
+  }
+
+  test("joins: inner/left/full row counts, null padding, rename maps") {
+    import spark.implicits._
+    val depts = GTable(Seq(("eng", "building-1"), ("hr", "building-9")).toDF("dept", "site"))
+    val inner = people.innerJoin(depts, Seq("dept" -> "dept"))
+    assert(inner.size == 2)
+    val left = people.leftJoin(depts, Seq("dept" -> "dept"))
+    assert(left.size == 5)
+    assert(left.df.filter("site IS NULL").count() == 3) // sales rows null-padded
+    val full = people.outerJoin(depts, Seq("dept" -> "dept"))
+    assert(full.size == 6) // 5 left + unmatched hr
+    assert(full.df.filter("name IS NULL").count() == 1)
+    val renamed = people.leftJoin(depts, Seq("dept" -> "dept"), rightAs = Map("site" -> "location"))
+    assert(renamed.df.columns.contains("location"))
+  }
+
+  test("project / projectNegative / addColumn / union") {
+    import org.apache.spark.sql.functions.lit
+    assert(people.project("name", "score").df.columns.toSeq == Seq("name", "score"))
+    assert(people.projectNegative("score").df.columns.toSeq == Seq("name", "dept"))
+    assert(people.addColumn("one", lit(1)).df.columns.contains("one"))
+    assert(people.union(people).size == 10)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Row
+
+  test("DotProduct matches a plain Scala fold, both via Column and SQL name") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.5), Array(2.0, 2.0))).toDF("a", "b")
+    val viaColumn = df.select(GraftFunctions.dot(col("a"), col("b"))).as[Double].collect()
+    val viaSql = df.select(expr("graft_dot(a, b)")).as[Double].collect()
+    assert(viaColumn.toSeq == Seq(32.0, -2.0))
+    assert(viaSql.toSeq == Seq(32.0, -2.0))
+  }
+
+  test("DotProduct folds sequentially (ascending index)") {
+    import spark.implicits._
+    // Values chosen so a different summation order changes the IEEE result.
+    val a = Array(1e16, 1.0, -1e16)
+    val expected = ((0.0 + 1e16 * 1.0) + 1.0 * 1.0) + (-1e16 * 1.0)
+    val got = Seq((a, Array(1.0, 1.0, 1.0))).toDF("a", "b")
+      .select(GraftFunctions.dot(col("a"), col("b"))).as[Double].head()
+    assert(got == expected)
+  }
+
+  test("SortedIntersectCount merge walk") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 8L)), // {3,5}
+      (Array(1L, 2L), Array(3L, 4L)), // {}
+      (Array[Long](), Array(1L, 2L)), // {}
+      (Array(9L), Array(9L))).toDF("a", "b")
+    val got = df.select(GraftFunctions.sortedIntersectCount(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == Seq(2L, 0L, 0L, 1L))
+  }
+
+  test("SimHash60 equals the definitional bit-vote") {
+    import spark.implicits._
+    def reference(hs: Seq[Long]): Long =
+      (0 until 60).map { i =>
+        val vote = hs.map(h => ((h >> i) & 1L) * 2 - 1).sum
+        if (vote > 0) 1L << i else 0L
+      }.sum
+    val rows = Seq(
+      Seq(0x0F0F0F0F0FL, 0x1111111111L, 0x0FFFFFFFFFL),
+      Seq(123456789L),
+      Seq.empty[Long])
+    val got = rows.toDF("hs").select(GraftFunctions.simhash60(col("hs"))).as[Long].collect()
+    assert(got.toSeq == rows.map(reference))
+  }
+
+  test("expressions survive interpreted mode (codegen disabled)") {
+    import spark.implicits._
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val got = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .select(GraftFunctions.dot(col("a"), col("b"))).as[Double].head()
+      assert(got == 11.0)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("exact dedup groups identical normalized texts and keeps min id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello  World", "en", "s", 11L),
+      (2L, "hello world", "en", "s", 11L), // same after normalization
+      (3L, "other doc", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.exact(d).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L))) // keeper 1 has 2 copies
+  }
+
+  test("minhash LSH finds the planted high-jaccard pairs (recall vs exact ngram)") {
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhash est_jaccard is high for candidates that are true near-dups") {
+    val ests = Dedup.minhashCandidates(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)) -> r.getDouble(2))).toMap
+    val truePairs = Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    truePairs.filter(ests.contains).foreach { p =>
+      assert(ests(p) >= 0.5, s"pair $p est ${ests(p)}")
+    }
+  }
+
+  test("identical token sets get identical simhash (hamming 0 pair emitted)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma", "en", "s", 0L),
+      (2L, "gamma beta alpha alpha", "en", "s", 0L), // same distinct-token SET
+      (3L, "delta epsilon zeta", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.simhashPairs(d).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val out = Dedup.embeddingPairs(Tables.embeddings(spark, sf())).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Dedup.CosineThreshold - 1e-9)
+    }
+  }
+}

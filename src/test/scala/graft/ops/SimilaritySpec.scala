@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  test("brute top-k: k neighbors per query, ranked by cosine desc") {
+    val rows = Similarity.bruteTopK(embs).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.QueryCount).toSet)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to Similarity.TopK))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cosine non-increasing by rank")
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall@5 vs brute force") {
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 4 tables x 6 bits over 500 random vectors: multi-probe union keeps
+    // recall well above chance (~TopK/N = 1%); exact threshold is data-
+    // dependent, assert a conservative floor.
+    assert(mean >= 0.3, s"mean recall@5 = $mean")
+  }
+
+  test("normalized vectors have unit norm") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    val norms = Similarity.normalized(embs)
+      .select(GraftFunctions.dot(col("nv"), col("nv")).as("n2"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
+  }
+}

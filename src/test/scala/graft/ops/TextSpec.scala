@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("fingerprints: exact is whitespace/case-insensitive; canon is word-order-insensitive") {
+    val d = docs(
+      (1, "Hello   World"),
+      (2, "hello world"),
+      (3, "world hello"),
+      (4, "entirely different"))
+    val fp = Text.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(1)._1 == fp(2)._1, "exact fp ignores case/whitespace")
+    assert(fp(2)._1 != fp(3)._1, "exact fp respects word order")
+    assert(fp(2)._2 == fp(3)._2, "canon fp ignores word order")
+    assert(fp(2)._2 != fp(4)._2)
+  }
+
+  test("stats: token counts and ratios") {
+    val d = docs((1, "the cat the dog"))
+    val r = Text.stats(d).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Double]("stop_ratio") == 0.5) // two "the" of four
+    assert(r.getAs[Double]("uniq_ratio") == 0.75) // the,cat,dog
+  }
+
+  test("token counts: BPE-ish regex splits letters/digits/symbols") {
+    val d = docs((1, "abc123 x!y"))
+    val r = Text.tokenCounts(d).collect().head
+    assert(r.getAs[Long]("n_ws_tokens") == 2)
+    // abc | 123 | x | ! | y
+    assert(r.getAs[Long]("n_bpe_tokens") == 5)
+  }
+
+  test("langid: picks the language with most stopword hits, deterministic ties") {
+    val d = docs((1, "el la de y es"), (2, "der die und das ist"))
+    val out = Text.langId(d).collect().map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1) == "es")
+    assert(out(2) == "de")
+  }
+
+  test("quality: long stopword-bearing diverse docs keep, short ones drop") {
+    val keepText = (1 to 90).map(i => if (i % 5 == 0) "the" else s"w$i").mkString(" ")
+    val d = docs((1, keepText), (2, "x x"))
+    val out = Text.quality(d).collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(out(1) == "keep")
+    assert(out(2) == "drop")
+  }
+}
