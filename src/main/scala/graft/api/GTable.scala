@@ -140,6 +140,14 @@ class GTable(val df: DataFrame) {
       leftAs: Map[String, String] = Map.empty, rightAs: Map[String, String] = Map.empty): GTable =
     joinOn(other, keys, "full_outer", leftAs, rightAs)
 
+  /** Arbitrary-condition (theta) join — the reference's `JoinCriteria` lambda
+    * is free-form (criteria/JoinCriteria.java:7-9); here the condition is a
+    * Column expression, so Catalyst still picks hash/range strategies where
+    * the condition allows instead of always loop-joining.
+    */
+  def thetaJoin(other: GTable, cond: Column, how: String = "inner"): GTable =
+    new GTable(df.join(other.df, cond, how))
+
   def union(other: GTable): GTable = new GTable(df.union(other.df))
 
   def size: Long = df.count()
