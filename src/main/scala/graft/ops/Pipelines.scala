@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Aggregators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Assembled pipelines + distributed-aggregation techniques that round out
+  * the operator inventory:
+  *
+  *   - TC-compat aggregation quirks (SURVEY §7.3): the reference's `avg`
+  *     divides by ALL rows including nulls (util/AggregationUtil.java:73-75)
+  *     and `groupConcat` renders nulls as the literal string "null"
+  *     (AggregationUtil.java:8-15). Kept OUT of the default functions,
+  *     provided here as the compat layer.
+  *   - a typed one-pass multi-output Aggregator (count/min/max struct) — the
+  *     reference's multi-output agg UDF shape on Catalyst's partial+final
+  *     machinery.
+  *   - a two-phase salted aggregation: the standard skew-defense at 100 TB
+  *     when one group key is hot — partial agg on (key, salt), final agg on
+  *     key. Same result as the direct agg (the oracle IS the direct agg).
+  *   - the assembled cleaning pipeline a training-data run executes: quality
+  *     filter → exact dedup → survivor set. Each stage is a previously
+  *     oracle-verified operator; this query verifies their composition.
+  */
+object Pipelines {
+
+  /** avg-including-nulls + group_concat with literal "null", on a column
+    * with injected nulls so the quirk is observable.
+    */
+  def tcQuirkAggs(nation: DataFrame): DataFrame = {
+    val withNulls = nation.withColumn("name_n", nullif(col("n_name"), lit("FRANCE")))
+    withNulls
+      .groupBy(col("n_regionkey"))
+      .agg(
+        // TC avg: sum of non-null values / count of ALL rows
+        round(sum(col("n_nationkey")).cast("double") / count(lit(1)), 6).as("avg_tc"),
+        // TC groupConcat: nulls become the string "null"; sorted for determinism
+        concat_ws(",", array_sort(collect_list(coalesce(col("name_n"), lit("null")))))
+          .as("names_tc"))
+  }
+
+  /** One-pass typed Aggregator (count/min/max) applied per group. */
+  def typedStats(lineitem: DataFrame): DataFrame = {
+    import lineitem.sparkSession.implicits._
+    val ds = lineitem.select(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
+      .as[(String, Double)]
+    ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(Aggregators.stats.toColumn.name("s"))
+      .select(col("key").as("l_returnflag"), col("s.n").as("n"),
+        round(col("s.min"), 2).as("min_qty"), round(col("s.max"), 2).as("max_qty"))
+  }
+
+  val SaltBuckets = 16
+
+  /** Two-phase salted aggregation over the 5 hot event_type keys: phase 1
+    * aggregates on (key, salt) — spreading each hot key over SaltBuckets
+    * reducers — phase 2 merges partials. Result equals the direct
+    * aggregation; only the shuffle layout differs.
+    */
+  def saltedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value"))
+
+  /** quality filter → exact dedup → surviving doc ids. */
+  def cleaningPipeline(docs: DataFrame): DataFrame = {
+    val kept = Text.quality(docs).filter(col("verdict") === "keep").select(col("doc_id"))
+    val keptDocs = docs.join(kept, Seq("doc_id"))
+    Dedup.exact(keptDocs).select(col("keep_id").as("doc_id"), col("n_copies"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_tc_quirks" -> ((s, d) => tcQuirkAggs(Tables.nation(s, d))),
+    "q_agg_typed" -> ((s, d) => typedStats(Tables.lineitem(s, d))),
+    "q_agg_salted" -> ((s, d) => saltedAgg(Tables.events(s, d))),
+    "q_pipeline_clean" -> ((s, d) => cleaningPipeline(Tables.documents(s, d))))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_tc_quirks" ->
+      """SELECT n_regionkey,
+        |  round(CAST(sum(n_nationkey) AS DOUBLE) / count(*), 6) AS avg_tc,
+        |  array_to_string(list_sort(list(coalesce(nullif(n_name, 'FRANCE'), 'null'))), ',') AS names_tc
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_agg_typed" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the oracle is the DIRECT aggregation — salting must not change results
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_pipeline_clean" ->
+      s"""WITH toks AS (SELECT doc_id, text, string_split($normSql, ' ') AS t FROM documents),
+         |s AS (SELECT doc_id, text,
+         |        len(t) AS n_tokens,
+         |        round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to'))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+         |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio
+         |      FROM toks),
+         |kept AS (SELECT doc_id, text FROM s
+         |         WHERE 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |             + 0.3 * least(1.0, stop_ratio * 5.0)
+         |             + 0.2 * uniq_ratio >= 0.5)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM kept GROUP BY md5($normSql)""".stripMargin)
+}
