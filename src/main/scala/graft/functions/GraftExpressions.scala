@@ -147,6 +147,64 @@ case class SimHash60(child: org.apache.spark.sql.catalyst.expressions.Expression
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
 }
 
+/** All K minhashes of a hashed-shingle array in one native pass:
+  * mh_i = min over h of (a_i*h + b_i) mod p. One array traversal computes
+  * every permutation — the 16 separate `array_min(transform(...))`
+  * higher-order expressions it replaces traverse (interpreted) 16 times.
+  * Coefficients are baked into the generated code as literals.
+  */
+case class MinHashes(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    coeffs: Seq[(Long, Long)],
+    prime: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhashes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(coeffs.length)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var i = 0
+      while (i < coeffs.length) {
+        val v = (coeffs(i)._1 * h + coeffs(i)._2) % prime
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val as = coeffs.map(_._1).mkString("{", "L,", "L}")
+    val bs = coeffs.map(_._2).mkString("{", "L,", "L}")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |long[] graftAs = new long[]$as;
+         |long[] graftBs = new long[]$bs;
+         |long[] graftMins = new long[${coeffs.length}];
+         |java.util.Arrays.fill(graftMins, Long.MAX_VALUE);
+         |int graftN = $a.numElements();
+         |for (int graftT = 0; graftT < graftN; graftT++) {
+         |  long graftH = $a.getLong(graftT);
+         |  for (int graftI = 0; graftI < ${coeffs.length}; graftI++) {
+         |    long graftV = (graftAs[graftI] * graftH + graftBs[graftI]) % ${prime}L;
+         |    if (graftV < graftMins[graftI]) graftMins[graftI] = graftV;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
 
@@ -159,6 +217,9 @@ object GraftFunctions {
 
   def simhash60(a: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(a)))
+
+  def minhashes(a: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
+    GraftBridge.column(MinHashes(GraftBridge.expression(a), coeffs, prime))
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),

@@ -71,20 +71,16 @@ object Dedup {
   }
 
   /** 16 minhashes per doc: mh_i = min over shingles of (a_i*h + b_i) mod p,
-    * h = md5-hash(shingle) mod p. One md5 per shingle, then pure integer
-    * expressions — map-only. (a*h < 2^62: no overflow in any engine.)
+    * h = md5-hash(shingle) mod p. One md5 per shingle, then ONE native pass
+    * computing all 16 permutation minima (MinHashes codegen expression) —
+    * map-only. (a*h < 2^62: no overflow in any engine.)
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val mhSql = permCoeffs
-      .map { case (a, b) =>
-        s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${MersennePrime}L))"
-      }
-      .mkString("array(", ", ", ")")
+  def minhashSignatures(docs: DataFrame): DataFrame =
     withShingles(docs)
       .select(col("doc_id"),
         expr(s"transform(shingles, s -> ${hashSql("s")} % ${MersennePrime}L)").as("hs"))
-      .select(col("doc_id"), expr(mhSql).as("mh"))
-  }
+      .select(col("doc_id"),
+        GraftFunctions.minhashes(col("hs"), permCoeffs, MersennePrime).as("mh"))
 
   /** LSH candidate pairs: band signature = the 4 minhashes of the band; a pair
     * is a candidate iff some band matches. Self-join on (band, sig) — the

@@ -99,9 +99,45 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  val IvfCells = 16 // coarse-quantizer cells
+  val IvfProbes = 3 // cells probed per query
+
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * "centroid" cell (map-side broadcast compare); queries probe only the
+    * nprobe nearest cells — the partition-pruning shape of vector search: at
+    * 100 TB the corpus is laid out cell-partitioned and a probe touches
+    * nprobe/cells of the data. Centroids here are the first `IvfCells`
+    * vectors (deterministic, training-free — production would k-means
+    * offline; the dataflow is identical and that is what's being tested).
+    */
+  def ivfTopK(embs: DataFrame): DataFrame = {
+    val e = normalized(embs)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    // cell assignment: nearest centroid by cosine (ties -> lowest cell id)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("nv"), col("cell"),
+        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+    val corpusCells = assigned.filter(col("crk") === 1)
+      .select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))
+    val queryProbes = assigned.filter(col("vec_id") < QueryCount && col("crk") <= IvfProbes)
+      .select(col("cell"), col("vec_id").as("q_id"), col("nv").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), GraftFunctions.dot(col("qv"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
-    "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))))
+    "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
+    "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))))
 
   // DuckDB mirrors — identical literal hyperplanes, identical fold order
   // (expanded left-associated sum == sequential loop).
@@ -134,6 +170,26 @@ object Similarity {
          |r AS (SELECT q_id, n_id, cos,
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |      FROM p)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    "q_knn_ivf" ->
+      s"""WITH $duckNormCte,
+         |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT e.vec_id, e.nv, c.cell,
+         |    list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c),
+         |corpus AS (SELECT cell, vec_id AS n_id, nv AS nvec FROM assigned WHERE crk = 1),
+         |probes AS (SELECT cell, vec_id AS q_id, nv AS qv FROM assigned
+         |           WHERE vec_id < $QueryCount AND crk <= $IvfProbes),
+         |s AS (SELECT q_id, n_id, list_sum([qv[i] * nvec[i] for i in range(1, 65)]) AS cos
+         |      FROM probes q JOIN corpus c ON q.cell = c.cell AND c.n_id != q.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= $TopK""".stripMargin,
 

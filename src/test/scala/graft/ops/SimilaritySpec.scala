@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@5 = $mean")
   }
 
+  test("IVF probe search returns ranked results with positive recall") {
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 3 of 16 cells probed = ~19% of the corpus scanned; on random vectors
+    // recall tracks coverage. Assert it beats the 5%-of-random floor clearly.
+    assert(mean >= 0.15, s"mean IVF recall@5 = $mean")
+  }
+
   test("normalized vectors have unit norm") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions
