@@ -181,6 +181,31 @@ object Relational {
       cust(s, d).select(col("c_custkey")).distinct()
         .except(ord(s, d).select(col("o_custkey").as("c_custkey")).distinct())),
 
+    // --- multi-dimensional aggregation (SURVEY §2.6 "free" row) -------------
+    "q_rollup" -> ((s, d) =>
+      li(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))),
+
+    "q_cube" -> ((s, d) =>
+      ord(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"))),
+
+    // HLL sketch count — approximate by design, so no cross-engine oracle
+    // (driver records the weaker rows-only check); exactness bound asserted
+    // against countDistinct in RelationalSpec instead.
+    "q_approx_distinct" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
     // --- scalar & date function library ------------------------------------
     "q_scalar_dates" -> ((s, d) =>
       ord(s, d).select(
@@ -285,6 +310,16 @@ object Relational {
     "q_except" ->
       """SELECT DISTINCT c_custkey FROM customer
         |EXCEPT SELECT DISTINCT o_custkey AS c_custkey FROM orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS prio,
+        |count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_scalar_dates" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
