@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Operator-law properties over seeded random inputs (SURVEY §5 plan item c).
+  * Deterministic seed — failures reproduce exactly.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+  private val Cases = 200
+
+  test("law: SortedIntersectCount(a, a) == |a| and is symmetric") {
+    import spark.implicits._
+    val rows = Seq.fill(Cases) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextLong()).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextLong()).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.sortedIntersectCount(col("a"), col("a")).as("aa"),
+      GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("ab"),
+      GraftFunctions.sortedIntersectCount(col("b"), col("a")).as("ba"),
+      size(col("a")).as("na")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("aa") == r.getAs[Int]("na").toLong)
+      assert(r.getAs[Long]("ab") == r.getAs[Long]("ba"))
+    }
+  }
+
+  test("law: SortedIntersectCount equals the set-intersection cardinality") {
+    import spark.implicits._
+    val rows = Seq.fill(Cases) {
+      // overlapping domains so intersections are non-trivial
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size.toLong)
+    }
+    val got = rows.toDF("a", "b", "expected")
+      .select(GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getAs[Long]("got") == r.getAs[Long]("expected")))
+  }
+
+  test("law: SimHash60 is invariant to token-hash order and duplication") {
+    import spark.implicits._
+    val rows = Seq.fill(Cases) {
+      val hs = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextLong() & ((1L << 60) - 1))
+      val shuffledDup = rnd.shuffle(hs ++ hs.take(rnd.nextInt(hs.size)))
+      (hs, shuffledDup)
+    }
+    // NOTE: duplication is NOT invariant for simhash votes in general — only
+    // order is. Use distinct on both sides to test order-invariance cleanly.
+    val got = rows.map { case (a, b) => (a.distinct, rnd.shuffle(a).distinct) }
+      .toDF("a", "b")
+      .select(GraftFunctions.simhash60(col("a")).as("sa"),
+        GraftFunctions.simhash60(col("b")).as("sb")).collect()
+    got.foreach(r => assert(r.getAs[Long]("sa") == r.getAs[Long]("sb")))
+  }
+
+  test("law: DotProduct is symmetric and matches a local fold") {
+    import spark.implicits._
+    val rows = Seq.fill(Cases) {
+      val n = rnd.nextInt(20) + 1
+      val a = Seq.fill(n)(rnd.nextDouble() * 2 - 1)
+      val b = Seq.fill(n)(rnd.nextDouble() * 2 - 1)
+      (a, b, a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+    }
+    val got = rows.toDF("a", "b", "expected")
+      .select(GraftFunctions.dot(col("a"), col("b")).as("ab"),
+        GraftFunctions.dot(col("b"), col("a")).as("ba"), col("expected"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("ab") == r.getAs[Double]("expected"), "exact fold equality")
+      assert(r.getAs[Double]("ab") == r.getAs[Double]("ba"))
+    }
+  }
+
+  test("law: filter(p).filter(q) == filter(p && q)") {
+    import spark.implicits._
+    val df = Seq.fill(500)((rnd.nextInt(100), rnd.nextInt(100))).toDF("x", "y")
+    val chained = df.filter(col("x") > 30).filter(col("y") < 70).count()
+    val fused = df.filter(col("x") > 30 && col("y") < 70).count()
+    assert(chained == fused)
+  }
+
+  test("law: minhash estimate is an unbiased-ish Jaccard estimator on crafted sets") {
+    import spark.implicits._
+    // identical shingle arrays -> every permutation min equal -> est = 1
+    val hs = Seq.fill(50)(rnd.nextLong() & ((1L << 60) - 1)).map(h => math.floorMod(h, 2147483647L))
+    val df = Seq((hs, hs)).toDF("a", "b")
+    val mh = df.select(
+      GraftFunctions.minhashes(col("a"), graft.ops.Dedup.permCoeffs, 2147483647L).as("ma"),
+      GraftFunctions.minhashes(col("b"), graft.ops.Dedup.permCoeffs, 2147483647L).as("mb"))
+    val r = mh.select(expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))").as("eq"))
+      .collect().head
+    assert(r.getAs[Int]("eq") == graft.ops.Dedup.MinhashPerms)
+  }
+}
