@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Row-emitting event-time window UDFs — the reference's
+  * `TimeWindowFunction.transform(key, rows, start, end) → List<rows>`
+  * (function/TimeWindowFunction.java:7-11) and `AggTimeWindowFunction`
+  * (one row per window, AggTimeWindowFunction.java:7-10), applied to
+  * tumbling/hopping/session windows (window/SlideWindow.java:105-383,
+  * SessionWindow.java:29-129).
+  *
+  * Spark's built-in `window()` aggregation returns ONE row per group and only
+  * through aggregate functions — a window UDF that sees ALL rows of the
+  * window and emits N rows needs custom state (SURVEY §4.2 row 1). Engine:
+  *
+  *   1. window assignment as COLUMN-level explode (the watermark attribute
+  *      must flow unbroken into the stateful operator — a typed flatMap
+  *      would sever it);
+  *   2. `groupByKey((key, windowStart))` → `flatMapGroupsWithState` with
+  *      EventTimeTimeout: rows buffer in state; when the WATERMARK passes
+  *      the window end, the state times out, the user function runs over the
+  *      complete time-sorted window, its rows are emitted, state is dropped.
+  *
+  * Session variant implements the REFERENCE's close rule — a session breaks
+  * when the gap is ≥ timeout (SessionWindow.java:63-77) — which differs from
+  * `session_window()` by 1 ms at the exact boundary (DELTAS.md D5).
+  *
+  * Scale: state is partitioned by (key, window) — hot keys spread across
+  * windows; eviction is watermark-driven like the built-in operator. Late
+  * rows beyond the watermark are dropped (DELTAS.md D2).
+  */
+object WindowedTransform {
+
+  import OverWindows.Event
+
+  case class WinKey(key: Long, ws: Long)
+  case class WRow(ws: Long, key: Long, time: Long, value: Double)
+  case class WinBuf(rows: List[Event])
+
+  /** Columns (tsCol TimestampType, keyCol, valueCol) → watermarked, window-
+    * assigned typed rows. Window starts: `(t/slide - k)*slide, k < size/slide`
+    * — the reference's `t/size*size` alignment generalized to hops.
+    */
+  private def assigned(
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      watermark: String, sizeMs: Long, slideMs: Long): Dataset[WRow] = {
+    import df.sparkSession.implicits._
+    val hops = sizeMs / slideMs
+    df.withWatermark(tsCol, watermark)
+      .select(
+        explode(expr(
+          s"transform(sequence(0, ${hops - 1}), " +
+            s"k -> (unix_millis($tsCol) div $slideMs - k) * ${slideMs}L)")).as("ws"),
+        col(keyCol).cast("long").as("key"),
+        unix_millis(col(tsCol)).as("time"),
+        col(valueCol).cast("double").as("value"),
+        col(tsCol)) // keep the watermark attribute flowing into the stateful op
+      .as[WRow]
+  }
+
+  /** Apply `fn(key, windowStart, windowEnd, rowsSortedByTime)` to every
+    * closed hopping window; `fn` may emit any number of output rows.
+    */
+  def slide[O: Encoder](
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      sizeMs: Long, slideMs: Long,
+      watermark: String = StreamWindows.DefaultWatermark)(
+      fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] = {
+    require(sizeMs % slideMs == 0, "size must be a multiple of slide")
+    import df.sparkSession.implicits._
+    assigned(df, tsCol, keyCol, valueCol, watermark, sizeMs, slideMs)
+      .groupByKey(r => WinKey(r.key, r.ws))
+      .flatMapGroupsWithState[WinBuf, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wk: WinKey, it: Iterator[WRow], state: GroupState[WinBuf]) =>
+          if (state.hasTimedOut) {
+            val rows = state.get.rows.sortBy(e => (e.time, e.value))
+            state.remove()
+            fn(wk.key, wk.ws, wk.ws + sizeMs, rows).iterator
+          } else {
+            val buffered = state.getOption.map(_.rows).getOrElse(Nil)
+            state.update(WinBuf(buffered ++ it.map(r => Event(r.key, r.time, r.value))))
+            // fire when the watermark passes the window end; if already past
+            // (late-but-admitted rows), fire at the next tick
+            state.setTimeoutTimestamp(
+              math.max(wk.ws + sizeMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  def tumble[O: Encoder](
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String, sizeMs: Long,
+      watermark: String = StreamWindows.DefaultWatermark)(
+      fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] =
+    slide(df, tsCol, keyCol, valueCol, sizeMs, sizeMs, watermark)(fn)
+
+  /** Gap-based session with full-row access and N output rows per session;
+    * bounds = [first, last + gap), reference close rule (gap ≥ timeout).
+    */
+  def session[O: Encoder](
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      gapMs: Long,
+      watermark: String = StreamWindows.DefaultWatermark)(
+      fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] = {
+    import df.sparkSession.implicits._
+    assigned(df, tsCol, keyCol, valueCol, watermark, gapMs, gapMs)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[WinBuf, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[WRow], state: GroupState[WinBuf]) =>
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val rows = state.get.rows.sortBy(e => (e.time, e.value))
+            val sessions = splitSessions(rows, gapMs)
+            val (closed, open) = sessions.partition(s => s.last.time + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(WinBuf(open.flatten.toList))
+              // re-arm for the EARLIEST still-open session's close time —
+              // keyed on the latest it would wait out a continuous stream
+              state.setTimeoutTimestamp(math.max(open.head.last.time + gapMs, wm + 1))
+            }
+            closed.iterator.flatMap(s => fn(key, s.head.time, s.last.time + gapMs, s))
+          } else {
+            val buffered = state.getOption.map(_.rows).getOrElse(Nil)
+            val all = (buffered ++ it.map(r => Event(r.key, r.time, r.value)))
+              .sortBy(e => (e.time, e.value))
+            state.update(WinBuf(all.toList))
+            val earliestClose = splitSessions(all, gapMs).head.last.time + gapMs
+            state.setTimeoutTimestamp(
+              math.max(earliestClose, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Split time-sorted rows into sessions; break when gap >= gapMs
+    * (reference rule, SessionWindow.java:63-77).
+    */
+  private[streaming] def splitSessions(sorted: Seq[Event], gapMs: Long): Seq[Seq[Event]] =
+    sorted.foldLeft(Vector.empty[Vector[Event]]) { (acc, e) =>
+      acc.lastOption match {
+        case Some(cur) if e.time - cur.last.time < gapMs => acc.init :+ (cur :+ e)
+        case _ => acc :+ Vector(e)
+      }
+    }
+}
