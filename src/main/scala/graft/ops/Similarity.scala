@@ -159,7 +159,6 @@ object Similarity {
       s"(CASE WHEN ${duckPlaneDot(planes(t * LshBits + b))} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ") + " AS BIGINT)"
 
-  private val duckCos = "list_sum([q.qv[i] * c.nvec[i] for i in range(1, 65)])"
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" ->
