@@ -181,6 +181,25 @@ object Relational {
       cust(s, d).select(col("c_custkey")).distinct()
         .except(ord(s, d).select(col("o_custkey").as("c_custkey")).distinct())),
 
+    // --- string function library (ScalarUtil.java:28-54 parity) -------------
+    "q_string_funcs" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        substring(col("p_name"), 3, 8).as("sub_mid"),
+        expr("substring(p_name, 2)").as("sub_from"),
+        trim(col("p_name"), "a").as("trim_a"),
+        ltrim(col("p_name"), "a").as("ltrim_a"),
+        rtrim(col("p_name"), "a").as("rtrim_a"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+        lower(col("p_type")).as("lo"))),
+
+    // --- JSON field extraction (KafkaStreamTable.java:151-178 parity) -------
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
     // --- multi-dimensional aggregation (SURVEY §2.6 "free" row) -------------
     "q_rollup" -> ((s, d) =>
       li(s, d)
@@ -310,6 +329,22 @@ object Relational {
     "q_except" ->
       """SELECT DISTINCT c_custkey FROM customer
         |EXCEPT SELECT DISTINCT o_custkey AS c_custkey FROM orders""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |substring(p_name, 3, 8) AS sub_mid,
+        |substring(p_name, 2) AS sub_from,
+        |trim(p_name, 'a') AS trim_a,
+        |ltrim(p_name, 'a') AS ltrim_a,
+        |rtrim(p_name, 'a') AS rtrim_a,
+        |p_brand || '#' || p_type AS cat,
+        |lower(p_type) AS lo
+        |FROM part""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
