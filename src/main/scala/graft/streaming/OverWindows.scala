@@ -47,16 +47,32 @@ object OverWindows {
   /** One micro-batch step for the duration frame: merge, sort, emit one
     * output row per input row (frame = rows of the key with time in
     * (t - sizeMs, t]), evict state older than (maxTime - sizeMs].
+    *
+    * Frame bounds come from binary search over the time-sorted buffer —
+    * O((b+s)·log) per batch instead of O(b·s) — the same structure the
+    * reference's `SortedTable.countLessThan` gives its windows
+    * (SortedTableByTimeTest.java:13-60, SlideTableByColumn.java:64-126).
     */
   private[streaming] def durationStep(
       sizeMs: Long)(buffered: List[Event], incoming: Iterator[Event]): (Iterator[OverOut], Buffer) = {
     val newEvents = incoming.toVector.sortBy(e => (e.time, e.value))
-    val all = (buffered ++ newEvents).sortBy(e => (e.time, e.value))
-    val out = newEvents.map { e =>
-      stats(all.filter(r => r.time > e.time - sizeMs && r.time <= e.time), e)
+    val all = (buffered ++ newEvents).sortBy(e => (e.time, e.value)).toIndexedSeq
+    val times = all.map(_.time)
+    // first index with times(i) > t (upper bound)
+    def upperBound(t: Long): Int = {
+      var lo = 0; var hi = times.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (times(mid) <= t) lo = mid + 1 else hi = mid
+      }
+      lo
     }
-    val maxT = if (all.nonEmpty) all.map(_.time).max else Long.MinValue
-    val kept = all.filter(_.time > maxT - sizeMs)
+    val out = newEvents.map { e =>
+      stats(all.slice(upperBound(e.time - sizeMs), upperBound(e.time)), e)
+    }
+    val kept =
+      if (all.isEmpty) all
+      else all.drop(upperBound(times.last - sizeMs))
     (out.iterator, Buffer(kept.toList))
   }
 
