@@ -17,11 +17,16 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.shuffle.partitions` to ~2-3x total cores and let AQE shrink.
   */
 object GraftSession {
+  /** `spark.sql.streaming.stateStore.providerClass` value for RocksDB. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def builder(
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-  ): SparkSession.Builder =
-    SparkSession
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      rocksDbStateStore: Boolean = false
+  ): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .master(master)
       .appName("graft")
@@ -38,6 +43,13 @@ object GraftSession {
       // (reference: window/SlideWindow.java:334-335 enforces a BIGINT time col).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // Large streaming state (high-cardinality keyed over-windows, stream
+    // dedup) should live off the executor heap: RocksDB spills to local disk
+    // and keeps the JVM heap for execution. Per-query override:
+    // spark.sql.streaming.stateStore.providerClass in writeStream options.
+    if (rocksDbStateStore) b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b
+  }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

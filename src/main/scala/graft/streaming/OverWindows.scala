@@ -91,29 +91,100 @@ object OverWindows {
     (out.iterator, Buffer(window.takeRight(n - 1).toList))
   }
 
+  /** Event plus the TimestampType column the watermark is declared on.
+    * (Public: encoder codegen can't construct private classes.)
+    */
+  case class TsEvent(key: Long, time: Long, value: Double, eventTime: java.sql.Timestamp)
+
+  /** Default reorder/lateness bound — same 1 s the reference uses for its
+    * watermark reorder buffer (window/TimeWindow.java:32).
+    */
+  val DefaultWatermark = "1 second"
+
+  /** Stateful runner with watermark-driven state expiry.
+    *
+    * The reference drops a key's per-partition window table once it drains
+    * (window/OverWindowByDuration.java:29-98 eviction); here the equivalent is
+    * an `EventTimeTimeout`: each update arms a timeout at
+    * `lastEventTime + expireMs`, and when the watermark passes it the key's
+    * buffer is removed from the state store. Without this, a churning key
+    * space (user_id at 100 TB) grows state without bound — idle keys would
+    * pin their last frame forever.
+    *
+    * Late rows (behind `watermarkDelay`) are dropped by the exec, matching
+    * the documented D4 delta for the other streaming windows.
+    */
   private def runStateful(
       events: Dataset[Event],
-      step: (List[Event], Iterator[Event]) => (Iterator[OverOut], Buffer)): Dataset[OverOut] = {
+      step: (List[Event], Iterator[Event]) => (Iterator[OverOut], Buffer),
+      expireMs: Long,
+      watermarkDelay: String): Dataset[OverOut] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[Buffer, OverOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, it: Iterator[Event], state: GroupState[Buffer]) =>
-          val buffered = state.getOption.map(_.rows).getOrElse(Nil)
-          val (out, next) = step(buffered, it)
-          state.update(next)
-          out
-      }
+    if (!events.isStreaming) {
+      // Batch execution: the whole key arrives in one call and timeouts never
+      // fire, so state bookkeeping is a no-op — keep the simple path.
+      events
+        .groupByKey(_.key)
+        .flatMapGroupsWithState[Buffer, OverOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: Long, it: Iterator[Event], state: GroupState[Buffer]) =>
+            val buffered = state.getOption.map(_.rows).getOrElse(Nil)
+            val (out, next) = step(buffered, it)
+            state.update(next)
+            out
+        }
+    } else {
+      events
+        .withColumn("eventTime", timestamp_millis(col("time")))
+        .withWatermark("eventTime", watermarkDelay)
+        .as[TsEvent]
+        .groupByKey(_.key)
+        .flatMapGroupsWithState[Buffer, OverOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (_: Long, it: Iterator[TsEvent], state: GroupState[Buffer]) =>
+            if (state.hasTimedOut) {
+              // Watermark passed lastEventTime + expireMs with no new rows:
+              // no future row can still see this frame — drop it.
+              state.remove()
+              Iterator.empty
+            } else {
+              val buffered = state.getOption.map(_.rows).getOrElse(Nil)
+              val (out, next) =
+                step(buffered, it.map(t => Event(t.key, t.time, t.value)))
+              if (next.rows.isEmpty) state.remove()
+              else {
+                state.update(next)
+                val lastTime = next.rows.iterator.map(_.time).max
+                // Timeout must be strictly later than the current watermark
+                // (another key may have advanced it past this key's frame).
+                state.setTimeoutTimestamp(
+                  math.max(lastTime + expireMs, state.getCurrentWatermarkMs() + 1))
+              }
+              out
+            }
+        }
+    }
   }
 
-  /** Streaming RANGE BETWEEN (size-1) PRECEDING AND CURRENT ROW. */
-  def byDuration(events: Dataset[Event], sizeMs: Long): Dataset[OverOut] =
-    runStateful(events, durationStep(sizeMs))
+  /** Streaming RANGE BETWEEN (size-1) PRECEDING AND CURRENT ROW.
+    * State for a key expires once the watermark passes its newest row + size.
+    */
+  def byDuration(
+      events: Dataset[Event],
+      sizeMs: Long,
+      watermarkDelay: String = DefaultWatermark): Dataset[OverOut] =
+    runStateful(events, durationStep(sizeMs), sizeMs, watermarkDelay)
 
-  /** Streaming ROWS BETWEEN (n-1) PRECEDING AND CURRENT ROW. */
-  def bySize(events: Dataset[Event], n: Int): Dataset[OverOut] =
-    runStateful(events, sizeStep(n))
+  /** Streaming ROWS BETWEEN (n-1) PRECEDING AND CURRENT ROW.
+    * Count frames have no intrinsic duration, so idle keys expire after
+    * `idleTimeoutMs` of event-time silence (default 1 h).
+    */
+  def bySize(
+      events: Dataset[Event],
+      n: Int,
+      idleTimeoutMs: Long = 3600000L,
+      watermarkDelay: String = DefaultWatermark): Dataset[OverOut] =
+    runStateful(events, sizeStep(n), idleTimeoutMs, watermarkDelay)
 
   /** Batch equivalents via flatMapGroups — same step functions, no state
     * (whole key group in one call). Used to cross-check streaming results.
