@@ -28,15 +28,29 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
+    // A failed query must be LOUD: it reports {"err": ...} instead of a
+    // timing, never a number that shrinks the total, and fails the process
+    // exit code so a regression can't bench as an improvement.
+    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(sec)) => "\"" + k + "\":" + sec
+      case (k, Left(err)) =>
+        "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\n\r\t]", " ") + "\"}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -217,13 +217,20 @@ object Relational {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
           col("cnt"))),
 
-    // HLL sketch count — approximate by design, so no cross-engine oracle
-    // (driver records the weaker rows-only check); exactness bound asserted
-    // against countDistinct in RelationalSpec instead.
+    // HLL sketch count. The raw estimate is engine-specific, so the oracle-
+    // checkable output is (exact count, estimate-within-3×rel_sd flag): the
+    // DuckDB side emits `true` literally, and the hash compare fails iff the
+    // sketch drifts out of bound. (Raw estimate also asserted in
+    // RelationalSpec.)
     "q_approx_distinct" -> ((s, d) =>
       li(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts")
+            <= 0.06).as("within_bound"))),
 
     // --- scalar & date function library ------------------------------------
     "q_scalar_dates" -> ((s, d) =>
@@ -242,6 +249,10 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin,

@@ -178,16 +178,20 @@ object Dedup {
     * cross-shingle collisions (the only way counts could differ from the
     * string-set oracle) ~2^-61 per pair.
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    // ONE derived column per side: hs (sorted shingle hashes). Set sizes come
-    // from size(hs) — carrying a separate count column would make
-    // CollapseProject inline (= recompute) the whole shingle-construction
-    // expression once per consumer.
-    val sh = docs
+  /** Per-doc sorted shingle hashes — the exact-verification signature. ONE
+    * derived column: set sizes come from size(hs); carrying a separate count
+    * column would make CollapseProject inline (= recompute) the whole
+    * shingle-construction expression once per consumer.
+    */
+  private def sortedShingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"),
         expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
+
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = sortedShingleHashes(docs)
     // Probe side spread across all cores with an EXPLICIT partition count
     // (AQE would coalesce the tiny shuffle to one partition and serialize the
     // quadratic pair expansion): with only ~5 language blocks the broadcast
@@ -202,6 +206,34 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** LSH candidates → exact verification, composed — THE 100 TB near-dedup
+    * shape. Candidate pairs come from the banded minhash equi-join (input is
+    * N×bands rows, never N² pairs), then each candidate is verified with the
+    * true shingle-set Jaccard via two equi-joins on doc id that attach the
+    * sorted shingle hashes, and the codegen'd merge walk
+    * (SortedIntersectCount). Nothing in the plan touches a full-corpus
+    * broadcast or a non-equi join: at scale every join here is a shuffled
+    * hash/sort-merge join on compact keys (Catalyst may still broadcast the
+    * small side at sf scale, which is the right call, not a scale hazard).
+    *
+    * Reference capability: near-dup detection is the pipeline behind its
+    * dedup use cases; this mirrors `ngramJaccardPairs` semantics with LSH
+    * (not language blocking) bounding the pair count, i.e. recall is that of
+    * `minhashCandidates` (any band of 4/16 minhashes colliding).
+    */
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val cand = minhashCandidates(docs).select(col("doc_a"), col("doc_b"))
+    val sh = sortedShingleHashes(docs)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -233,6 +265,7 @@ object Dedup {
     "q_dedup_minhash" -> ((s, d) => minhashCandidates(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
+    "q_dedup_verify" -> ((s, d) => lshVerifiedPairs(Tables.documents(s, d))),
     "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
 
   // DuckDB mirrors. Shared fragments:
@@ -289,6 +322,26 @@ object Dedup {
          |          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
          |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    "q_dedup_verify" ->
+      s"""WITH perms AS ($duckPerms),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles AS shingles FROM t WHERE len(toks) >= 3),
+         |hs AS (SELECT doc_id, ${duckHash("s")} % $MersennePrime AS h
+         |       FROM sh, unnest(shingles) u(s)),
+         |mh AS (SELECT doc_id, p.i AS i, min((p.a * h + p.b) % $MersennePrime) AS h
+         |       FROM hs, perms p GROUP BY doc_id, p.i),
+         |sig AS (SELECT doc_id, i // $MinhashRows AS band,
+         |          string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+         |        FROM mh GROUP BY doc_id, i // $MinhashRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |         WHERE a.doc_id < b.doc_id),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |          / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+         |      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= $JaccardThreshold""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

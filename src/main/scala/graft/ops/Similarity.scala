@@ -85,13 +85,21 @@ object Similarity {
     */
   def lshTopK(embs: DataFrame): DataFrame = {
     val cd = coded(embs)
+    // Bucket join + candidate dedup carry ONLY ids and codes — never the
+    // 64-dim vectors (a multi-table LSH emits L rows per vector; shuffling
+    // vectors through the bucket join and the distinct would multiply the
+    // shuffle volume by dim×L). Vectors re-attach per unique pair via two
+    // id equi-joins against the map-only normalized projection.
     val q = cd.filter(col("vec_id") < QueryCount)
-      .select(col("tbl"), col("code"), col("vec_id").as("q_id"), col("nv").as("qv"))
-    val c = cd.select(col("tbl"), col("code"), col("vec_id").as("n_id"), col("nv").as("nvec"))
+      .select(col("tbl"), col("code"), col("vec_id").as("q_id"))
+    val c = cd.select(col("tbl"), col("code"), col("vec_id").as("n_id"))
+    val e = normalized(embs)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     q.join(c, Seq("tbl", "code"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), col("qv"), col("nvec")).distinct()
+      .select(col("q_id"), col("n_id")).distinct()
+      .join(e.select(col("vec_id").as("q_id"), col("nv").as("qv")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("nv").as("nvec")), Seq("n_id"))
       .select(col("q_id"), col("n_id"), GraftFunctions.dot(col("qv"), col("nvec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH-verified pairs = exact jaccard over LSH candidates, no nested-loop join") {
+    val cand = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth: brute same-lang exact jaccard (all planted dups share lang)
+    val brute = Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val verified = Dedup.lshVerifiedPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.nonEmpty)
+    // Every verified pair that the brute path also scored agrees exactly.
+    verified.keys.filter(brute.contains).foreach { p =>
+      assert(verified(p) == brute(p), s"pair $p: ${verified(p)} vs ${brute(p)}")
+    }
+    // Verified = brute ∩ candidates (on the same-lang universe brute covers).
+    assert(brute.keySet.filter(cand.contains) == verified.keySet.filter(brute.contains))
+    // Scale shape: candidate generation + verification is all equi-joins.
+    val plan = Dedup.lshVerifiedPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin"), "composed dedup must not cross-product")
+  }
+
   test("identical token sets get identical simhash (hamming 0 pair emitted)") {
     import spark.implicits._
     val d = Seq(
