@@ -33,27 +33,83 @@ object Sources {
   val TopicCol = "__topic__"
   val ReceiveTimeCol = "__receive_time__"
 
-  /** Kafka JSON stream: value parsed by declared schema (the reference's
-    * `columnTypeMap`), record timestamp → `__time__` epoch-ms.
+  /** Reader options for a Kafka scan, with the reference's timestamp-bounded
+    * consumption semantics (sp/input/KafkaStreamTable.java:71-110,140-166):
+    * `consumeFromSec`/`consumeToSec` are epoch SECONDS (the reference's record
+    * key unit; it seeks via `offsetsForTimes(consumeFrom)` and stops a
+    * partition when `time >= consumeTo`).
+    *
+    * Mapping: `consumeFromSec` → `startingTimestamp` (Kafka resolves each
+    * partition to the earliest offset with timestamp >= it — exactly
+    * offsetsForTimes); `consumeToSec` → `endingTimestamp` (resolved the same
+    * way, and ending offsets are exclusive, so records with
+    * time >= consumeTo are excluded — the reference's stop condition).
+    * `endingTimestamp` only exists for batch reads; streaming has no end.
     */
-  def kafkaJson(
-      spark: SparkSession,
+  def kafkaOptions(
       bootstrap: String,
       topic: String,
-      schema: StructType,
-      startingOffsets: String = "latest"): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
+      startingOffsets: String = "latest",
+      consumeFromSec: Long = -1,
+      consumeToSec: Long = -1): Map[String, String] = {
+    val base = Map("kafka.bootstrap.servers" -> bootstrap, "subscribe" -> topic)
+    val start =
+      if (consumeFromSec >= 0) Map("startingTimestamp" -> (consumeFromSec * 1000L).toString)
+      else Map("startingOffsets" -> startingOffsets)
+    val end =
+      if (consumeToSec >= 0) Map("endingTimestamp" -> (consumeToSec * 1000L).toString)
+      else Map.empty[String, String]
+    base ++ start ++ end
+  }
+
+  /** JSON-value projection shared by the streaming and bounded Kafka readers:
+    * value parsed by declared schema (the reference's `columnTypeMap`),
+    * record timestamp → `__time__` epoch-ms, reserved metadata columns.
+    */
+  private def kafkaProject(raw: DataFrame, schema: StructType): DataFrame =
+    raw
       .select(
         from_json(col("value").cast("string"), schema).as("j"),
         col("topic").as(TopicCol),
         unix_millis(col("timestamp")).as(TimeCol),
         unix_millis(current_timestamp()).as(ReceiveTimeCol))
       .select(col("j.*"), col(TopicCol), col(TimeCol), col(ReceiveTimeCol))
+
+  /** Kafka JSON stream; set `consumeFromSec` to replay from a point in time
+    * (reference `consumeFrom`).
+    */
+  def kafkaJson(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      schema: StructType,
+      startingOffsets: String = "latest",
+      consumeFromSec: Long = -1): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+    kafkaOptions(bootstrap, topic, startingOffsets, consumeFromSec).foreach {
+      case (k, v) => reader.option(k, v)
+    }
+    kafkaProject(reader.load(), schema)
+  }
+
+  /** Bounded BATCH replay of a Kafka topic between two epoch-second points —
+    * the reference's `consumeFrom`/`consumeTo` pair
+    * (KafkaStreamTable.java:140-166): a finite DataFrame over exactly the
+    * records with consumeFrom <= time < consumeTo. The common backfill shape:
+    * replay a window of the topic through the same batch operators.
+    */
+  def kafkaJsonBounded(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      schema: StructType,
+      consumeFromSec: Long,
+      consumeToSec: Long): DataFrame = {
+    val reader = spark.read.format("kafka")
+    kafkaOptions(bootstrap, topic, consumeFromSec = consumeFromSec, consumeToSec = consumeToSec)
+      .foreach { case (k, v) => reader.option(k, v) }
+    kafkaProject(reader.load(), schema)
+  }
 
   /** Partitioned JDBC scan — the reference stripes `LIMIT start,batch` pages
     * over servers×threads by hand; `read.jdbc` generates the same stripes

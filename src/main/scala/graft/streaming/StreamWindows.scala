@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-time windows for unbounded input — the Spark-first expression of the
@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *   - firing cadence is per micro-batch, not per-event;
   *   - rows later than the watermark are dropped, not emitted as
   *     single-element windows (SlideWindow.java:345-366);
-  *   - idle-time advance (`noDataDelay`, TimeWindow.java:25-31) has no
-  *     event-time equivalent in Spark — use a processing-time trigger if
-  *     emission on silence is required.
+  *   - idle-time advance (`noDataDelay`, TimeWindow.java:25-31): pass a
+  *     `heartbeat` stream (see `heartbeatRate`) — heartbeat rows advance the
+  *     watermark, then are filtered before grouping, so windows close during
+  *     input silence without contributing rows (DELTAS D3, implemented).
   *
   * Scale: windowed aggregation is partial+final over a shuffle on
   * (key, window); state eviction is watermark-driven — both are exactly the
@@ -32,6 +33,41 @@ import org.apache.spark.sql.functions._
 object StreamWindows {
 
   val DefaultWatermark = "1 second" // reference default, TimeWindow.java:32
+
+  private val HbCol = "__heartbeat__"
+
+  /** Production heartbeat stream for the D3 idle-advance (reference
+    * `noDataDelay`, TimeWindow.java:25-31): a rate source carrying only the
+    * current wall-clock time as the event-time column. Union it via the
+    * `heartbeat` parameter of slide/tumble/session; its rows move the
+    * watermark forward during input silence and never reach the aggregation.
+    */
+  def heartbeatRate(spark: SparkSession, ts: String, rowsPerSecond: Int = 1): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(col("timestamp").as(ts))
+
+  /** Union heartbeat rows (null data columns, marked), declare the watermark
+    * over the union, then filter the marks back out: heartbeat timestamps
+    * pass through the watermark operator — advancing event time — but no
+    * heartbeat row survives to the grouping.
+    */
+  private def watermarked(
+      df: DataFrame, ts: String, watermark: String, heartbeat: Option[DataFrame]): DataFrame =
+    heartbeat match {
+      case None => df.withWatermark(ts, watermark)
+      case Some(hb) =>
+        val hbRows = hb.select(
+          df.schema.fields.map { f =>
+            if (f.name == ts) col(ts) else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq :+ lit(true).as(HbCol): _*)
+        df.withColumn(HbCol, lit(false))
+          .unionByName(hbRows)
+          .withWatermark(ts, watermark)
+          .filter(!col(HbCol))
+          .drop(HbCol)
+    }
 
   /** Hopping (slide < size) or tumbling (slide == size) event-time window
     * aggregation. `ts` must be a TimestampType column.
@@ -43,8 +79,9 @@ object StreamWindows {
       slide: String,
       keys: Seq[String],
       aggs: Seq[Column],
-      watermark: String = DefaultWatermark): DataFrame = {
-    val out = df.withWatermark(ts, watermark)
+      watermark: String = DefaultWatermark,
+      heartbeat: Option[DataFrame] = None): DataFrame = {
+    val out = watermarked(df, ts, watermark, heartbeat)
       .groupBy(window(col(ts), size, slide).as("w") +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     out.select(
@@ -59,8 +96,9 @@ object StreamWindows {
       size: String,
       keys: Seq[String],
       aggs: Seq[Column],
-      watermark: String = DefaultWatermark): DataFrame =
-    slide(df, ts, size, size, keys, aggs, watermark)
+      watermark: String = DefaultWatermark,
+      heartbeat: Option[DataFrame] = None): DataFrame =
+    slide(df, ts, size, size, keys, aggs, watermark, heartbeat)
 
   /** Gap-based session window; window = [first event, last event + gap). */
   def session(
@@ -69,8 +107,9 @@ object StreamWindows {
       gap: String,
       keys: Seq[String],
       aggs: Seq[Column],
-      watermark: String = DefaultWatermark): DataFrame = {
-    val out = df.withWatermark(ts, watermark)
+      watermark: String = DefaultWatermark,
+      heartbeat: Option[DataFrame] = None): DataFrame = {
+    val out = watermarked(df, ts, watermark, heartbeat)
       .groupBy(session_window(col(ts), gap).as("w") +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     out.select(

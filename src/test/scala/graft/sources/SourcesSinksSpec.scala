@@ -56,6 +56,24 @@ class SourcesSinksSpec extends SparkSpec {
         "`dec` VARCHAR(64), INDEX idx_t1_0 (`id`))")
   }
 
+  test("kafka options map consumeFrom/consumeTo (epoch sec) to timestamp offsets") {
+    // plain start: offsets string passes through
+    assert(Sources.kafkaOptions("b:9092", "t") ==
+      Map("kafka.bootstrap.servers" -> "b:9092", "subscribe" -> "t",
+        "startingOffsets" -> "latest"))
+    // consumeFrom: replaces startingOffsets with startingTimestamp (ms)
+    val from = Sources.kafkaOptions("b:9092", "t", consumeFromSec = 1700000000L)
+    assert(from("startingTimestamp") == "1700000000000")
+    assert(!from.contains("startingOffsets"))
+    // bounded replay: both ends as timestamps; ending is exclusive like the
+    // reference's `time >= consumeTo` stop condition
+    val bounded = Sources.kafkaOptions("b:9092", "t",
+      consumeFromSec = 1700000000L, consumeToSec = 1700003600L)
+    assert(bounded("startingTimestamp") == "1700000000000")
+    assert(bounded("endingTimestamp") == "1700003600000")
+    assert(!bounded.contains("startingOffsets"))
+  }
+
   test("memory stream is the InsertableStreamTable adapter") {
     import spark.implicits._
     val src = Sources.memoryStream[(Long, String)](spark)
