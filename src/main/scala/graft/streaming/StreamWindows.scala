@@ -41,6 +41,13 @@ object StreamWindows {
     * current wall-clock time as the event-time column. Union it via the
     * `heartbeat` parameter of slide/tumble/session; its rows move the
     * watermark forward during input silence and never reach the aggregation.
+    *
+    * Constraint (matches the reference, whose noDataDelay also uses wall
+    * clock): event times must track wall clock within the watermark delay.
+    * A stream replaying the past would have its live rows dropped as late
+    * because wall-clock heartbeats race the watermark ahead of the data —
+    * for replay, drive the heartbeat from the source itself (e.g. a side
+    * stream of max observed event time) instead of `heartbeatRate`.
     */
   def heartbeatRate(spark: SparkSession, ts: String, rowsPerSecond: Int = 1): DataFrame =
     spark.readStream.format("rate")
@@ -52,7 +59,16 @@ object StreamWindows {
     * over the union, then filter the marks back out: heartbeat timestamps
     * pass through the watermark operator — advancing event time — but no
     * heartbeat row survives to the grouping.
+    *
+    * The mark filter MUST be non-deterministic: Catalyst's
+    * PushPredicateThroughNonJoin pushes any deterministic predicate below the
+    * EventTimeWatermark node, which would remove heartbeat rows before the
+    * watermark stats collector ever sees them — turning the idle-advance into
+    * a silent no-op. `asNondeterministic()` pins the filter above the
+    * watermark; the cost is one boolean call per row, only on this path.
     */
+  private val dropHeartbeats = udf((hb: Boolean) => !hb).asNondeterministic()
+
   private def watermarked(
       df: DataFrame, ts: String, watermark: String, heartbeat: Option[DataFrame]): DataFrame =
     heartbeat match {
@@ -65,7 +81,7 @@ object StreamWindows {
         df.withColumn(HbCol, lit(false))
           .unionByName(hbRows)
           .withWatermark(ts, watermark)
-          .filter(!col(HbCol))
+          .filter(dropHeartbeats(col(HbCol)))
           .drop(HbCol)
     }
 

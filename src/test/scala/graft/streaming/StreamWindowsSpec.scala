@@ -70,6 +70,33 @@ class StreamWindowsSpec extends SparkSpec {
     assert(got == Seq((0L, 11000L, 3L), (20000L, 25000L, 1L)))
   }
 
+  test("heartbeat: window closes on an idle stream (D3 noDataDelay)") {
+    // One data row at 1s into a 10s tumble window, then NO further data rows:
+    // only heartbeat rows arrive. The heartbeats must advance the watermark
+    // past 10s so the [0,10s) window emits — and must not appear in the
+    // output themselves (they carry null keys and are filtered post-watermark).
+    import spark.implicits._
+    val src = Sources.memoryStream[E](spark)
+    val hb = Sources.memoryStream[E](spark)
+    val q = StreamWindows.tumble(src.toDS().toDF(), "ts", "10 seconds", Seq("key"),
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+        heartbeat = Some(hb.toDS().toDF().select(col("ts"))))
+      .writeStream.format("memory").queryName("hb1").outputMode("append").start()
+    try {
+      src.addData(Seq(e(1000, "a", 5.0)))
+      q.processAllAvailable()
+      assert(spark.table("hb1").isEmpty, "window must stay open before any heartbeat")
+      hb.addData(Seq(e(60000, "", 0.0))) // heartbeat-only micro-batch
+      q.processAllAvailable()
+      hb.addData(Seq(e(61000, "", 0.0))) // second tick lets the advanced watermark evict state
+      q.processAllAvailable()
+      val got = spark.table("hb1").collect().toSeq.map(r =>
+        (r.getAs[Long]("window_start"), r.getAs[Long]("window_end"),
+          r.getAs[String]("key"), r.getAs[Long]("n"), r.getAs[Double]("s")))
+      assert(got == Seq((0L, 10000L, "a", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("watermark: reorder within bound is absorbed, like the reference's buffer") {
     // default 1s watermark; out-of-order events 1.2s/0.8s in one batch still
     // land in their correct windows (TimeWindowTest.java:29-64 semantics)
