@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — one JSON line per run, consumed by the driver into
   * BENCH_r{N}.json and graded against BASELINE.md.
   *
-  * Two passes per query: an untimed warm-up (JIT, codegen cache, parquet
-  * footer cache, broadcast build) then the timed run. The reference's own
-  * numbers are steady-state throughput claims (README.md:7-8), so steady-state
-  * is the honest comparison — cold JVM startup is a constant ~6 s that would
-  * otherwise land entirely on whichever query happens to run first.
+  * Per query: an untimed warm-up (JIT, codegen cache, parquet footer cache,
+  * broadcast build) then N>=3 timed passes, reporting the MEDIAN plus the
+  * min/max spread. A single-sample timer cannot distinguish GC/AQE variance
+  * from a regression — round 4 recorded a false 3x "regression" that a re-run
+  * showed was one noisy sample. The reference's own numbers are steady-state
+  * throughput claims (README.md:7-8), so steady-state medians are the honest
+  * comparison — cold JVM startup is a constant ~6 s that would otherwise land
+  * entirely on whichever query happens to run first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +26,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up pass (untimed)
     ordered.foreach { case (_, fn) =>
@@ -31,25 +35,34 @@ object Bench {
     // A failed query must be LOUD: it reports {"err": ...} instead of a
     // timing, never a number that shrinks the total, and fails the process
     // exit code so a regression can't bench as an improvement.
-    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val results: Seq[(String, Either[String, Seq[Double]])] = ordered.map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count()
-        name -> Right((System.nanoTime() - t0) / 1e9)
+        val times = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> Right(times.sorted)
       } catch {
         case e: Throwable =>
           name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
     }
+    def median(sorted: Seq[Double]): Double = {
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+    }
     val qs = results.map {
-      case (k, Right(sec)) => "\"" + k + "\":" + sec
+      case (k, Right(sorted)) =>
+        "\"" + k + "\":{\"median\":" + median(sorted) +
+          ",\"min\":" + sorted.head + ",\"max\":" + sorted.last + "}"
       case (k, Left(err)) =>
-        "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\n\r\t]", " ") + "\"}"
+        "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\"}"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => k }
-    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val total = results.collect { case (_, Right(sorted)) => median(sorted) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
