@@ -190,7 +190,33 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
 
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  /** Default row ceiling for the quadratic all-pairs baselines; override with
+    * spark conf `graft.dedup.allPairsLimit` or `allowAllPairs = true`.
+    */
+  val AllPairsLimit = 100000L
+
+  /** The all-pairs baselines are correctness references, not scale paths: past
+    * `AllPairsLimit` rows they would OOM an executor on the broadcast (or grind
+    * on N² compares) rather than fail cleanly. This guard runs one bounded
+    * count (`limit(n+1).count`, never a full scan) and fails fast with a
+    * pointer at the scale-safe equivalent.
+    */
+  private def guardAllPairs(df: DataFrame, op: String, alternative: String,
+      allow: Boolean): Unit =
+    if (!allow) {
+      val limit = df.sparkSession.conf
+        .get("graft.dedup.allPairsLimit", AllPairsLimit.toString).toLong
+      if (limit < Int.MaxValue) {
+        val n = df.limit(limit.toInt + 1).count()
+        require(n <= limit,
+          s"$op is a quadratic all-pairs baseline and the input exceeds $limit rows " +
+            s"(conf graft.dedup.allPairsLimit). Use $alternative for the scale-safe " +
+            s"path, raise the limit, or pass allowAllPairs = true.")
+      }
+    }
+
+  def ngramJaccardPairs(docs: DataFrame, allowAllPairs: Boolean = false): DataFrame = {
+    guardAllPairs(docs, "ngramJaccardPairs", "Dedup.lshVerifiedPairs", allowAllPairs)
     val sh = sortedShingleHashes(docs)
     // Probe side spread across all cores with an EXPLICIT partition count
     // (AQE would coalesce the tiny shuffle to one partition and serialize the
@@ -247,7 +273,9 @@ object Dedup {
     * normalized ONCE (map-side) so the per-pair work is a single DotProduct;
     * the broadcast of one side keeps it shuffle-free.
     */
-  def embeddingPairs(embs: DataFrame): DataFrame = {
+  def embeddingPairs(embs: DataFrame, allowAllPairs: Boolean = false): DataFrame = {
+    guardAllPairs(embs, "embeddingPairs",
+      "Similarity.lshTopK / Similarity.ivfTopK", allowAllPairs)
     val e = Similarity.normalized(embs)
     val a = e.select(col("vec_id").as("vec_a"), col("nv").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("nv").as("vb"))

@@ -1,9 +1,8 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `BinaryType`
   * payloads plus a typed metadata struct, with decode / feature-extraction
@@ -46,31 +45,37 @@ object Multimodal {
       md5(col("payload")).as("content_md5"),
       hex(substring(col("payload"), 1, 16)).as("head16"))
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("kind", StringType),
-    StructField("width", LongType),
-    StructField("height", LongType),
-    StructField("n_frames", LongType)))
+  /** Typed input to the decode pass: one opaque payload per row. */
+  case class MediaPayload(doc_id: Long, payload: Array[Byte])
+
+  /** Typed output of the decode pass. */
+  case class Decoded(doc_id: Long, kind: String, width: Long, height: Long,
+      n_frames: Long)
 
   /** Partition-local "decode": iterates rows in batches the way a codec
     * binding would. STUB — derives fake dimensions deterministically from the
     * payload length (`???`-equivalent for the codec call, kept runnable); the
     * iterator shape, schema contract, and laziness are the real thing.
     */
-  def decodePartition(rows: Iterator[Row]): Iterator[Row] =
-    rows.map { r =>
-      val docId = r.getLong(0)
-      val payload = r.getAs[Array[Byte]](1)
+  def decodePartition(rows: Iterator[MediaPayload]): Iterator[Decoded] =
+    rows.map { m =>
       // --- codec call would go here; deterministic stand-in: ---
-      val len = payload.length.toLong
-      Row(docId, "fake/decoded", len % 640L, len % 480L, len / 64L + 1L)
+      val len = m.payload.length.toLong
+      Decoded(m.doc_id, "fake/decoded", len % 640L, len % 480L, len / 64L + 1L)
     }
 
+  /** Typed `Dataset.mapPartitions` keeps the decode inside the Catalyst plan
+    * (DeserializeToObject → MapPartitions → SerializeFromObject): column
+    * pruning still reaches the scan and no `ExistingRDD` re-scan is created,
+    * unlike the `df.rdd.mapPartitions` + `createDataFrame` idiom.
+    */
   def decoded(docs: DataFrame): DataFrame = {
-    val media = mediaTable(docs).select(col("doc_id"), col("payload"))
-    media.sparkSession.createDataFrame(
-      media.rdd.mapPartitions(decodePartition), decodedSchema)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs)
+      .select(col("doc_id"), col("payload")).as[MediaPayload]
+      .mapPartitions(decodePartition)
+      .toDF()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,6 +68,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("quadratic baselines refuse corpora above the all-pairs limit") {
+    spark.conf.set("graft.dedup.allPairsLimit", "2")
+    try {
+      val e1 = intercept[IllegalArgumentException](Dedup.ngramJaccardPairs(docs))
+      assert(e1.getMessage.contains("lshVerifiedPairs"))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.embeddingPairs(Tables.embeddings(spark, sf())))
+      assert(e2.getMessage.contains("Similarity"))
+      // Explicit opt-out bypasses the guard (plan builds lazily, no count job).
+      assert(Dedup.ngramJaccardPairs(docs, allowAllPairs = true).columns
+        .sameElements(Array("doc_a", "doc_b", "jaccard")))
+    } finally spark.conf.unset("graft.dedup.allPairsLimit")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val out = Dedup.embeddingPairs(Tables.embeddings(spark, sf())).collect()
     out.foreach { r =>
