@@ -39,18 +39,55 @@ object Sinks {
     s"CREATE TABLE IF NOT EXISTS `$table` ($cols$idx)"
   }
 
+  /** Bounded retry with doubling backoff, the reference's writer-thread
+    * resilience (MysqlOutputTable.java:262-301 catches-and-continues in the
+    * writer loop; RdsDimensionTable.java:73-145 is the sleep-and-retry
+    * idiom). Rethrows the last failure once attempts are exhausted so the
+    * streaming query still fails loudly on a persistent outage. `sleep` is
+    * injectable for tests.
+    */
+  def withRetry[A](maxAttempts: Int = 3, backoffMs: Long = 1000,
+      sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    var attempt = 1
+    var delay = backoffMs
+    while (true) {
+      try return f
+      catch {
+        case e: Exception if attempt < maxAttempts =>
+          sleep(delay)
+          delay *= 2
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** foreachBatch with the bounded-retry wrapper around an arbitrary batch
+    * write. A retried partial append is at-least-once (same as the
+    * reference's writer threads, which re-enqueue the failed batch) —
+    * exactly-once needs an idempotent target (e.g. upsert on key).
+    */
+  def foreachBatchRetry(df: DataFrame, maxAttempts: Int = 3, backoffMs: Long = 1000)(
+      write: Dataset[Row] => Unit): DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        withRetry(maxAttempts, backoffMs)(write(batch))
+    }
+
   /** JDBC sink: per-micro-batch append through the batch JDBC writer (which
     * does the multi-row batched inserts the reference hand-codes,
-    * MysqlOutputTable.java:159-306).
+    * MysqlOutputTable.java:159-306), surviving transient target failures via
+    * the bounded-retry wrapper.
     */
   def jdbcSink(
       df: DataFrame,
       url: String,
       table: String,
-      props: java.util.Properties = new java.util.Properties): DataStreamWriter[Row] =
-    df.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").jdbc(url, table, props)
+      props: java.util.Properties = new java.util.Properties,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 1000): DataStreamWriter[Row] =
+    foreachBatchRetry(df, maxAttempts, backoffMs) { batch =>
+      batch.write.mode("append").jdbc(url, table, props)
     }
 
   /** Kafka sink: rows → JSON payload; `__time__` becomes the record key and

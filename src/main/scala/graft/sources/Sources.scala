@@ -45,6 +45,11 @@ object Sources {
     * way, and ending offsets are exclusive, so records with
     * time >= consumeTo are excluded — the reference's stop condition).
     * `endingTimestamp` only exists for batch reads; streaming has no end.
+    *
+    * `startingOffsetsByTimestampStrategy=latest` matches the reference's
+    * offsetsForTimes fallback: a partition with no record at/after
+    * `consumeFrom` starts from its end instead of failing the query (Spark's
+    * default strategy is `error`).
     */
   def kafkaOptions(
       bootstrap: String,
@@ -54,7 +59,9 @@ object Sources {
       consumeToSec: Long = -1): Map[String, String] = {
     val base = Map("kafka.bootstrap.servers" -> bootstrap, "subscribe" -> topic)
     val start =
-      if (consumeFromSec >= 0) Map("startingTimestamp" -> (consumeFromSec * 1000L).toString)
+      if (consumeFromSec >= 0)
+        Map("startingTimestamp" -> (consumeFromSec * 1000L).toString,
+          "startingOffsetsByTimestampStrategy" -> "latest")
       else Map("startingOffsets" -> startingOffsets)
     val end =
       if (consumeToSec >= 0) Map("endingTimestamp" -> (consumeToSec * 1000L).toString)

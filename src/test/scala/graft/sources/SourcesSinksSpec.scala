@@ -61,9 +61,12 @@ class SourcesSinksSpec extends SparkSpec {
     assert(Sources.kafkaOptions("b:9092", "t") ==
       Map("kafka.bootstrap.servers" -> "b:9092", "subscribe" -> "t",
         "startingOffsets" -> "latest"))
-    // consumeFrom: replaces startingOffsets with startingTimestamp (ms)
+    // consumeFrom: replaces startingOffsets with startingTimestamp (ms);
+    // strategy=latest mirrors the reference's offsetsForTimes fallback for
+    // partitions with no record at/after the timestamp
     val from = Sources.kafkaOptions("b:9092", "t", consumeFromSec = 1700000000L)
     assert(from("startingTimestamp") == "1700000000000")
+    assert(from("startingOffsetsByTimestampStrategy") == "latest")
     assert(!from.contains("startingOffsets"))
     // bounded replay: both ends as timestamps; ending is exclusive like the
     // reference's `time >= consumeTo` stop condition
@@ -72,6 +75,54 @@ class SourcesSinksSpec extends SparkSpec {
     assert(bounded("startingTimestamp") == "1700000000000")
     assert(bounded("endingTimestamp") == "1700003600000")
     assert(!bounded.contains("startingOffsets"))
+  }
+
+  test("withRetry recovers after transient failures with doubling backoff") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Sinks.withRetry(maxAttempts = 4, backoffMs = 10, sleep = sleeps += _) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(sleeps.toSeq == Seq(10L, 20L)) // doubling backoff, one per failure
+  }
+
+  test("withRetry rethrows once attempts are exhausted") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Sinks.withRetry(maxAttempts = 3, backoffMs = 1, sleep = _ => ()) {
+        calls += 1
+        throw new RuntimeException(s"persistent $calls")
+      }
+    }
+    assert(calls == 3 && e.getMessage == "persistent 3")
+  }
+
+  test("jdbc sink survives a flaky target and lands all rows (embedded Derby)") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("derby").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val src = Sources.memoryStream[(Long, String)](spark)
+    // Same shape as jdbcSink's foreachBatch, with an injected transient fault
+    // on the first write attempt of each batch.
+    val writer = Sinks.foreachBatchRetry(src.toDS().toDF("id", "s"),
+      maxAttempts = 3, backoffMs = 1) { batch =>
+      if (failures.getAndIncrement() == 0) throw new RuntimeException("db hiccup")
+      batch.write.mode("append").jdbc(url, "sink_t", new java.util.Properties)
+    }
+    val q = writer.option("checkpointLocation",
+      Files.createTempDirectory("ckp-jdbc").toString).start()
+    try {
+      src.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(failures.get() >= 2, "first attempt should have failed and been retried")
+    val back = spark.read.jdbc(url, "sink_t", new java.util.Properties)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
   }
 
   test("memory stream is the InsertableStreamTable adapter") {
