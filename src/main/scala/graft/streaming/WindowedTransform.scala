@@ -62,15 +62,39 @@ object WindowedTransform {
 
   /** Apply `fn(key, windowStart, windowEnd, rowsSortedByTime)` to every
     * closed hopping window; `fn` may emit any number of output rows.
+    *
+    * `recoverLate = false` (default): rows behind the watermark are dropped —
+    * Spark's standard contract (DELTAS.md D2). `recoverLate = true` restores
+    * the reference's behavior (SlideWindow.java:345-366, 254-261): a row whose
+    * window already fired is NOT dropped; the window function runs over just
+    * that row and the result is emitted immediately — one single-element
+    * window per late row. Mechanism: the stateful operator locates its
+    * late-row filter via the watermark-tagged event-time attribute in its
+    * input, so the real one is swapped for a far-future constant carrying the
+    * same watermark metadata — the filter never trips, every row reaches the
+    * handler (the watermark itself still advances at the upstream watermark
+    * node and still drives timeouts), and the handler routes rows of
+    * already-fired windows to the singleton-emit branch.
     */
   def slide[O: Encoder](
       df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
       sizeMs: Long, slideMs: Long,
-      watermark: String = StreamWindows.DefaultWatermark)(
+      watermark: String = StreamWindows.DefaultWatermark,
+      recoverLate: Boolean = false)(
       fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] = {
     require(sizeMs % slideMs == 0, "size must be a multiple of slide")
     import df.sparkSession.implicits._
-    assigned(df, tsCol, keyCol, valueCol, watermark, sizeMs, slideMs)
+    val base = assigned(df, tsCol, keyCol, valueCol, watermark, sizeMs, slideMs)
+    val input =
+      if (recoverLate) {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey, 0L)
+          .build()
+        base.select(col("ws"), col("key"), col("time"), col("value"),
+          // year 9999: never behind any watermark, so nothing is filtered
+          timestamp_millis(lit(253402300800000L)).as(tsCol, md)).as[WRow]
+      } else base
+    input
       .groupByKey(r => WinKey(r.key, r.ws))
       .flatMapGroupsWithState[WinBuf, O](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -80,22 +104,32 @@ object WindowedTransform {
             state.remove()
             fn(wk.key, wk.ws, wk.ws + sizeMs, rows).iterator
           } else {
-            val buffered = state.getOption.map(_.rows).getOrElse(Nil)
-            state.update(WinBuf(buffered ++ it.map(r => Event(r.key, r.time, r.value))))
-            // fire when the watermark passes the window end; if already past
-            // (late-but-admitted rows), fire at the next tick
-            state.setTimeoutTimestamp(
-              math.max(wk.ws + sizeMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            val incoming = it.map(r => Event(r.key, r.time, r.value)).toList
+            if (recoverLate && !state.exists &&
+                wk.ws + sizeMs <= state.getCurrentWatermarkMs()) {
+              // D2 recovery: this window fired already (no state, end behind
+              // the watermark) — emit each late row as its own window now.
+              incoming.iterator.flatMap(e =>
+                fn(wk.key, wk.ws, wk.ws + sizeMs, Seq(e)))
+            } else {
+              val buffered = state.getOption.map(_.rows).getOrElse(Nil)
+              state.update(WinBuf(buffered ++ incoming))
+              // fire when the watermark passes the window end; if already past
+              // (late-but-admitted rows), fire at the next tick
+              state.setTimeoutTimestamp(
+                math.max(wk.ws + sizeMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }
 
   def tumble[O: Encoder](
       df: DataFrame, tsCol: String, keyCol: String, valueCol: String, sizeMs: Long,
-      watermark: String = StreamWindows.DefaultWatermark)(
+      watermark: String = StreamWindows.DefaultWatermark,
+      recoverLate: Boolean = false)(
       fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] =
-    slide(df, tsCol, keyCol, valueCol, sizeMs, sizeMs, watermark)(fn)
+    slide(df, tsCol, keyCol, valueCol, sizeMs, sizeMs, watermark, recoverLate)(fn)
 
   /** Gap-based session with full-row access and N output rows per session;
     * bounds = [first, last + gap), reference close rule (gap ≥ timeout).

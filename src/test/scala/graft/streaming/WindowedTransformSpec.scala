@@ -58,6 +58,40 @@ class WindowedTransformSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recoverLate emits a single-element window for past-watermark rows (D2)") {
+    import spark.implicits._
+    val src = Sources.memoryStream[StreamEvent](spark)
+    val out = WindowedTransform.tumble[RankedOut](
+      src.toDS().toDF(), "ts", "key", "v", 10000, recoverLate = true) {
+      (key, ws, we, rows) =>
+        rows.sortBy(-_.value).zipWithIndex.map { case (e, i) =>
+          RankedOut(key, ws, we, e.time, e.value, i + 1)
+        }
+    }
+    val q = out.writeStream.format("memory").queryName("wt_late").outputMode("append").start()
+    try {
+      src.addData(Seq(ev(1000, 1, 5.0), ev(3000, 1, 9.0)))
+      q.processAllAvailable()
+      src.addData(Seq(ev(30000, 1, 1.0))) // watermark -> 29s, closes [0,10s)
+      q.processAllAvailable()
+      assert(spark.table("wt_late").as[RankedOut].collect().count(_.ws == 0L) == 2)
+      // hand-placed LATE row: t=2s is far behind the 29s watermark and its
+      // window [0,10s) already fired — the reference emits it as its own
+      // single-element window instead of dropping it
+      src.addData(Seq(ev(2000, 1, 4.0)))
+      q.processAllAvailable()
+      val late = spark.table("wt_late").as[RankedOut].collect()
+        .filter(r => r.ws == 0L && r.time == 2000L)
+      assert(late.length == 1, "late row must surface as a recovered window")
+      assert(late.head.value == 4.0 && late.head.rk == 1,
+        "recovered window contains exactly the late row")
+      // on-time flow is unaffected: later windows still fire normally
+      src.addData(Seq(ev(60000, 1, 2.0)))
+      q.processAllAvailable()
+      assert(spark.table("wt_late").as[RankedOut].collect().exists(_.ws == 30000L))
+    } finally q.stop()
+  }
+
   test("session transform: reference gap semantics, [first, last+gap) bounds") {
     import spark.implicits._
     val src = Sources.memoryStream[StreamEvent](spark)
