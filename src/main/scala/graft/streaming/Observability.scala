@@ -1,6 +1,8 @@
 package graft.streaming
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -55,4 +57,45 @@ class GraftQueryListener(log: String => Unit = s => Console.err.println(s))
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
     log(s"[graft] query terminated: ${event.id}")
+}
+
+/** Live-state introspection (SURVEY §2.8 `Window.getRows`, DELTAS D13).
+  *
+  * The reference exposes the rows currently buffered inside a window's state
+  * for debugging (window/Window.java:16-20 `getRows`). In Spark the state
+  * lives in a checkpointed state store, not an in-process object, so the
+  * equivalent is the state-store reader: point it at the query's checkpoint
+  * and it returns every key's buffered state as of the latest committed
+  * micro-batch — works offline, after a crash, and for RocksDB-backed state,
+  * which an in-process getter never could.
+  */
+object StateInspector {
+
+  /** Raw state snapshot: one row per key with the operator's state struct.
+    * `batchId` selects an earlier committed micro-batch (default: latest).
+    */
+  def stateSnapshot(
+      spark: SparkSession,
+      checkpoint: String,
+      batchId: Option[Long] = None,
+      operatorId: Int = 0): DataFrame = {
+    val r = spark.read.format("statestore")
+      .option("operatorId", operatorId.toString)
+    batchId.foreach(b => r.option("batchId", b.toString))
+    r.load(checkpoint)
+  }
+
+  /** `Window.getRows` parity for the over-window operators: the rows each
+    * key currently holds in its frame buffer, flattened to plain events.
+    * Snapshot-at-a-batch rather than live mid-batch — the reference's getter
+    * reads a mutable list concurrently with the processing thread; a
+    * committed snapshot is the consistent version of the same capability.
+    */
+  def overWindowRows(spark: SparkSession, checkpoint: String): Dataset[OverWindows.Event] = {
+    import spark.implicits._
+    stateSnapshot(spark, checkpoint)
+      .select(explode(col("value.groupState.rows")).as("r"))
+      .select(col("r.key"), col("r.time"), col("r.value"))
+      .as[OverWindows.Event]
+  }
 }
