@@ -2,47 +2,81 @@ package graft
 
 import graft.sources.Sources
 import graft.streaming.StreamWindows
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Streaming throughput micro-benchmark: deterministic synthetic events
-  * through MemoryStream → watermark → hopping-window aggregation → memory
-  * sink. Prints one JSON line with rows/sec. Not part of the driver's Bench
-  * contract — run manually: `tools/run_verify.sh graft.StreamBench [nRows]`.
+/** Streaming throughput micro-benchmark. Prints one JSON line with rows/sec.
+  * Not part of the driver's Bench contract — run manually:
   *
-  * Shape matches the reference's flagship load (Kafka → 1h/30m slide window
-  * sum, README.md:59-131): the measured path is ingest → shuffle on
-  * (window, key) → stateful agg with watermark eviction.
+  *   tools/run_verify.sh graft.StreamBench [memory|file] [nRows] [batchRows]
+  *
+  * Two ingest shapes for the same query (hopping 1h/30m window sum — the
+  * reference's flagship load, README.md:59-131):
+  *
+  *   - `memory`: MemoryStream micro-batches. Rows are encoded one-by-one on
+  *     the driver, so this measures a single-threaded-ingest FLOOR.
+  *   - `file`: a pre-written multi-file parquet directory consumed with
+  *     `maxFilesPerTrigger`, the local stand-in for partitioned sources
+  *     (Kafka): each micro-batch scans its files with all cores, so ingest
+  *     parallelizes and the stateful operator becomes the bottleneck.
+  *
+  * Env: SPARK_GRAFT_CPUS (default 8) cores + shuffle partitions;
+  * SPARK_GRAFT_ROCKSDB=1 swaps HDFS-backed state for RocksDB, measuring the
+  * large-state configuration recommended at 100 TB key cardinalities.
   */
 object StreamBench {
   case class E(ts: java.sql.Timestamp, key: Long, value: Double)
 
+  private val Epoch = 1700000000000L // ms; event time advances 3.6 ms/row
+
+  /** Distributed generator — same rows as `batch` but built by executors. */
+  private def eventsDf(spark: SparkSession, from: Long, n: Long): DataFrame =
+    spark.range(from, from + n).select(
+      timestamp_millis(lit(Epoch) + (col("id") * 3600L / 1000L).cast("long")).as("ts"),
+      (col("id") % 200).as("key"),
+      ((col("id") % 997) * 0.5).as("value"))
+
   def main(args: Array[String]): Unit = {
-    val total = if (args.nonEmpty) args(0).toInt else 1000000
-    val batchSize = if (args.length > 1) args(1).toInt else 100000
+    val mode = if (args.nonEmpty && !args(0).forall(_.isDigit)) args(0) else "memory"
+    val numArgs = args.dropWhile(a => !a.forall(_.isDigit))
+    val total = if (numArgs.nonEmpty) numArgs(0).toInt else 1000000
+    val batchSize = if (numArgs.length > 1) numArgs(1).toInt else 100000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val rocksdb = sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocksdb)
+      b.config("spark.sql.streaming.stateStore.providerClass", GraftSession.RocksDbProvider)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    val src = Sources.memoryStream[E](spark)
-    val windowed = StreamWindows.slide(
-      src.toDS().toDF(), "ts", "1 hour", "30 minutes", Seq("key"),
+    val (rows, secs) = mode match {
+      case "file" => runFile(spark, total, batchSize, cpus.toInt)
+      case _      => runMemory(spark, total, batchSize)
+    }
+    val rps = rows / secs
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","mode":"$mode","stateStore":"${if (rocksdb) "rocksdb" else "hdfs"}","rows":$rows,"secs":$secs%.3f}""")
+    spark.stop()
+  }
+
+  private def windowedSum(events: DataFrame): DataFrame =
+    StreamWindows.slide(
+      events, "ts", "1 hour", "30 minutes", Seq("key"),
       Seq(count(lit(1)).as("n"), sum(col("value")).as("s")),
       watermark = "10 seconds")
-    val q = windowed.writeStream.format("memory")
+
+  private def runMemory(spark: SparkSession, total: Int, batchSize: Int): (Long, Double) = {
+    import spark.implicits._
+    val src = Sources.memoryStream[E](spark)
+    val q = windowedSum(src.toDS().toDF()).writeStream.format("memory")
       .queryName("sb").outputMode("append").start()
 
-    // deterministic synthetic stream: 200 keys, event time advancing ~3.6 ms
-    // per row => ~1 window per 1M rows closing continuously
     def batch(from: Int, n: Int): Seq[E] =
       (from until from + n).map { i =>
-        E(new java.sql.Timestamp(1700000000000L + i.toLong * 3600L / 1000),
+        E(new java.sql.Timestamp(Epoch + i.toLong * 3600L / 1000),
           (i % 200).toLong, (i % 997) * 0.5)
       }
 
@@ -61,9 +95,40 @@ object StreamBench {
       sent += c.size
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    val rps = (sent - batchSize) / secs
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","rows":${sent - batchSize},"secs":$secs%.3f}""")
     q.stop()
-    spark.stop()
+    (sent.toLong - batchSize, secs)
+  }
+
+  /** Partitioned-ingest shape: each event-time-contiguous chunk is written as
+    * `filesPerChunk` parquet files (so a micro-batch scans in parallel), and
+    * `maxFilesPerTrigger` makes each chunk one micro-batch, preserving the
+    * memory path's batch cadence and rough event-time ordering for the
+    * watermark. File pre-write happens entirely outside the timer.
+    */
+  private def runFile(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory("streambench").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    var from = 0L
+    var chunk = 0
+    while (from < total) {
+      val n = math.min(batchSize.toLong, total - from)
+      eventsDf(spark, from, n).repartition(filesPerChunk)
+        .write.mode("append").parquet(dir)
+      from += n
+      chunk += 1
+    }
+    val schema = eventsDf(spark, 0, 1).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false")
+      .parquet(dir)
+    val t0 = System.nanoTime()
+    val q = windowedSum(src).writeStream.format("memory")
+      .queryName("sbf").outputMode("append").start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (total.toLong, secs)
   }
 }
