@@ -38,10 +38,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     batch.Relational.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries
+      ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
+      ops.Sampling.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++
       ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql
+      ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
+      ops.Sampling.oracleSql
 }
