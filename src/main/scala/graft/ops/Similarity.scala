@@ -115,8 +115,8 @@ object Similarity {
     * nprobe nearest cells — the partition-pruning shape of vector search: at
     * 100 TB the corpus is laid out cell-partitioned and a probe touches
     * nprobe/cells of the data. Centroids here are the first `IvfCells`
-    * vectors (deterministic, training-free — production would k-means
-    * offline; the dataflow is identical and that is what's being tested).
+    * vectors (deterministic, training-free); `ivfTopKTrained` runs the same
+    * probe flow over a k-means-trained quantizer.
     */
   def ivfTopK(embs: DataFrame): DataFrame = {
     val e = normalized(embs)
@@ -142,10 +142,76 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  val TrainIters = 2 // Lloyd iterations for the trained quantizer
+
+  /** One spherical-k-means step: assign every vector to its max-cosine
+    * centroid, then replace each non-empty cell's centroid with the
+    * re-normalized member mean. Component means and normalized components are
+    * rounded to 6 dp so the result is identical across engines regardless of
+    * partial-aggregation fold order (the oracle unrolls the same steps).
+    */
+  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("nv"), col("cell"),
+        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+    assigned
+      .select(col("cell"), posexplode(col("nv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, p -> p.m)").as("m"))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("m"), col("m"))))
+      .select(col("cell"), expr("transform(m, x -> round(x / nrm, 6))").as("cv"))
+  }
+
+  /** K-means-trained coarse quantizer: `TrainIters` Lloyd steps from the
+    * same deterministic seed centroids `ivfTopK` uses. Entirely DataFrame
+    * ops — assignment is a broadcast compare, the mean is a partial+final
+    * hash aggregate over (cell, component) pairs, and nothing ever collects
+    * to the driver. Lloyd is inherently multi-pass, so at 100 TB the
+    * normalized corpus should be persisted across iterations (here the
+    * re-scan is left to Catalyst; sf-scale re-reads are trivial).
+    */
+  def trainedCentroids(e: DataFrame): DataFrame = {
+    val seed = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    (1 to TrainIters).foldLeft(seed)((c, _) => lloydStep(e, c))
+  }
+
+  /** IVF probe over the k-means-trained quantizer — same dataflow as
+    * `ivfTopK`, better-centered cells (recall comparison in SimilaritySpec).
+    */
+  def ivfTopKTrained(embs: DataFrame): DataFrame = {
+    val e = normalized(embs)
+    val cents = trainedCentroids(e)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("nv"), col("cell"),
+        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+    val corpusCells = assigned.filter(col("crk") === 1)
+      .select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))
+    val queryProbes = assigned.filter(col("vec_id") < QueryCount && col("crk") <= IvfProbes)
+      .select(col("cell"), col("vec_id").as("q_id"), col("nv").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), GraftFunctions.dot(col("qv"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
-    "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))))
+    "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))))
 
   // DuckDB mirrors — identical literal hyperplanes, identical fold order
   // (expanded left-associated sum == sequential loop).
@@ -168,7 +234,46 @@ object Similarity {
     }.mkString(" + ") + " AS BIGINT)"
 
 
+  /** Unrolled Lloyd steps as DuckDB CTEs — mirrors `lloydStep` exactly:
+    * argmax-cosine assignment, 6-dp-rounded component means (so engine
+    * fold-order differences vanish), re-normalize, round again.
+    */
+  private def duckLloydCtes(iters: Int): String =
+    (s"cents0 AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $IvfCells)" +:
+      (1 to iters).map { i =>
+        s"""a$i AS (SELECT * FROM (
+           |  SELECT e.vec_id, e.nv, c.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+           |  FROM nv e, cents${i - 1} c) WHERE crk = 1),
+           |m$i AS (SELECT cell, t.i AS i, round(avg(nv[t.i]), 6) AS m
+           |        FROM a$i, generate_series(1, 64) t(i) GROUP BY cell, t.i),
+           |g$i AS (SELECT cell, list(m ORDER BY i) AS m FROM m$i GROUP BY cell),
+           |cents$i AS (SELECT cell, [round(x / nrm, 6) for x in m] AS cv
+           |            FROM (SELECT cell, m, sqrt(list_sum([y * y for y in m])) AS nrm FROM g$i))""".stripMargin
+      }).mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
+    "q_knn_ivf_kmeans" ->
+      s"""WITH $duckNormCte,
+         |${duckLloydCtes(TrainIters)},
+         |assigned AS (
+         |  SELECT e.vec_id, e.nv, c.cell,
+         |    list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents$TrainIters c),
+         |corpus AS (SELECT cell, vec_id AS n_id, nv AS nvec FROM assigned WHERE crk = 1),
+         |probes AS (SELECT cell, vec_id AS q_id, nv AS qv FROM assigned
+         |           WHERE vec_id < $QueryCount AND crk <= $IvfProbes),
+         |s AS (SELECT q_id, n_id, list_sum([qv[i] * nvec[i] for i in range(1, 65)]) AS cos
+         |      FROM probes q JOIN corpus c ON q.cell = c.cell AND c.n_id != q.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
     "q_knn_brute" ->
       s"""WITH $duckNormCte,
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

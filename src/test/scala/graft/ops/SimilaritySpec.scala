@@ -48,6 +48,43 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean IVF recall@5 = $mean")
   }
 
+  test("k-means-trained IVF keeps recall and balances cells") {
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val brute = recallOf(Similarity.bruteTopK(embs).collect())
+    val plain = recallOf(Similarity.ivfTopK(embs).collect())
+    val trained = recallOf(Similarity.ivfTopKTrained(embs).collect())
+    def mean(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, t) => m.getOrElse(q, Set.empty[Long]).count(t.contains).toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val (rp, rt) = (mean(plain), mean(trained))
+    // At a fixed probe budget Lloyd steps trade a little boundary recall
+    // (tighter cells split some neighbor pairs) for cell balance; recall must
+    // stay comparable, not strictly higher.
+    assert(rt >= rp - 0.1, s"trained recall $rt vs untrained $rp")
+    assert(rt >= 0.5, s"trained recall@5 = $rt")
+
+    // training must also balance the partition layout: the biggest cell
+    // shrinks (or stays) vs the seed quantizer — that's the property that
+    // matters at 100 TB, where the largest cell bounds probe latency
+    import org.apache.spark.sql.functions._
+    val e = Similarity.normalized(embs)
+    def maxCell(cents: org.apache.spark.sql.DataFrame): Long = {
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+      e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("cell"),
+          graft.functions.GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+        .withColumn("crk", row_number().over(wA)).filter(col("crk") === 1)
+        .groupBy(col("cell")).count().agg(max("count")).collect()(0).getLong(0)
+    }
+    val seed = e.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    assert(maxCell(Similarity.trainedCentroids(e)) <= maxCell(seed))
+  }
+
   test("normalized vectors have unit norm") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions
