@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that sit between cleaning and training:
+  *
+  *   - benchmark contamination detection: flag training documents sharing
+  *     word-3-gram shingles with an evaluation set, so eval data can be
+  *     excised from the training corpus. The shape that scales: eval sets
+  *     are small by nature, so their (distinct) shingle hashes BROADCAST;
+  *     the corpus side is a map-only shingle explode into a broadcast
+  *     semi-join + partial-agg count — no corpus shuffle, no pair blow-up.
+  *     At 100 TB the corpus scan dominates and nothing else grows.
+  *   - context chunking: split each document's token stream into fixed-size
+  *     overlapping windows (size/stride), the standard pre-tokenization
+  *     step for long documents. Pure map-only explode — chunk boundaries
+  *     are a function of the row alone.
+  *
+  * The reference has no curation layer (nearest shape: UDTF flat-map,
+  * core/Table.java:369-408); these extend the SURVEY §6 pipeline inventory.
+  * Shingle/token definitions are shared verbatim with `Dedup`/`Text` so a
+  * contamination pass and a dedup pass see the same document features.
+  */
+object Curation {
+
+  private def hashSql(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+
+  private val shinglesSql: String =
+    "array_distinct(transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+
+  /** (doc_id, sh) pairs: one row per distinct 3-gram shingle hash of docs
+    * with at least one shingle.
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
+
+  /** Training docs sharing >= 1 shingle with the benchmark set, with the
+    * count of distinct shared shingles and the doc's own shingle count (so
+    * callers can threshold on overlap fraction). `benchmarkFilter` is a SQL
+    * predicate selecting the benchmark docs out of `docs`.
+    */
+  def contamination(docs: DataFrame, benchmarkFilter: String): DataFrame = {
+    val sh = shingleHashes(docs)
+    val bench = sh.filter(expr(benchmarkFilter)).select(col("sh")).distinct()
+    val corpus = sh.filter(not(expr(benchmarkFilter)))
+    corpus
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("sh")).as("n_shared"))
+      .join(
+        shingleHashes(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"))
+  }
+
+  /** Fixed-size overlapping token windows: starts 1, 1+stride, 1+2*stride, …
+    * while <= token count; the tail chunk may be shorter than `size`. Emits
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunks(docs: DataFrame, size: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), org.apache.spark.sql.functions.size(col("toks")), lit(stride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start"), lit(size)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+
+  // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24.
+  val BenchmarkFilter = "doc_id < 20"
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> ((s, d) =>
+      contamination(Tables.documents(s, d), BenchmarkFilter)),
+    "q_text_chunks" -> ((s, d) =>
+      chunks(Tables.documents(s, d), ChunkSize, ChunkStride)))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val duckToks = s"string_split($normSql, ' ')"
+  private def duckHash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private val duckShingles =
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest([${duckHash("s")} for s in $duckShingles]) AS sh
+         |       FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE $BenchmarkFilter),
+         |hits AS (SELECT doc_id, count(*) AS n_shared
+         |         FROM sh JOIN bench USING (sh)
+         |         WHERE NOT ($BenchmarkFilter) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+         |SELECT doc_id, n_shared, n_shingles FROM hits JOIN tot USING (doc_id)""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE len($duckToks) >= 1),
+         |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $ChunkStride)) AS start
+         |       FROM t),
+         |c AS (SELECT doc_id,
+         |        CAST((start - 1) / $ChunkStride AS BIGINT) AS chunk_id,
+         |        list_slice(toks, start, start + $ChunkSize - 1) AS chunk
+         |      FROM st)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(chunk, ' ') AS chunk_text
+         |FROM c""".stripMargin)
+}

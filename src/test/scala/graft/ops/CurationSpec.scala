@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+
+  test("contamination flags only non-benchmark docs and counts are bounded") {
+    val c = Curation.contamination(docs, Curation.BenchmarkFilter)
+    val rows = c.collect()
+    assert(rows.nonEmpty, "synthetic docs share vocabulary; overlap expected")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 20, "benchmark docs must not flag themselves")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2),
+        s"0 < n_shared <= n_shingles violated: $r")
+    }
+    // the benchmark shingle set must broadcast — corpus side never shuffles
+    // into a sort-merge join
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("a doc identical to a benchmark doc is fully contaminated") {
+    // clone benchmark doc 0 as a fake corpus doc: every shingle overlaps
+    val bench0 = docs.filter(col("doc_id") === 0)
+      .select(lit(100000L).as("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val c = Curation.contamination(docs.unionByName(bench0), Curation.BenchmarkFilter)
+      .filter(col("doc_id") === 100000L).collect()
+    assert(c.length == 1 && c(0).getLong(1) == c(0).getLong(2),
+      s"clone must share ALL its shingles: ${c.toSeq}")
+  }
+
+  test("chunks tile the token stream with the configured stride") {
+    val chunkSize = Curation.ChunkSize
+    val stride = Curation.ChunkStride
+    val ch = Curation.chunks(docs, chunkSize, stride)
+    val perDoc = ch.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("chunk_id")).as("maxid"),
+        sum(col("n_chunk_tokens")).as("tok_sum"), max(col("n_chunk_tokens")).as("maxlen"))
+      .collect()
+    val lens = docs.select(col("doc_id"), size(Text.tokens(col("text"))).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    perDoc.foreach { r =>
+      val (id, n, maxid, maxlen) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      val len = lens(id)
+      val expected = (len + stride - 1) / stride // starts 1, 1+stride, ... <= len
+      assert(n == expected, s"doc $id: $n chunks, want $expected for $len tokens")
+      assert(maxid == n - 1, "chunk ids must be dense from 0")
+      assert(maxlen <= chunkSize)
+    }
+    // overlap accounting: total emitted tokens >= total tokens (windows cover)
+    val totTok = lens.values.map(_.toLong).sum
+    val emitted = perDoc.map(_.getLong(3)).sum
+    assert(emitted >= totTok)
+  }
+}
