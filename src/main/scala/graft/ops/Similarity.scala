@@ -179,14 +179,18 @@ object Similarity {
   def trainedCentroids(e: DataFrame): DataFrame = {
     val seed = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
-    (1 to TrainIters).foldLeft(seed)((c, _) => lloydStep(e, c))
+    // Each Lloyd output is referenced by the next iteration AND the final
+    // probe; as pure lineage that doubles the plan per reference (16 corpus
+    // scans for 2 iterations). A lazy local checkpoint makes each iteration
+    // compute once — the distributed equivalent of persisting between passes.
+    (1 to TrainIters).foldLeft(seed)((c, _) => lloydStep(e, c).localCheckpoint(false))
   }
 
   /** IVF probe over the k-means-trained quantizer — same dataflow as
     * `ivfTopK`, better-centered cells (recall comparison in SimilaritySpec).
     */
   def ivfTopKTrained(embs: DataFrame): DataFrame = {
-    val e = normalized(embs)
+    val e = normalized(embs).localCheckpoint(false)
     val cents = trainedCentroids(e)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
     val assigned = e.join(broadcast(cents), lit(true))
