@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) join: for every left row, attach the single right row
+  * with the greatest right-time <= left-time within the same key — "the
+  * latest state known at event time". The reference has no such operator
+  * (its nearest is the refresh-pinned dimension join, SURVEY §2.2, which is
+  * as-of NOW rather than as-of each row's time).
+  *
+  * Implementation is the scale-safe union+window formulation, NOT a range
+  * join: tag both inputs, union, and propagate the right side's values down
+  * each key's timeline with `last(ignoreNulls) OVER (... ROWS UNBOUNDED
+  * PRECEDING)`. Cost = ONE shuffle on the key + a per-partition sort —
+  * identical shape to a sort-merge join — where a naive `l.t >= r.t` theta
+  * join explodes to |matches| rows per key before picking the max. At 100 TB
+  * the window never materializes more than its running state per key; hot
+  * keys fall under the same salting/AQE-skew story as any keyed shuffle.
+  *
+  * Ties (equal left/right time) match the right row — DuckDB ASOF JOIN
+  * semantics (l.t >= r.t), which the oracle uses natively.
+  */
+object AsOf {
+
+  /** Left rows get `valueCols` (suffixed) and the right event time
+    * (`<rightTime><suffix>`) from the latest right row at-or-before their
+    * time; unmatched left rows keep nulls (LEFT semantics). Right rows must
+    * be unique per (keys, rightTime) — pre-aggregate if not, or the choice
+    * among equal-time rows is undefined in any engine.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      suffix: String = "_r"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val sideT = "__asof_t"
+    val sideFlag = "__asof_left"
+    val rightVals = (valueCols :+ rightTime).map(c => c + suffix)
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as(sideT), lit(false).as(sideFlag)) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (valueCols.map(col) :+ col(rightTime)).zip(rightVals).map { case (c, n) => c.as(n) }: _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as(sideT), lit(true).as(sideFlag)) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightVals.map(n => lit(null).cast(taggedRight.schema(n).dataType).as(n)): _*)
+
+    // Right rows sort BEFORE left rows at equal time (false < true), so an
+    // equal-time right row is visible to the left row — ASOF `>=` semantics.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(sideT).asc, col(sideFlag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(sideFlag))
+      .select((leftCols ++ rightVals).map(col): _*)
+  }
+
+  /** Demo query: each click event annotated with the user's most recent
+    * error value at click time. Error rows are pre-aggregated to one per
+    * (user, time) so the as-of choice is well-defined.
+    */
+  def clicksWithLastError(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("__time__"), col("value"))
+    val errors = events.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("__time__").as("err_time"))
+      .agg(round(max(col("value")), 2).as("err_value"))
+    asofJoin(clicks, errors, Seq("user_id"), "__time__", "err_time", Seq("err_value"))
+      .select(col("event_id"), col("user_id"), col("__time__").as("t"),
+        round(col("value"), 2).as("value"),
+        col("err_value_r").as("err_value"), col("err_time_r").as("err_time"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof" -> ((s, d) => clicksWithLastError(Tables.events(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS t, round(value, 2) AS value
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ms(ts) AS err_time, round(max(value), 2) AS err_value
+        |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.t, l.value, r.err_value, r.err_time
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.err_time""".stripMargin)
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+
+  test("asof join picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "a"), // before any right row -> null
+      (1L, 200L, "b"), // exactly at right t=200 -> ties match right
+      (1L, 350L, "c"), // between 300 and 400 -> 300
+      (2L, 500L, "d"), // key with no right rows at all -> null
+      (1L, 999L, "e")  // after everything -> 400
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, 200L, 2.0),
+      (1L, 300L, 3.0),
+      (1L, 400L, 4.0),
+      (3L, 100L, 9.0)  // key never referenced by left
+    ).toDF("k", "rt", "rv")
+
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == Set(
+      (1L, 100L, "a", None, None),
+      (1L, 200L, "b", Some(2.0), Some(200L)),
+      (1L, 350L, "c", Some(3.0), Some(300L)),
+      (2L, 500L, "d", None, None),
+      (1L, 999L, "e", Some(4.0), Some(400L))))
+    assert(out.count() == left.count(), "LEFT semantics: every left row survives")
+  }
+
+  test("asof join plan is one keyed shuffle, never a range/nested-loop join") {
+    val events = graft.Tables.events(spark, sf())
+    val q = AsOf.clicksWithLastError(events)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"asof must not expand a range join:\n$plan")
+    assert(plan.contains("Window"), "asof rides the window operator")
+  }
+}
