@@ -95,6 +95,19 @@ object Relational {
         .groupBy(col("n_regionkey"))
         .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"))),
 
+    // Statistical aggregations beyond the reference's sum/avg/max/count
+    // (§2.6 "free in Spark"): moments and exact interpolated percentiles are
+    // the same partial+final hash aggregate as any sum — no extra pass.
+    "q_agg_stats" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"),
+          round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95_qty"))),
+
     // --- joins ---------------------------------------------------------------
     "q_join_inner" -> ((s, d) => {
       val l = li(s, d); val p = part(s, d).filter(col("p_size") > 40)
@@ -282,6 +295,15 @@ object Relational {
     "q_group_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_join_inner" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_brand, round(l_extendedprice, 2) AS price
