@@ -64,6 +64,12 @@ class GTable(val df: DataFrame) {
   /** AggregationFunction.agg(key, rows) — arbitrary per-group aggregation.
     * Output = key columns ++ schema columns; returning null drops the group
     * (the reference's HAVING idiom, Table.java:455-459).
+    *
+    * Compat path: `rows.toSeq` materializes each whole group in one task,
+    * faithful to the reference's `List<Row>` contract (Table.java:436-467) —
+    * a skewed key's group must fit in executor memory. For heavy/skewed
+    * groups use a streaming `functions.Aggregators` Aggregator (partial agg,
+    * constant state) or the native column aggregates instead.
     */
   def groupBy(keys: Seq[String], schema: StructType)(
       fn: (Seq[Any], Seq[Row]) => Seq[Any]): GTable = {
@@ -80,6 +86,11 @@ class GTable(val df: DataFrame) {
     * output row per input row, appended as new columns (Table.java:469-533).
     * Sort order: ascending, nulls first — the reference's comparator
     * (Table.java:490-506).
+    *
+    * Compat path: each partition materializes as a sorted `Seq` in one task
+    * (the reference's contract). For large/skewed partitions prefer the
+    * native window functions (`batch.Relational` over/rank/running) or the
+    * frame engines in `ops.WindowsBatch` — both stream with bounded state.
     */
   def over(partitionBy: Seq[String], orderBy: Seq[String], newCols: StructType)(
       fn: Seq[Row] => Seq[Seq[Any]]): GTable = {
