@@ -94,11 +94,36 @@ object Pipelines {
     Dedup.exact(keptDocs).select(col("keep_id").as("doc_id"), col("n_copies"))
   }
 
+  /** The full corpus build as ONE lazy plan — what a training-data run
+    * actually executes end-to-end: quality filter → exact dedup (keep lowest
+    * id) → eval-set decontamination (drop docs sharing any 3-gram shingle
+    * with the doc_id<20 benchmark, and the benchmark docs themselves) →
+    * deterministic stratified sample to the target language mix. Every stage
+    * is an independently oracle-verified operator; this query verifies the
+    * composition, and because nothing materializes between stages Catalyst
+    * fuses the map-side work and schedules one job.
+    */
+  val CorpusRates = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.5, "fr" -> 1.0, "es" -> 0.25)
+
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val kept = Text.quality(docs).filter(col("verdict") === "keep").select(col("doc_id"))
+    val reps = Dedup.exact(docs.join(kept, Seq("doc_id")))
+      .select(col("keep_id").as("doc_id"))
+    val contaminated = Curation.contamination(docs, Curation.BenchmarkFilter)
+      .select(col("doc_id"))
+    val clean = docs.join(reps, Seq("doc_id"))
+      .filter(not(expr(Curation.BenchmarkFilter)))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.stratified(clean, "doc_id", "lang", CorpusRates)
+      .select(col("doc_id"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_tc_quirks" -> ((s, d) => tcQuirkAggs(Tables.nation(s, d))),
     "q_agg_typed" -> ((s, d) => typedStats(Tables.lineitem(s, d))),
     "q_agg_salted" -> ((s, d) => saltedAgg(Tables.events(s, d))),
-    "q_pipeline_clean" -> ((s, d) => cleaningPipeline(Tables.documents(s, d))))
+    "q_pipeline_clean" -> ((s, d) => cleaningPipeline(Tables.documents(s, d))),
+    "q_pipeline_corpus" -> ((s, d) => corpusPipeline(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -118,6 +143,35 @@ object Pipelines {
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_pipeline_corpus" ->
+      s"""WITH toks AS (SELECT doc_id, text, lang, string_split($normSql, ' ') AS t FROM documents),
+         |s AS (SELECT doc_id, text, lang,
+         |        len(t) AS n_tokens,
+         |        round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to'))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+         |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio
+         |      FROM toks),
+         |kept AS (SELECT doc_id, text FROM s
+         |         WHERE 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |             + 0.3 * least(1.0, stop_ratio * 5.0)
+         |             + 0.2 * uniq_ratio >= 0.5),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5($normSql)),
+         |sh AS (SELECT doc_id,
+         |         unnest([('0x' || substr(md5(g), 1, 15))::BIGINT
+         |                 for g in list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                                         for i in range(1, len(t) - 1)])]) AS sh
+         |       FROM toks WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (sh)
+         |                 WHERE NOT (doc_id < 20))
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN reps USING (doc_id)
+         |WHERE NOT (doc_id < 20)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND ('0x' || substr(md5('strat' || cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+         |                  WHEN 'zh' THEN 500000 WHEN 'fr' THEN 1000000
+         |                  WHEN 'es' THEN 250000 ELSE 0 END""".stripMargin,
 
     "q_pipeline_clean" ->
       s"""WITH toks AS (SELECT doc_id, text, string_split($normSql, ' ') AS t FROM documents),
