@@ -12,6 +12,35 @@ class PropertiesSpec extends SparkSpec {
   private val rnd = new Random(42)
   private val Cases = 200
 
+  test("law: asofJoin equals the brute-force latest-at-or-before definition") {
+    import spark.implicits._
+    // small key/time domains force dense collisions: unmatched rows, exact
+    // ties, multiple candidates per left row
+    val leftRows = Seq.fill(Cases)(
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong * 10, rnd.nextInt(1000)))
+    val rightRows = Seq.fill(Cases) {
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong * 10, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, rt)
+    val left = leftRows.zipWithIndex.map { case ((k, t, p), i) => (i.toLong, k, t, p) }
+      .toDF("id", "k", "t", "payload")
+    val right = rightRows.toDF("k", "rt", "rv")
+
+    val got = graft.ops.AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+
+    val byKey = rightRows.groupBy(_._1)
+    leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+      val want = byKey.getOrElse(k, Seq.empty).filter(_._2 <= t) match {
+        case Seq() => (None, None)
+        case cands => val m = cands.maxBy(_._2); (Some(m._3), Some(m._2))
+      }
+      assert(got(i.toLong) == want, s"left row $i (k=$k, t=$t)")
+    }
+    assert(got.size == leftRows.size)
+  }
+
   test("law: SortedIntersectCount(a, a) == |a| and is symmetric") {
     import spark.implicits._
     val rows = Seq.fill(Cases) {
