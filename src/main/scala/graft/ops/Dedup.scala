@@ -199,19 +199,26 @@ object Dedup {
     * `AllPairsLimit` rows they would OOM an executor on the broadcast (or grind
     * on N² compares) rather than fail cleanly. This guard runs one bounded
     * count (`limit(n+1).count`, never a full scan) and fails fast with a
-    * pointer at the scale-safe equivalent.
+    * pointer at the scale-safe equivalent. A plan that passed once is
+    * remembered (by semantic plan hash + limit), so repeated calls on the
+    * same immutable input pay the check job only the first time.
     */
+  private val guardPassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+
   private def guardAllPairs(df: DataFrame, op: String, alternative: String,
       allow: Boolean): Unit =
     if (!allow) {
       val limit = df.sparkSession.conf
         .get("graft.dedup.allPairsLimit", AllPairsLimit.toString).toLong
-      if (limit < Int.MaxValue) {
+      val key = (df.queryExecution.logical.semanticHash(), limit)
+      if (limit < Int.MaxValue && !guardPassed.contains(key)) {
         val n = df.limit(limit.toInt + 1).count()
         require(n <= limit,
           s"$op is a quadratic all-pairs baseline and the input exceeds $limit rows " +
             s"(conf graft.dedup.allPairsLimit). Use $alternative for the scale-safe " +
             s"path, raise the limit, or pass allowAllPairs = true.")
+        guardPassed.add(key)
       }
     }
 
