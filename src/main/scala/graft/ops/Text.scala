@@ -137,6 +137,28 @@ object Text {
       expr(s"cast(floor(($qualityExprSql) * 1000000.0) as bigint)").as("quality_e6"),
       expr(s"CASE WHEN $qualityExprSql >= 0.5 THEN 'keep' ELSE 'drop' END").as("verdict"))
 
+  /** Token-level repetition statistics (the Gopher-style repetition filters,
+    * adapted to the token stream): duplicate-2-gram mass and immediate
+    * token repeats. High values flag boilerplate/degenerate text that should
+    * leave the corpus before training. Map-only like every Text op.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))").as("bi"),
+        expr("size(filter(sequence(1, size(toks) - 1), " +
+          "i -> element_at(toks, i) = element_at(toks, i + 1)))").cast("long")
+          .as("n_immediate_repeats"))
+      .select(col("doc_id"),
+        size(col("bi")).cast("long").as("n_2grams"),
+        (size(col("bi")) - size(array_distinct(col("bi")))).cast("long").as("n_dup_2grams"),
+        round((size(col("bi")) - size(array_distinct(col("bi")))).cast("double")
+          / size(col("bi")), 6).as("dup_2gram_frac"),
+        col("n_immediate_repeats"))
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,12 +166,25 @@ object Text {
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
-    "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))))
+    "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
+    "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |        [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bi
+         |      FROM t WHERE len(toks) >= 2)
+         |SELECT doc_id,
+         |  CAST(len(bi) AS BIGINT) AS n_2grams,
+         |  CAST(len(bi) - len(list_distinct(bi)) AS BIGINT) AS n_dup_2grams,
+         |  round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 6) AS dup_2gram_frac,
+         |  CAST(len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS BIGINT) AS n_immediate_repeats
+         |FROM b""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)
          |SELECT doc_id,

@@ -62,7 +62,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text analysis is map-only: no exchange in the plan") {
-    Seq("q_text_stats", "q_text_fingerprint", "q_text_quality", "q_media_features").foreach { q =>
+    Seq("q_text_stats", "q_text_fingerprint", "q_text_quality", "q_text_repetition",
+      "q_media_features").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }

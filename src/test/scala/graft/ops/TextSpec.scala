@@ -24,6 +24,21 @@ class TextSpec extends SparkSpec {
     assert(fp(2)._2 != fp(4)._2)
   }
 
+  test("repetition: duplicate-2gram mass and immediate repeats") {
+    val d = docs(
+      (1, "a b a b a b"),   // 2-grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      (2, "x x x y"),       // xx,xx,xy -> 1 dup; immediate repeats at i=1,2
+      (3, "all words differ here"),
+      (4, "solo"))          // < 2 tokens -> dropped
+    val r = Text.repetition(d).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(r(1) == ((5L, 3L, 0.6, 0L)))
+    assert(r(2) == ((3L, 1L, 0.333333, 2L)))
+    assert(r(3) == ((3L, 0L, 0.0, 0L)))
+    assert(!r.contains(4L))
+  }
+
   test("stats: token counts and ratios") {
     val d = docs((1, "the cat the dog"))
     val r = Text.stats(d).collect().head
