@@ -245,6 +245,21 @@ object Relational {
           (abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts")
             <= 0.06).as("within_bound"))),
 
+    // Same oracle pattern as q_approx_distinct: the driver-checkable claim is
+    // "the sketch lands within its documented bound of the exact value". KLL
+    // accuracy 1000 => rank error ~1/1000; assert the approx median's RANK
+    // neighborhood via a loose value band from the exact p45/p55.
+    "q_approx_percentile" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("exact_median"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("ap"),
+          percentile(col("l_quantity"), lit(0.45)).as("p45"),
+          percentile(col("l_quantity"), lit(0.55)).as("p55"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (col("ap") >= col("p45") && col("ap") <= col("p55")).as("within_bound"))),
+
     // --- scalar & date function library ------------------------------------
     "q_scalar_dates" -> ((s, d) =>
       ord(s, d).select(
@@ -264,6 +279,11 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS exact_median,
+        |true AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_filter" ->
