@@ -153,8 +153,13 @@ object Relational {
     }),
 
     "q_over_running" -> ((s, d) => {
+      // l_quantity last: (orderkey, linenumber) is NOT unique in the
+      // synthetic data (sf0.1 has a full-key collision), and a running sum
+      // over a non-total order is engine-ambiguous at the tie. Ties on
+      // quantity too are harmless — either order gives the same multiset.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
@@ -354,7 +359,7 @@ object Relational {
     "q_over_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         |FROM lineitem""".stripMargin,
 
