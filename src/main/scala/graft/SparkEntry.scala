@@ -39,11 +39,13 @@ object SparkEntry {
     batch.Relational.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
-      ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries
+      ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
+      ops.RangeJoin.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++
       ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
-      ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql
+      ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++
+      ops.RangeJoin.oracleSql
 }
