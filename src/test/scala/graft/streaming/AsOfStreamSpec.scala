@@ -52,4 +52,27 @@ class AsOfStreamSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("streaming asof runs on the RocksDB state store") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.GraftSession.RocksDbProvider)
+    try {
+      val lsrc = Sources.memoryStream[L](spark)
+      val rsrc = Sources.memoryStream[R](spark)
+      val q = AsOfStream.join(lsrc.toDS(), rsrc.toDS())
+        .writeStream.format("memory").queryName("asofrocks")
+        .outputMode("append").start()
+      try {
+        rsrc.addData(Seq(R(1, 1000, 10.0)))
+        lsrc.addData(Seq(L(1, 1500, 1.5)))
+        q.processAllAvailable()
+        lsrc.addData(Seq(L(1, 2500, 2.5)))
+        q.processAllAvailable()
+        val got = spark.table("asofrocks").as[Out].collect()
+          .map(o => o.time -> o.rTime).toMap
+        assert(got == Map(1500L -> Some(1000L), 2500L -> Some(1000L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
