@@ -159,6 +159,33 @@ object Text {
           / size(col("bi")), 6).as("dup_2gram_frac"),
         col("n_immediate_repeats"))
 
+  val TfIdfTopK = 5
+
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * `tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf). The corpus-level pass is
+    * two partial+final aggregates — (doc, term) term frequencies, then
+    * per-term document frequencies — and the doc count joins in as a
+    * broadcast 1-row aggregate, so nothing collects to the driver and the
+    * shuffles carry only (term, count) pairs. Ranking uses the ROUNDED
+    * score with the term as tie-break, so order is engine-deterministic.
+    */
+  def tfidf(docs: DataFrame, topK: Int = TfIdfTopK): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    terms.join(dfreq, Seq("term")).crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,12 +194,27 @@ object Text {
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
-    "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))))
+    "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf,
+         |        round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6) AS tfidf
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, tfidf,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |      FROM s)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $TfIdfTopK""".stripMargin,
+
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |b AS (SELECT doc_id, toks,

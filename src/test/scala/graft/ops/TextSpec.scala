@@ -24,6 +24,18 @@ class TextSpec extends SparkSpec {
     assert(fp(2)._2 != fp(4)._2)
   }
 
+  test("tfidf: corpus-rare terms outrank ubiquitous ones") {
+    val d = docs(
+      (1, "alpha beta beta"),
+      (2, "alpha gamma"),
+      (3, "alpha delta"))
+    val top = Text.tfidf(d, topK = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "alpha" appears in every doc (df=3, idf minimal); each doc's rare term
+    // wins its top slot
+    assert(top == Map(1L -> "beta", 2L -> "gamma", 3L -> "delta"))
+  }
+
   test("repetition: duplicate-2gram mass and immediate repeats") {
     val d = docs(
       (1, "a b a b a b"),   // 2-grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
