@@ -62,7 +62,14 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(sorted)) => median(sorted) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: the driver scrapes a bounded stdout tail, which
+    // truncated round 5's artifact mid-JSON. The file is the durable copy.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -43,17 +43,35 @@ object Sinks {
     * resilience (MysqlOutputTable.java:262-301 catches-and-continues in the
     * writer loop; RdsDimensionTable.java:73-145 is the sleep-and-retry
     * idiom). Rethrows the last failure once attempts are exhausted so the
-    * streaming query still fails loudly on a persistent outage. `sleep` is
-    * injectable for tests.
+    * streaming query still fails loudly on a persistent outage.
+    *
+    * Each failed attempt is reported through `onFailure(attempt, delayMs, e)`
+    * (default: a WARN log line, matching the reference's per-retry writer
+    * warnings) — a silent retry hides a degrading target until it's an
+    * outage. `InterruptedException` is NEVER retried: it means the streaming
+    * query (or executor) is shutting down, so it is rethrown with the
+    * interrupt flag restored instead of sleeping through backoff. `sleep`
+    * and `onFailure` are injectable for tests.
     */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def defaultOnFailure(attempt: Int, delayMs: Long, e: Throwable): Unit =
+    log.warn(s"write attempt $attempt failed (${e.getClass.getSimpleName}: " +
+      s"${e.getMessage}); retrying in ${delayMs} ms")
+
   def withRetry[A](maxAttempts: Int = 3, backoffMs: Long = 1000,
-      sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+      sleep: Long => Unit = Thread.sleep,
+      onFailure: (Int, Long, Throwable) => Unit = defaultOnFailure)(f: => A): A = {
     var attempt = 1
     var delay = backoffMs
     while (true) {
       try return f
       catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
         case e: Exception if attempt < maxAttempts =>
+          onFailure(attempt, delay, e)
           sleep(delay)
           delay *= 2
           attempt += 1

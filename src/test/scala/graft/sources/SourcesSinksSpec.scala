@@ -89,6 +89,34 @@ class SourcesSinksSpec extends SparkSpec {
     assert(sleeps.toSeq == Seq(10L, 20L)) // doubling backoff, one per failure
   }
 
+  test("withRetry reports each failed attempt through the onFailure hook") {
+    val reported = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
+    var calls = 0
+    Sinks.withRetry(maxAttempts = 3, backoffMs = 10, sleep = _ => (),
+      onFailure = (a, d, e) => reported += ((a, d, e.getMessage))) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      "ok"
+    }
+    // one report per FAILED attempt, carrying attempt #, the delay about to be
+    // slept, and the exception — the reference warns per retry
+    // (MysqlOutputTable.java:262-301); a silent retry hides a degrading target
+    assert(reported.toSeq == Seq((1, 10L, "transient 1"), (2, 20L, "transient 2")))
+  }
+
+  test("withRetry never retries InterruptedException (shutdown passes through)") {
+    var calls = 0
+    var slept = false
+    intercept[InterruptedException] {
+      Sinks.withRetry(maxAttempts = 5, backoffMs = 1, sleep = _ => slept = true) {
+        calls += 1
+        throw new InterruptedException("query stopping")
+      }
+    }
+    assert(calls == 1 && !slept, "shutdown must not sleep through backoff")
+    assert(Thread.interrupted(), "interrupt flag must be restored") // also clears it
+  }
+
   test("withRetry rethrows once attempts are exhausted") {
     var calls = 0
     val e = intercept[RuntimeException] {
