@@ -31,4 +31,36 @@ object Aggregators {
     override def bufferEncoder: Encoder[StatsBuf] = Encoders.product[StatsBuf]
     override def outputEncoder: Encoder[Stats] = Encoders.product[Stats]
   }
+
+  case class Scored(term: String, tf: Long, score: Double)
+
+  /** Bounded top-k by (score DESC, term ASC) — a PARTIAL top-k: `reduce`
+    * keeps at most k rows per map-side group, so the shuffle carries ≤ k
+    * rows per (group, partition) instead of the full per-group row set a
+    * rank window would shuffle. The comparator mirrors
+    * `row_number() OVER (ORDER BY score DESC, term)` exactly, so the output
+    * (in buffer order = rank order) matches the windowed spelling row for
+    * row. Buffers are tiny sorted vectors (k ≤ ~100): insert is an O(k)
+    * copy, which beats heap bookkeeping at these sizes.
+    */
+  def topKScored(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] =
+    new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+      private def lt(a: Scored, b: Scored): Boolean =
+        a.score > b.score || (a.score == b.score && a.term < b.term)
+      override def zero: Seq[Scored] = Vector.empty
+      override def reduce(b: Seq[Scored], v: Scored): Seq[Scored] = {
+        if (b.length == k && !lt(v, b.last)) b
+        else {
+          val i = b.indexWhere(x => lt(v, x)) match { case -1 => b.length; case x => x }
+          (b.take(i) :+ v) ++ b.drop(i).take(k - i - 1)
+        }
+      }
+      override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+        b.foldLeft(a)(reduce)
+      override def finish(b: Seq[Scored]): Seq[Scored] = b
+      override def bufferEncoder: Encoder[Seq[Scored]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+      override def outputEncoder: Encoder[Seq[Scored]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    }
 }

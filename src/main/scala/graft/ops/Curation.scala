@@ -35,10 +35,8 @@ object Curation {
   /** (doc_id, sh) pairs: one row per distinct 3-gram shingle hash of docs
     * with at least one shingle.
     */
-  private def shingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
+  private def shingleHashesFromToks(t: DataFrame): DataFrame =
+    t.filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
 
@@ -54,8 +52,15 @@ object Curation {
     * md5-shingle array per exploded row (quadratic per doc — measured 25×
     * slower at sf0.1), and a count-then-join-back costs a second corpus pass.
     */
-  def contamination(docs: DataFrame, benchmarkFilter: String): DataFrame = {
-    val sh = shingleHashes(docs)
+  def contamination(docs: DataFrame, benchmarkFilter: String): DataFrame =
+    contaminationFromToks(
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("toks")), benchmarkFilter)
+
+  /** `contamination` over a pre-tokenized projection (doc_id, toks), so a
+    * pipeline holding one tokenized corpus scan feeds this branch for free.
+    */
+  def contaminationFromToks(t: DataFrame, benchmarkFilter: String): DataFrame = {
+    val sh = shingleHashesFromToks(t)
     val bench = sh.filter(expr(benchmarkFilter))
       .select(col("sh")).distinct().withColumn("hit", lit(1))
     sh.filter(not(expr(benchmarkFilter)))

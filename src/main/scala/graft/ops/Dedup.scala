@@ -37,11 +37,13 @@ object Dedup {
     "array_distinct(transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
 
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("lang"), expr(shinglesSql).as("shingles"))
+  /** Tokenized projection the FromToks variants consume — `lshVerifiedPairs`
+    * et al. tokenize at entry; pipelines that already hold a tokenized scan
+    * (Pipelines.corpusPipelineNear) call the FromToks entry points directly
+    * so the corpus is read and tokenized exactly once.
+    */
+  private def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
 
   // --- exact ----------------------------------------------------------------
 
@@ -52,6 +54,16 @@ object Dedup {
   def exact(docs: DataFrame): DataFrame =
     docs
       .select(md5(Text.normalized(col("text"))).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** `exact` over a pre-tokenized projection: normalization collapses
+    * whitespace, so `concat_ws(" ", toks)` round-trips the normalized text
+    * exactly (including the empty-document edge: split("") = [""] joins back
+    * to "") and md5 of it equals md5(normalized(text)).
+    */
+  def exactFromToks(t: DataFrame): DataFrame =
+    t.select(md5(concat_ws(" ", col("toks"))).as("fp"), col("doc_id"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -76,7 +88,11 @@ object Dedup {
     * map-only. (a*h < 2^62: no overflow in any engine.)
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    withShingles(docs)
+    minhashSignaturesFromToks(tokenize(docs))
+
+  def minhashSignaturesFromToks(t: DataFrame): DataFrame =
+    t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(shinglesSql).as("shingles"))
       .select(col("doc_id"),
         expr(s"transform(shingles, s -> ${hashSql("s")} % ${MersennePrime}L)").as("hs"))
       .select(col("doc_id"),
@@ -88,9 +104,12 @@ object Dedup {
     * N² pairs. `est_jaccard` = fraction of the 16 minhashes that agree (the
     * standard unbiased Jaccard estimate).
     */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromToks(tokenize(docs))
+
+  def minhashCandidatesFromToks(t: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesFromToks(t)
+    val n = t.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val bands = sigs.select(
       col("doc_id"), col("mh"),
       explode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
@@ -257,9 +276,14 @@ object Dedup {
     * (not language blocking) bounding the pair count, i.e. recall is that of
     * `minhashCandidates` (any band of 4/16 minhashes colliding).
     */
-  def lshVerifiedPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val cand = minhashCandidates(docs).select(col("doc_a"), col("doc_b"))
-    val sh = sortedShingleHashes(docs)
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
+    lshVerifiedPairsFromToks(tokenize(docs), threshold)
+
+  def lshVerifiedPairsFromToks(t: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val cand = minhashCandidatesFromToks(t).select(col("doc_a"), col("doc_b"))
+    val sh = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
@@ -269,6 +293,95 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // --- near-dup clustering → survivor set ----------------------------------
+
+  /** Connected components over an undirected pair list, via the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). This is the step between "pairs
+    * found" and "corpus written": near-dup PAIRS from `lshVerifiedPairs`
+    * collapse into clusters, and one representative (the minimum doc_id)
+    * survives per cluster — the reference's dedup use cases end in a
+    * deduplicated TABLE, not a pair list (README.md:59-131; the groupBy-over-
+    * Index shape, table/Table.java:436-467).
+    *
+    * Scale design: each round is two (groupBy-min + equi-join) passes — no
+    * graph library, no driver-side data structure; shuffles carry (long,
+    * long) edges keyed by node id, skew handled by AQE like any hot-key
+    * join. Converges in O(log² n) rounds on any graph (near-dup clusters
+    * are almost-cliques, which converge in 2-3). Per-round lineage is cut
+    * with `localCheckpoint` exactly like the k-means trainer
+    * (Similarity.scala), and the ONLY value the driver ever reads is the
+    * 1-row (count, checksum) convergence aggregate.
+    *
+    * Returns (doc_id, cluster_id) for every node appearing in `pairs`,
+    * cluster_id = the component's minimum doc_id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    def checksum(df: DataFrame): (Long, Option[Long]) = {
+      // bit_xor, not sum: overflow-free under ANSI mode and order-insensitive
+      // over the distinct edge set
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+    var prev = checksum(e)
+    var converged = prev._1 == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: every strictly-larger neighbor points at the
+      // neighborhood minimum. min(Γ⁺(u)) via groupBy-min, attached by
+      // equi-join — never a collect_set neighborhood list (a hot node's
+      // neighborhood would not fit a single row at 100 TB).
+      val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = dir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = dir.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges already point big→small (v is some neighborhood
+      // min < u), so group directly: every small neighbor AND the center
+      // point at the minimum.
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(false)
+      val cur = checksum(ss)
+      converged = cur == prev
+      prev = cur
+      e = ss
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    // fixpoint = a star per component: members point at the root, roots
+    // appear only on the v side
+    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+  }
+
+  /** Near-dedup survivor set: drop every non-representative member of an
+    * LSH-verified near-dup cluster; docs in no cluster survive untouched.
+    * The anti-join keys are doc ids — the corpus text never shuffles.
+    */
+  def nearDupSurvivors(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
+    docs.join(nearDupMemberIdsFromToks(tokenize(docs), threshold), Seq("doc_id"), "left_anti")
+
+  /** doc_ids to DROP: every non-representative member of an LSH-verified
+    * near-dup cluster, from a pre-tokenized projection (doc_id, toks).
+    */
+  def nearDupMemberIdsFromToks(t: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
+    connectedComponents(lshVerifiedPairsFromToks(t, threshold))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
 
   // --- embedding cosine near-dup -------------------------------------------
 
@@ -301,6 +414,7 @@ object Dedup {
     "q_dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => lshVerifiedPairs(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => connectedComponents(lshVerifiedPairs(Tables.documents(s, d)))),
     "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
 
   // DuckDB mirrors. Shared fragments:
@@ -309,9 +423,41 @@ object Dedup {
   private def duckHash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private val duckShingles =
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])"
-  private val duckPerms = permCoeffs.zipWithIndex
+  private[ops] val duckPerms = permCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
     .mkString("SELECT * FROM (VALUES ", ", ", ") AS v(i, a, b)")
+
+  /** CTE chain (DuckDB) computing near-dup clusters over `src(doc_id, text)`:
+    * minhash → banded candidates → exact-Jaccard verify → recursive
+    * transitive closure → `cc$sfx(doc_id, cluster_id)`. Mirrors
+    * `connectedComponents(lshVerifiedPairs(src))`. Requires a `perms` CTE
+    * ([[duckPerms]]) in scope and `WITH RECURSIVE` on the statement. `sfx`
+    * uniquifies the CTE names so callers can embed several chains.
+    */
+  private[ops] def duckClusterCtes(src: String, sfx: String): String =
+    s"""t$sfx AS (SELECT doc_id, $duckToks AS toks FROM $src),
+       |sh$sfx AS (SELECT doc_id, $duckShingles AS shingles FROM t$sfx WHERE len(toks) >= 3),
+       |hs$sfx AS (SELECT doc_id, ${duckHash("s")} % $MersennePrime AS h
+       |       FROM sh$sfx, unnest(shingles) u(s)),
+       |mh$sfx AS (SELECT doc_id, p.i AS i, min((p.a * h + p.b) % $MersennePrime) AS h
+       |       FROM hs$sfx, perms p GROUP BY doc_id, p.i),
+       |sig$sfx AS (SELECT doc_id, i // $MinhashRows AS band,
+       |          string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+       |        FROM mh$sfx GROUP BY doc_id, i // $MinhashRows),
+       |cand$sfx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sig$sfx a JOIN sig$sfx b ON a.band = b.band AND a.sig = b.sig
+       |         WHERE a.doc_id < b.doc_id),
+       |p$sfx AS (SELECT c.doc_a, c.doc_b
+       |      FROM cand$sfx c JOIN sh$sfx x ON x.doc_id = c.doc_a JOIN sh$sfx y ON y.doc_id = c.doc_b
+       |      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |          / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+       |          >= $JaccardThreshold),
+       |e$sfx AS (SELECT doc_a AS u, doc_b AS v FROM p$sfx
+       |      UNION SELECT doc_b, doc_a FROM p$sfx),
+       |r$sfx AS (SELECT u AS node, v AS reach FROM e$sfx
+       |      UNION SELECT r.node, e.v FROM r$sfx r JOIN e$sfx e ON e.u = r.reach),
+       |cc$sfx AS (SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
+       |       FROM r$sfx GROUP BY node)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -377,6 +523,11 @@ object Dedup {
          |          / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
          |      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE perms AS ($duckPerms),
+         |${duckClusterCtes("documents", "_d")}
+         |SELECT doc_id, cluster_id FROM cc_d""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -105,13 +105,50 @@ object Pipelines {
     */
   val CorpusRates = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.5, "fr" -> 1.0, "es" -> 0.25)
 
+  /** One tokenized corpus projection feeding every pipeline branch. The
+    * `localCheckpoint(eager = false)` materializes (doc_id, lang, toks) the
+    * first time any branch computes and caches it, so quality / dedup /
+    * contamination / the final join all read ONE scan of `documents` instead
+    * of four — at 100 TB a corpus build persists exactly this projection.
+    * (Same lineage-cut idiom as the k-means trainer, Similarity.scala.)
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint(false)
+
   def corpusPipeline(docs: DataFrame): DataFrame = {
-    val kept = Text.quality(docs).filter(col("verdict") === "keep").select(col("doc_id"))
-    val reps = Dedup.exact(docs.join(kept, Seq("doc_id")))
+    val t = tokenized(docs)
+    val kept = Text.qualityFromToks(t).filter(col("verdict") === "keep").select(col("doc_id"))
+    val reps = Dedup.exactFromToks(t.join(kept, Seq("doc_id")))
       .select(col("keep_id").as("doc_id"))
-    val contaminated = Curation.contamination(docs, Curation.BenchmarkFilter)
+    val contaminated = Curation.contaminationFromToks(t, Curation.BenchmarkFilter)
       .select(col("doc_id"))
-    val clean = docs.join(reps, Seq("doc_id"))
+    val clean = t.select(col("doc_id"), col("lang")).join(reps, Seq("doc_id"))
+      .filter(not(expr(Curation.BenchmarkFilter)))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.stratified(clean, "doc_id", "lang", CorpusRates)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** The corpus build with NEAR-dedup: quality filter → exact dedup →
+    * near-dup clustering (LSH-verified pairs → connected components, keep
+    * the min-id representative per cluster) → decontamination → stratified
+    * sample. This is the full reference dedup story ending in a TABLE, not a
+    * pair list: exact copies collapse first (cheap, hash-only), then the
+    * near-dup survivor set drops every non-representative cluster member.
+    * All branches feed from the one tokenized projection.
+    */
+  def corpusPipelineNear(docs: DataFrame): DataFrame = {
+    val t = tokenized(docs)
+    val kept = Text.qualityFromToks(t).filter(col("verdict") === "keep").select(col("doc_id"))
+    val keptT = t.join(kept, Seq("doc_id"))
+    val reps = Dedup.exactFromToks(keptT).select(col("keep_id").as("doc_id"))
+    val repsT = keptT.join(reps, Seq("doc_id"))
+    val nearDropped = Dedup.nearDupMemberIdsFromToks(repsT)
+    val contaminated = Curation.contaminationFromToks(t, Curation.BenchmarkFilter)
+      .select(col("doc_id"))
+    val clean = repsT.select(col("doc_id"), col("lang"))
+      .join(nearDropped, Seq("doc_id"), "left_anti")
       .filter(not(expr(Curation.BenchmarkFilter)))
       .join(contaminated, Seq("doc_id"), "left_anti")
     Sampling.stratified(clean, "doc_id", "lang", CorpusRates)
@@ -123,7 +160,8 @@ object Pipelines {
     "q_agg_typed" -> ((s, d) => typedStats(Tables.lineitem(s, d))),
     "q_agg_salted" -> ((s, d) => saltedAgg(Tables.events(s, d))),
     "q_pipeline_clean" -> ((s, d) => cleaningPipeline(Tables.documents(s, d))),
-    "q_pipeline_corpus" -> ((s, d) => corpusPipeline(Tables.documents(s, d))))
+    "q_pipeline_corpus" -> ((s, d) => corpusPipeline(Tables.documents(s, d))),
+    "q_pipeline_corpus_near" -> ((s, d) => corpusPipelineNear(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -167,6 +205,39 @@ object Pipelines {
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN reps USING (doc_id)
          |WHERE NOT (doc_id < 20)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND ('0x' || substr(md5('strat' || cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+         |                  WHEN 'zh' THEN 500000 WHEN 'fr' THEN 1000000
+         |                  WHEN 'es' THEN 250000 ELSE 0 END""".stripMargin,
+
+    "q_pipeline_corpus_near" ->
+      s"""WITH RECURSIVE perms AS (${Dedup.duckPerms}),
+         |toks AS (SELECT doc_id, text, lang, string_split($normSql, ' ') AS t FROM documents),
+         |s AS (SELECT doc_id, text, lang,
+         |        len(t) AS n_tokens,
+         |        round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to'))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+         |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio
+         |      FROM toks),
+         |kept AS (SELECT doc_id, text FROM s
+         |         WHERE 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |             + 0.3 * least(1.0, stop_ratio * 5.0)
+         |             + 0.2 * uniq_ratio >= 0.5),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5($normSql)),
+         |repdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+         |${Dedup.duckClusterCtes("repdocs", "_n")},
+         |sh AS (SELECT doc_id,
+         |         unnest([('0x' || substr(md5(g), 1, 15))::BIGINT
+         |                 for g in list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                                         for i in range(1, len(t) - 1)])]) AS sh
+         |       FROM toks WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (sh)
+         |                 WHERE NOT (doc_id < 20))
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN reps USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc_n WHERE doc_id <> cluster_id)
+         |  AND NOT (doc_id < 20)
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |  AND ('0x' || substr(md5('strat' || cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
          |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000

@@ -45,8 +45,12 @@ object Sampling {
       stratumCol: String,
       rates: Map[String, Double]): DataFrame = {
     val h = hash60("strat", col(idCol)) % Million
+    // Integer thresholds computed ONCE on the driver (round, not truncate):
+    // engines disagree on double→int casts (Spark truncates, DuckDB rounds),
+    // so a rate like 0.1 evaluated as a double expression could put the two
+    // engines one hash-bucket apart. Integer literals make membership exact.
     val threshold = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit((r * Million).toLong)).otherwise(acc)
+      when(col(stratumCol) === s, lit(math.round(r * Million))).otherwise(acc)
     }
     df.filter(h < threshold)
   }
@@ -57,16 +61,22 @@ object Sampling {
     * each copy is tagged with its 1-based `rep` index so downstream shuffles
     * can spread repeats. Missing strata keep weight 1.
     */
+  /** Guaranteed copies and the fractional-extra threshold as INTEGER driver
+    * constants (see `stratified` — double→int casts round differently across
+    * engines; `math.round` on the driver once, integer comparisons in the
+    * plan).
+    */
   def weightedResample(
       df: DataFrame,
       idCol: String,
       stratumCol: String,
       weights: Map[String, Double]): DataFrame = {
-    val w = weights.foldLeft(lit(1.0)) { case (acc, (s, x)) =>
-      when(col(stratumCol) === s, lit(x)).otherwise(acc)
+    val base = weights.foldLeft(lit(1L)) { case (acc, (s, x)) =>
+      when(col(stratumCol) === s, lit(math.floor(x).toLong)).otherwise(acc)
     }
-    val base = floor(w).cast("long")
-    val frac = ((w - floor(w)) * Million).cast("long")
+    val frac = weights.foldLeft(lit(0L)) { case (acc, (s, x)) =>
+      when(col(stratumCol) === s, lit(math.round((x - math.floor(x)) * Million))).otherwise(acc)
+    }
     val extra = (hash60("resample", col(idCol)) % Million < frac).cast("long")
     df.withColumn("copies", base + extra)
       .filter(col("copies") > 0)
@@ -100,18 +110,22 @@ object Sampling {
          |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 800000
          |            WHEN 'zh' THEN 500000 WHEN 'fr' THEN 1000000 ELSE 0 END""".stripMargin,
 
-    "q_sample_resample" ->
+    "q_sample_resample" -> {
+      // the SAME driver-computed integers as weightedResample — never
+      // re-derive thresholds in SQL double arithmetic
+      val baseCase = MixWeights
+        .map { case (l, x) => s"WHEN '$l' THEN ${math.floor(x).toLong}" }
+        .mkString("CASE lang ", " ", " ELSE 1 END")
+      val fracCase = MixWeights
+        .map { case (l, x) => s"WHEN '$l' THEN ${math.round((x - math.floor(x)) * Million)}" }
+        .mkString("CASE lang ", " ", " ELSE 0 END")
       s"""WITH c AS (
          |  SELECT doc_id, lang,
-         |    CAST(floor(w) AS BIGINT)
-         |      + CASE WHEN ${duckHash("resample")} % 1000000
-         |               < CAST((w - floor(w)) * 1000000 AS BIGINT)
+         |    $baseCase
+         |      + CASE WHEN ${duckHash("resample")} % 1000000 < $fracCase
          |             THEN 1 ELSE 0 END AS copies
-         |  FROM (SELECT doc_id, lang,
-         |          CASE lang WHEN 'en' THEN 0.50 WHEN 'de' THEN 2.00
-         |                    WHEN 'zh' THEN 1.00 WHEN 'fr' THEN 2.75
-         |                    WHEN 'es' THEN 0.25 ELSE 1.00 END AS w
-         |        FROM documents))
+         |  FROM documents)
          |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS rep
-         |FROM c WHERE copies > 0""".stripMargin)
+         |FROM c WHERE copies > 0""".stripMargin
+    })
 }

@@ -132,10 +132,25 @@ object Text {
     * engine-deterministic.
     */
   def quality(docs: DataFrame): DataFrame =
-    stats(docs).select(
+    qualityFromToks(docs.select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** `quality` over a pre-tokenized projection (doc_id, toks) — the score
+    * only uses token-derived stats, so pipeline branches can all feed from
+    * ONE tokenized scan of the corpus (see Pipelines.corpusPipeline) instead
+    * of re-reading and re-tokenizing per branch.
+    */
+  def qualityFromToks(t: DataFrame): DataFrame =
+    t.select(
       col("doc_id"),
-      expr(s"cast(floor(($qualityExprSql) * 1000000.0) as bigint)").as("quality_e6"),
-      expr(s"CASE WHEN $qualityExprSql >= 0.5 THEN 'keep' ELSE 'drop' END").as("verdict"))
+      size(col("toks")).cast("long").as("n_tokens"),
+      round(hitCount("toks", stopwords).cast("double") / size(col("toks")), 6)
+        .as("stop_ratio"),
+      round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+        .as("uniq_ratio"))
+      .select(
+        col("doc_id"),
+        expr(s"cast(floor(($qualityExprSql) * 1000000.0) as bigint)").as("quality_e6"),
+        expr(s"CASE WHEN $qualityExprSql >= 0.5 THEN 'keep' ELSE 'drop' END").as("verdict"))
 
   /** Token-level repetition statistics (the Gopher-style repetition filters,
     * adapted to the token stream): duplicate-2-gram mass and immediate
@@ -170,20 +185,46 @@ object Text {
     * score with the term as tie-break, so order is engine-deterministic.
     */
   def tfidf(docs: DataFrame, topK: Int = TfIdfTopK): DataFrame = {
+    val statsU = udaf(graft.functions.Aggregators.topKScored(topK))
+    scoredTerms(docs)
+      // partial top-k INSTEAD of a rank window: the udaf's map-side combine
+      // trims each (doc, partition) to ≤ k rows before the shuffle, where the
+      // window would shuffle every (doc, term) pair to rank it. The
+      // aggregator's comparator mirrors the window's ORDER BY exactly
+      // (rounded score DESC, term ASC), so output is row-identical — spec'd
+      // against `tfidfWindowed` plus the shared DuckDB oracle.
+      .groupBy(col("doc_id"))
+      .agg(statsU(col("term"), col("tf"), col("tfidf")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+        col("t.score").as("tfidf"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** The rank-window spelling — the cross-check baseline for `tfidf` (same
+    * rows, heavier shuffle).
+    */
+  private[ops] def tfidfWindowed(docs: DataFrame, topK: Int = TfIdfTopK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scoredTerms(docs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
+  /** (doc_id, term, tf, tfidf): two partial+final aggs + a broadcast 1-row
+    * doc count.
+    */
+  private def scoredTerms(docs: DataFrame): DataFrame = {
     val terms = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     terms.join(dfreq, Seq("term")).crossJoin(broadcast(total))
       .withColumn("tfidf",
         round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
   // -------------------------------------------------------------------------

@@ -82,6 +82,44 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.allPairsLimit")
   }
 
+  test("connected components collapse pair lists into min-id clusters") {
+    import spark.implicits._
+    // two components: a 4-chain {1,2,3,4} (worst case for label propagation —
+    // no direct edge to the min) and a triangle {10,11,12}; pair (20,21) alone
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: empty pair list, and duplicate/reversed edges") {
+    import spark.implicits._
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    val messy = Seq((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("near-dup survivors drop exactly the non-representative cluster members") {
+    val clusters = Dedup.connectedComponents(Dedup.lshVerifiedPairs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "test data should contain near-dup clusters")
+    // every cluster id is the min doc_id of its members
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+    }
+    val nonReps = clusters.collect { case (d, c) if d != c => d }.toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.nearDupSurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- nonReps)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val out = Dedup.embeddingPairs(Tables.embeddings(spark, sf())).collect()
     out.foreach { r =>

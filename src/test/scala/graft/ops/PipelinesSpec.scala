@@ -14,6 +14,41 @@ class PipelinesSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("corpus pipelines scan documents once via the shared tokenized projection") {
+    val docs = Tables.documents(spark, sf())
+    for (q <- Seq(Pipelines.corpusPipeline(docs), Pipelines.corpusPipelineNear(docs))) {
+      val plan = q.queryExecution.executedPlan.toString
+      // every branch reads the localCheckpoint'd (doc_id, lang, toks) RDD;
+      // the parquet scan happens once, inside that RDD's materialization
+      assert(!plan.contains("documents.parquet"),
+        "pipeline branches must feed from the shared tokenized projection")
+      assert(plan.contains("Scan ExistingRDD"))
+    }
+  }
+
+  test("near corpus pipeline == exact pipeline minus near-dup cluster members") {
+    val docs = Tables.documents(spark, sf())
+    val exactOut = Pipelines.corpusPipeline(docs)
+      .collect().map(_.getLong(0)).toSet
+    val nearOut = Pipelines.corpusPipelineNear(docs)
+      .collect().map(_.getLong(0)).toSet
+    // near-dedup only ever REMOVES docs relative to the exact pipeline
+    assert(nearOut.subsetOf(exactOut))
+    // and what it removes is exactly the non-representative cluster members
+    // that made it into the exact pipeline's output
+    val kept = Text.quality(docs).filter(org.apache.spark.sql.functions.col("verdict") === "keep")
+      .select("doc_id")
+    // (clusters over the kept set = clusters over the exact-rep set as far as
+    // reps are concerned: exact dups have identical shingles, so dropping a
+    // non-rep copy never disconnects a component or changes its min)
+    val keptDocs = docs.join(kept, Seq("doc_id"))
+    val dropped = Dedup.connectedComponents(Dedup.lshVerifiedPairs(keptDocs))
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("cluster_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactOut -- nearOut == exactOut.intersect(dropped))
+  }
+
   test("typed stats default path is a hash aggregate, not an object agg") {
     val plan = Pipelines.typedStats(Tables.lineitem(spark, sf()))
       .queryExecution.executedPlan.toString

@@ -36,6 +36,38 @@ class TextSpec extends SparkSpec {
     assert(top == Map(1L -> "beta", 2L -> "gamma", 3L -> "delta"))
   }
 
+  test("tfidf partial top-k == rank-window spelling, with fewer shuffled rows") {
+    val d = graft.Tables.documents(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    // row-identical output (same ranking comparator)
+    assert(rows(Text.tfidf(d)) == rows(Text.tfidfWindowed(d)))
+    // and the aggregator path shuffles fewer records: the map-side combine
+    // trims each (doc, partition) to <= k rows where the window shuffles
+    // every (doc, term) pair
+    def shuffled(df: org.apache.spark.sql.DataFrame): Long = {
+      var records = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            records += t.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        df.count()
+        // listener bus is async; poll until the metric stabilizes
+        var last = -1L
+        var spins = 0
+        while (records != last && spins < 50) { last = records; Thread.sleep(100); spins += 1 }
+        records
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val agg = shuffled(Text.tfidf(d))
+    val win = shuffled(Text.tfidfWindowed(d))
+    assert(agg < win, s"partial top-k should shuffle fewer records ($agg vs $win)")
+  }
+
   test("repetition: duplicate-2gram mass and immediate repeats") {
     val d = docs(
       (1, "a b a b a b"),   // 2-grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
