@@ -37,13 +37,25 @@ object RangeJoin {
       endCol: String,
       bucketMs: Long,
       keys: Seq[String] = Nil): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
     val b = "__bucket"
-    val taggedLeft = left.withColumn(b, expr(s"$leftTime div $bucketMs"))
-    val explodedRight = right.withColumn(
-      b,
-      explode(sequence(
-        expr(s"$startCol div $bucketMs"),
-        expr(s"($endCol - 1) div $bucketMs"))))
+    // FLOOR division, not `div` (which truncates toward zero): with negative
+    // timestamps truncation assigns t = -5 and an interval starting at -10 to
+    // DIFFERENT buckets and the equi-join silently misses the match.
+    def fdiv(e: String): String =
+      s"(($e) div $bucketMs - (CASE WHEN ($e) % $bucketMs < 0 THEN 1 ELSE 0 END))"
+    val taggedLeft = left.withColumn(b, expr(fdiv(leftTime)))
+    val explodedRight = right
+      // a malformed interval (end <= start) contains nothing — and unguarded
+      // it would explode a DESCENDING sequence (Spark auto-steps -1), fanning
+      // out rows the containment filter then discards; a corrupt far-negative
+      // end could fan out millions. Dropping such rows is semantics-preserving.
+      .filter(col(endCol) > col(startCol))
+      .withColumn(
+        b,
+        explode(sequence(
+          expr(fdiv(startCol)),
+          expr(fdiv(s"$endCol - 1")))))
     taggedLeft
       .join(explodedRight, keys :+ b)
       .filter(col(leftTime) >= col(startCol) && col(leftTime) < col(endCol))

@@ -87,6 +87,14 @@ object WindowedTransform {
     val base = assigned(df, tsCol, keyCol, valueCol, watermark, sizeMs, slideMs)
     val input =
       if (recoverLate) {
+        // INTERNAL-CONTRACT PIN (verified on Spark 4.1.2): the stateful exec
+        // finds its late-row filter by scanning input attributes for
+        // `EventTimeWatermark.delayKey` metadata — an internal Catalyst
+        // convention, not public API. If a Spark upgrade changes it, late
+        // rows silently drop again; the loud gate is WindowedTransformSpec
+        // "recoverLate emits a single-element window for past-watermark rows"
+        // which feeds a far-behind-watermark row and FAILS unless it reaches
+        // the handler. Re-verify that spec on any Spark version bump.
         val md = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong(org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey, 0L)
           .build()

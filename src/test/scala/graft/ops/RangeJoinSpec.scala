@@ -26,6 +26,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (2L, "a"), (5L, "c"), (6L, "b")))
   }
 
+  test("negative timestamps bucket by floor division; malformed intervals don't explode") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, -5L),   // inside [-10, -1): truncating `div` puts -5 in bucket 0
+      (2L, 1L, -10L),  // boundary start
+      (3L, 1L, -1L),   // end is exclusive -> no match
+      (4L, 1L, 5L)     // inside [0, 10)
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, -10L, -1L, "neg"),
+      (1L, 0L, 10L, "pos"),
+      (1L, 500L, -1000000L, "bad") // corrupt: end < start — must not fan out
+    ).toDF("k", "s", "e", "tag")
+    val joined = RangeJoin.rangeJoin(left, right, "t", "s", "e", bucketMs = 10L, keys = Seq("k"))
+    val out = joined.select(col("id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "neg"), (2L, "neg"), (4L, "pos")))
+    // the malformed interval is dropped BEFORE the explode: total exploded
+    // rows stay tiny (a descending sequence would have fanned out ~100k rows)
+    val exploded = right.filter(col("e") > col("s"))
+      .withColumn("bk", explode(sequence(expr("s div 10"), expr("(e - 1) div 10"))))
+    assert(exploded.count() <= 3)
+  }
+
   test("overlapping intervals each match; plan is an equi-join, not nested-loop") {
     import spark.implicits._
     val left = Seq((1L, 1L, 150L)).toDF("id", "k", "t")

@@ -82,7 +82,12 @@ class WindowedTransformSpec extends SparkSpec {
       q.processAllAvailable()
       val late = spark.table("wt_late").as[RankedOut].collect()
         .filter(r => r.ws == 0L && r.time == 2000L)
-      assert(late.length == 1, "late row must surface as a recovered window")
+      // THE GATE for the EventTimeWatermark.delayKey metadata pin
+      // (WindowedTransform.slide): if a Spark upgrade changes the internal
+      // late-filter contract, the late row silently drops and THIS fails.
+      assert(late.length == 1,
+        "late row must surface as a recovered window — the delayKey metadata " +
+          "trick no longer delivers behind-watermark rows on this Spark version")
       assert(late.head.value == 4.0 && late.head.rk == 1,
         "recovered window contains exactly the late row")
       // on-time flow is unaffected: later windows still fire normally
