@@ -153,6 +153,30 @@ class SourcesSinksSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("jdbcSink -> Derby -> jdbcPartitioned round-trip, striped read") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("derby-rt").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val src = Sources.memoryStream[(Long, Double)](spark)
+    // the REAL streaming jdbc sink (foreachBatch -> batch jdbc writer w/ retry)
+    val q = Sinks.jdbcSink(src.toDS().toDF("id", "v"), url, "rt_t")
+      .option("checkpointLocation", Files.createTempDirectory("ckp-rt").toString)
+      .start()
+    try {
+      src.addData((1L to 100L).map(i => (i, i * 0.5)))
+      q.processAllAvailable()
+      src.addData(Seq((101L, 50.5))) // second micro-batch appends
+      q.processAllAvailable()
+    } finally q.stop()
+    // partitioned read: 4 stripes over id — read.jdbc pushes the stripe
+    // predicates into the database, the reference's hand-built LIMIT paging
+    val back = Sources.jdbcPartitioned(spark, url, "rt_t", "id", 1L, 101L, 4)
+    assert(back.rdd.getNumPartitions == 4, "scan must be striped")
+    assert(back.count() == 101)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) ==
+      (1L to 101L).map(i => if (i == 101) 50.5 else i * 0.5).sum)
+  }
+
   test("memory stream is the InsertableStreamTable adapter") {
     import spark.implicits._
     val src = Sources.memoryStream[(Long, String)](spark)
