@@ -40,12 +40,12 @@ object SparkEntry {
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
       ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
-      ops.RangeJoin.queries
+      ops.RangeJoin.queries ++ ops.Corpus.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++
       ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++
-      ops.RangeJoin.oracleSql
+      ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql
 }
