@@ -71,13 +71,20 @@ object Corpus {
     val tf = docs
       .select(explode(Text.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    // token mass over ALL terms (the coverage denominator) — computed before
+    // the top-k trim, broadcast as a 1-row aggregate
     val total = tf.agg(sum(col("n")).as("tot"))
+    // sort+limit compiles to TakeOrderedAndProject: each partition keeps its
+    // local top-k and only k·partitions rows merge — never a global sort of
+    // the distinct-term set. The rank/coverage window then runs over ≤ topK
+    // rows (bounded by construction, not corpus-sized); cumulative coverage
+    // at ranks ≤ k only ever sums top-k counts, so the trim is exact.
+    val top = tf.orderBy(col("n").desc, col("term")).limit(topK)
     val w = Window.orderBy(col("n").desc, col("term"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tf.crossJoin(broadcast(total))
+    top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
       .withColumn("coverage", round(sum(col("n")).over(w).cast("double") / col("tot"), 6))
-      .filter(col("rank") <= topK)
       .select(col("term"), col("n"), col("rank"), col("coverage"))
   }
 

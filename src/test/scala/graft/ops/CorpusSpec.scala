@@ -44,6 +44,13 @@ class CorpusSpec extends SparkSpec {
     assert(v.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
   }
 
+  test("vocabulary trims via TakeOrderedAndProject before the rank window") {
+    val plan = Corpus.vocabulary(docs, topK = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition take, not a global sort of the term set, got:\n${plan.take(800)}")
+  }
+
   test("source overlap matches a per-pair brute force on sampled pairs") {
     val out = Corpus.sourceOverlap(docs).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
