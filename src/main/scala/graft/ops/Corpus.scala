@@ -58,7 +58,9 @@ object Corpus {
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col(orderCol), col(shardCol), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / capacity).cast("long").as("pack_id"),
+        // integral `div`, not `/`: the `/` operator is double division and a
+        // shard cumsum past 2^53 tokens would lose exactness in the cast
+        expr(s"(cum - n_tokens) div ${capacity}L").as("pack_id"),
         ((col("cum") - col("n_tokens")) % capacity).cast("long").as("pack_offset"))
   }
 
