@@ -64,6 +64,94 @@ object Corpus {
         ((col("cum") - col("n_tokens")) % capacity).cast("long").as("pack_offset"))
   }
 
+  /** Per-pack SLICES of the concat-then-cut layout: where `packSequences`
+    * reports which pack each doc starts in, this emits one row per
+    * (doc, pack) the doc intersects — `tok_start`/`tok_end` are the 0-based
+    * doc-relative token range landing in `pack_id`, so a boundary-crossing
+    * document yields one slice per pack it spans. Slices tile each document
+    * exactly and each pack holds exactly `capacity` tokens (except the last
+    * per shard). Same single per-shard cumsum shuffle as `packSequences`;
+    * the explode fan-out is ceil(n_tokens / capacity), i.e. output rows ≈
+    * corpus tokens / capacity extra — map-only after the window.
+    */
+  def packChunks(
+      docs: DataFrame,
+      capacity: Long,
+      shardCol: String = "source",
+      orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(orderCol), col(shardCol),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("strt", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col(orderCol), col(shardCol), col("n_tokens"), col("strt"),
+        explode(expr(
+          s"sequence(strt div ${capacity}L, (strt + n_tokens - 1) div ${capacity}L)"))
+          .as("pack_id"))
+      .select(col(orderCol), col(shardCol), col("pack_id"),
+        greatest(lit(0L), col("pack_id") * capacity - col("strt")).as("tok_start"),
+        least(col("n_tokens"), (col("pack_id") + 1) * capacity - col("strt")).as("tok_end"))
+      .withColumn("n_slice", col("tok_end") - col("tok_start"))
+  }
+
+  /** Rebalance the corpus to a target source mixture, deterministically.
+    * `weightsE6` = (source, w_e6) micro-weights summing to 1e6. The largest
+    * feasible total is T = min over sources of n_docs·1e6/w_e6 (integer
+    * division throughout — no doubles, so engine-deterministic and exact);
+    * each source keeps its quota w_e6·T/1e6, selected by md5-hash rank so
+    * the draw is reproducible at any parallelism and independent of row
+    * order. One count aggregate + one per-source rank window (a per-domain
+    * sort — the price of an EXACT quota; the approximate path would
+    * threshold on the hash like Sampling does); quotas broadcast back.
+    * Requires n_docs·1e6 and w_e6·T within long range — holds for any
+    * realistic corpus (n_docs < 9·10^12).
+    */
+  def mixSources(
+      docs: DataFrame,
+      weightsE6: DataFrame,
+      shardCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
+    val t = counts.join(weightsE6, shardCol)
+      .select(min(expr("n_docs * 1000000L div w_e6")).as("t_total"))
+    val quotas = counts.join(weightsE6, shardCol).crossJoin(broadcast(t))
+      .select(col(shardCol), expr("w_e6 * t_total div 1000000L").as("quota"))
+    docs
+      .select(col("doc_id"), col(shardCol),
+        expr(hashSql("cast(doc_id as string)")).as("h"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(col(shardCol)).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(quotas), Seq(shardCol))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("doc_id"), col(shardCol), col("rnk"))
+  }
+
+  /** Quality-ordered selection under a per-shard token budget: take
+    * documents in (quality_e6 DESC, doc_id) order while the running token
+    * sum stays within `budgetTokens` — "best docs first until the budget is
+    * spent", per source. One tokenize pass computes score and token count
+    * together; one per-shard window does the cumsum. The kept set is by
+    * construction a prefix of the per-source quality order.
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      budgetTokens: Long,
+      shardCol: String = "source"): DataFrame = {
+    val scored = Text.qualityScoredFromToks(
+      docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
+      keep = Seq(shardCol))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("quality_e6").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col(shardCol), col("n_tokens"), col("quality_e6"),
+        col("cum_tokens"))
+  }
+
   /** Corpus vocabulary: top-k terms by count with rank (count DESC, term ASC
     * — engine-deterministic) and cumulative coverage of the token stream.
     * One partial+final agg over the corpus; the window ranks only distinct
@@ -117,9 +205,25 @@ object Corpus {
   }
 
   val PackCapacity = 128L
+  val BudgetTokens = 600L
+
+  /** Skewed demo mixture: src0-9 get 7%, src10-19 get 3% (sums to 1e6
+    * micro-units). The synthetic table is uniform across its 20 sources, so
+    * a uniform target would keep everything — the skew makes quotas bite.
+    */
+  val MixTargetsE6: Seq[(String, Long)] =
+    (0 to 9).map(i => s"src$i" -> 70000L) ++ (10 to 19).map(i => s"src$i" -> 30000L)
+
+  private def mixWeightsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    MixTargetsE6.toDF("source", "w_e6")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), PackCapacity)),
+    "q_pack_chunks" -> ((s, d) => packChunks(Tables.documents(s, d), PackCapacity)),
+    "q_mix_sources" -> ((s, d) => mixSources(Tables.documents(s, d), mixWeightsDf(s))),
+    "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d), BudgetTokens)),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))))
 
@@ -137,6 +241,59 @@ object Corpus {
          |  CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
          |  CAST((cum - n_tokens) % $PackCapacity AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+
+    "q_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, source, len($duckToks) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS strt
+         |      FROM t),
+         |e AS (SELECT doc_id, source, n_tokens, strt,
+         |        unnest(generate_series(strt // $PackCapacity,
+         |                               (strt + n_tokens - 1) // $PackCapacity)) AS pack_id
+         |      FROM c WHERE n_tokens > 0)
+         |SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
+         |  CAST(greatest(0, pack_id * $PackCapacity - strt) AS BIGINT) AS tok_start,
+         |  CAST(least(n_tokens, (pack_id + 1) * $PackCapacity - strt) AS BIGINT) AS tok_end,
+         |  CAST(least(n_tokens, (pack_id + 1) * $PackCapacity - strt)
+         |       - greatest(0, pack_id * $PackCapacity - strt) AS BIGINT) AS n_slice
+         |FROM e""".stripMargin,
+
+    "q_mix_sources" -> {
+      val values = MixTargetsE6.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS v(source, w_e6)),
+         |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |tt AS (SELECT min(n_docs * 1000000 // w_e6) AS t_total FROM c JOIN w USING (source)),
+         |q AS (SELECT source, w_e6 * t_total // 1000000 AS quota
+         |      FROM w JOIN c USING (source) CROSS JOIN tt),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+         |      FROM (SELECT doc_id, source,
+         |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |            FROM documents))
+         |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+         |FROM r JOIN q USING (source) WHERE rnk <= quota""".stripMargin
+    },
+
+    "q_token_budget" -> {
+      val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+         |FROM t),
+         |q AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |              + 0.3 * least(1.0, stop_ratio * 5.0)
+         |              + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
+         |FROM s),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY quality_e6 DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, source, n_tokens, quality_e6, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $BudgetTokens""".stripMargin
+    },
 
     "q_vocab" ->
       s"""WITH t AS (SELECT unnest($duckToks) AS term FROM documents),

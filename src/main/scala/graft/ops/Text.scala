@@ -152,6 +152,26 @@ object Text {
         expr(s"cast(floor(($qualityExprSql) * 1000000.0) as bigint)").as("quality_e6"),
         expr(s"CASE WHEN $qualityExprSql >= 0.5 THEN 'keep' ELSE 'drop' END").as("verdict"))
 
+  /** (doc_id, [keep...], n_tokens, quality_e6): the quality score plus the
+    * token count it was computed from, with optional passthrough columns —
+    * selection operators (Corpus.tokenBudget) order by score and budget by
+    * tokens in one pass. Same formula and integer micro-rounding as
+    * `quality`.
+    */
+  private[ops] def qualityScoredFromToks(t: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    t.select(kept ++ Seq(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      round(hitCount("toks", stopwords).cast("double") / size(col("toks")), 6)
+        .as("stop_ratio"),
+      round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+        .as("uniq_ratio")): _*)
+      .select(kept ++ Seq(
+        col("doc_id"), col("n_tokens"),
+        expr(s"cast(floor(($qualityExprSql) * 1000000.0) as bigint)").as("quality_e6")): _*)
+  }
+
   /** Token-level repetition statistics (the Gopher-style repetition filters,
     * adapted to the token stream): duplicate-2-gram mass and immediate
     * token repeats. High values flag boilerplate/degenerate text that should

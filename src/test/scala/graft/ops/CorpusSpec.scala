@@ -44,6 +44,89 @@ class CorpusSpec extends SparkSpec {
     assert(v.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
   }
 
+  test("pack chunks tile every doc and fill every non-final pack to capacity") {
+    val c = 64L
+    val rows = Corpus.packChunks(docs, c).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // slices tile each doc: contiguous [tok_start, tok_end) starting at 0
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, slices) =>
+      val s = slices.sortBy(_._3)
+      assert(s.head._4 == 0L, "first slice starts at token 0")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, "slices must be contiguous")
+          assert(b._3 == a._3 + 1, "consecutive slices land in consecutive packs")
+        case _ =>
+      }
+      s.foreach { case (_, _, _, st, en, n) => assert(n == en - st && n > 0) }
+    }
+    // every pack except the last per shard holds exactly `capacity` tokens
+    val perPack = rows.groupBy(t => (t._1, t._3)).view.mapValues(_.map(_._6).sum)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val last = rs.map(_._3).max
+      rs.map(_._3).distinct.filter(_ < last).foreach { p =>
+        assert(perPack((src, p)) == c, s"pack $p of $src must be full")
+      }
+    }
+    // agrees with packSequences on where each doc starts
+    val starts = Corpus.packSequences(docs, c).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    rows.groupBy(t => (t._1, t._2)).foreach { case (k, slices) =>
+      val first = slices.minBy(_._3)
+      val (packId, off) = starts(k)
+      val nTokens = slices.map(_._6).sum
+      assert(first._3 == packId, "first slice pack must match packSequences pack_id")
+      // first slice runs from the packSequences offset to the pack edge (or doc end)
+      assert(first._6 == math.min(nTokens, c - off), "first slice length must match the start offset")
+    }
+  }
+
+  test("mix sources hits exact integer quotas, deterministically") {
+    val s = spark
+    import s.implicits._
+    val w = Corpus.MixTargetsE6.toDF("source", "w_e6")
+    val out = Corpus.mixSources(docs, w).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // recompute quotas independently: T = min(n*1e6/w), quota = w*T/1e6
+    val n = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wm = Corpus.MixTargetsE6.toMap
+    val t = wm.map { case (src, we6) => n(src) * 1000000L / we6 }.min
+    wm.foreach { case (src, we6) =>
+      val quota = we6 * t / 1000000L
+      assert(kept.getOrElse(src, 0L) == quota, s"source $src quota")
+    }
+    // mixture is deterministic: same selection regardless of partitioning
+    val again = Corpus.mixSources(docs.repartition(7), w).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("token budget keeps the per-source quality-order prefix within budget") {
+    val b = 400L
+    val out = Corpus.tokenBudget(docs, b).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= b, s"$src exceeds budget")
+      assert(rs.map(_._5).max <= b)
+    }
+    // prefix property: every kept doc outranks (quality DESC, doc_id) every dropped one
+    val all = Text.qualityScoredFromToks(
+      docs.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks")),
+      keep = Seq("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val keptIds = out.map(_._2).toSet
+    all.groupBy(_._1).foreach { case (_, ds) =>
+      val order = ds.sortBy(d => (-d._3, d._2)).map(_._2)
+      val keptHere = order.takeWhile(keptIds.contains)
+      assert(order.filter(keptIds.contains).toSeq == keptHere.toSeq,
+        "kept set must be a prefix of the quality order")
+    }
+  }
+
   test("vocabulary trims via TakeOrderedAndProject before the rank window") {
     val plan = Corpus.vocabulary(docs, topK = 100)
       .queryExecution.executedPlan.toString
