@@ -115,7 +115,9 @@ object Corpus {
     val counts = docs.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
     val t = counts.join(weightsE6, shardCol)
       .select(min(expr("n_docs * 1000000L div w_e6")).as("t_total"))
-    val quotas = counts.join(weightsE6, shardCol).crossJoin(broadcast(t))
+    // quota needs only (weight, T) — joining counts back in would re-scan the
+    // corpus for nothing (a weight entry with no corpus rows matches nothing)
+    val quotas = weightsE6.crossJoin(broadcast(t))
       .select(col(shardCol), expr("w_e6 * t_total div 1000000L").as("quota"))
     docs
       .select(col("doc_id"), col(shardCol),
