@@ -158,7 +158,7 @@ object Text {
     * tokens in one pass. Same formula and integer micro-rounding as
     * `quality`.
     */
-  private[ops] def qualityScoredFromToks(t: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+  private[graft] def qualityScoredFromToks(t: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val kept = keep.map(col)
     t.select(kept ++ Seq(
       col("doc_id"),

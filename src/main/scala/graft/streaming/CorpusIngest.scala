@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.ops.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous corpus ingestion: the batch cleaning pipeline's first stages as
+  * ONE streaming plan — quality gate, then exact dedup, then per-(window,
+  * source) admission stats for monitoring the feed.
+  *
+  * Capability target: the reference's central use case is a continuously
+  * deduplicating stream pipeline (README.md:59-131 — consume, dedupe via an
+  * Index, aggregate windowed stats, emit). Here each stage is the Spark-first
+  * form: the quality gate is a map-only filter (no state), dedup is
+  * `dropDuplicatesWithinWatermark` (state bounded by the watermark — an
+  * unbounded dropDuplicates would grow forever on a 100 TB feed), and the
+  * stats are a standard watermarked tumbling-window aggregate, so the whole
+  * pipeline is append-mode and runs on any number of executors.
+  *
+  * Determinism: the gate and fingerprint are hash/arithmetic over the row
+  * alone, so admission decisions equal the batch operators' on the same rows
+  * (keep-first within the watermark for duplicates) — spec'd by a
+  * stream-vs-batch cross-check in StreamingCorpusSpec.
+  */
+object CorpusIngest {
+
+  /** Quality threshold in micro-units: `quality_e6 >= 500000` is exactly the
+    * batch `verdict = 'keep'` cut (floor is monotone, so floor(v·1e6) ≥
+    * 500000 iff v ≥ 0.5).
+    */
+  val KeepThresholdE6 = 500000L
+
+  /** The gate must sit ABOVE the EventTimeWatermark node: the watermark
+    * tracks the raw feed's event time, so a stretch of all-rejected input
+    * still advances it (closing windows, evicting dedup state). A
+    * deterministic predicate would be pushed below the watermark node by
+    * PushPredicateThroughNonJoin, silently stalling time whenever the feed
+    * turns junk-heavy — same pin as StreamWindows' heartbeat filter.
+    */
+  private val gate = udf((q: Long) => q >= KeepThresholdE6).asNondeterministic()
+
+  /** docs: streaming (ts: timestamp, doc_id: long, source: string, text:
+    * string). Returns (win_start, source, n_docs, n_tokens) of ADMITTED docs
+    * per tumbling window.
+    */
+  def pipeline(
+      docs: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      windowDuration: String = "10 seconds"): DataFrame = {
+    val toks = docs.select(
+      col("ts"), col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("toks"))
+      // normalization collapses whitespace, so the joined token stream
+      // round-trips the normalized text exactly: this fp == Dedup.exact's
+      .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+    val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "source", "fp"))
+    scored
+      .withWatermark("ts", watermarkDelay)
+      .filter(gate(col("quality_e6")))
+      .dropDuplicatesWithinWatermark("fp")
+      .groupBy(window(col("ts"), windowDuration), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("window.start").as("win_start"), col("source"),
+        col("n_docs"), col("n_tokens"))
+  }
+}
