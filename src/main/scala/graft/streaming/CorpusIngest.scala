@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.Aggregators
 import graft.ops.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -62,5 +63,32 @@ object CorpusIngest {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .select(col("window.start").as("win_start"), col("source"),
         col("n_docs"), col("n_tokens"))
+  }
+
+  /** Per-window trending terms: the streaming analog of `Corpus.vocabulary`.
+    * Two CHAINED stateful aggregations in one append-mode plan — (window,
+    * term) counts, then per-window top-k via the same bounded partial top-k
+    * aggregator `tfidf` uses (map-side trims to ≤ k rows, so the second
+    * shuffle never carries a window's full term set; ties break by term ASC,
+    * engine-deterministic). Window-on-window grouping keeps both operators
+    * watermark-driven; a window's ranking emits once the watermark passes
+    * its end. Returns (win_start, term, n, rank).
+    */
+  def trendingTerms(
+      docs: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      windowDuration: String = "10 seconds",
+      topK: Int = 5): DataFrame = {
+    val topU = udaf(Aggregators.topKScored(topK))
+    docs
+      .select(col("ts"), explode(Text.tokens(col("text"))).as("term"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(topU(col("term"), col("n"), col("n").cast("double")).as("top"))
+      .select(col("window.start").as("win_start"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("win_start"), col("t.term").as("term"), col("t.tf").as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -74,6 +74,32 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending terms rank per closed window with deterministic tie-break") {
+    import spark.implicits._
+    val src = Sources.memoryStream[IngestDoc](spark)
+    val q = CorpusIngest.trendingTerms(src.toDS().toDF(), "5 seconds", "10 seconds", topK = 2)
+      .writeStream.format("memory").queryName("strend").outputMode("append").start()
+    try {
+      // window [0,10): cat x3, dog x2, ant x1 -> top2 = cat(3), dog(2)
+      // window [10,20): bee x2, ant x2 -> tie, term ASC -> ant, bee
+      src.addData(Seq(
+        IngestDoc(ts(1000), 1, "w", "cat cat dog"),
+        IngestDoc(ts(2000), 2, "w", "cat dog ant"),
+        IngestDoc(ts(11000), 3, "w", "bee ant bee ant")))
+      q.processAllAvailable()
+      src.addData(Seq(IngestDoc(ts(40000), 98, "w", "flush"))) // advance watermark
+      q.processAllAvailable()
+      src.addData(Seq(IngestDoc(ts(41000), 99, "w", "flush"))) // 2nd tick: chained agg
+      q.processAllAvailable()
+      val out = spark.table("strend").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4))
+      assert(out.toSeq == Seq(
+        (0L, "cat", 3L, 1L), (0L, "dog", 2L, 2L),
+        (10000L, "ant", 2L, 1L), (10000L, "bee", 2L, 2L)), out.mkString("; "))
+    } finally q.stop()
+  }
+
   test("a duplicate arriving AFTER the watermark passes is admitted again") {
     import spark.implicits._
     val src = Sources.memoryStream[IngestDoc](spark)
