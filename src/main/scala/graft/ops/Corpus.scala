@@ -50,12 +50,24 @@ object Corpus {
       docs: DataFrame,
       capacity: Long,
       shardCol: String = "source",
+      orderCol: String = "doc_id"): DataFrame =
+    packSequencesFromCounts(
+      docs.select(col(orderCol), col(shardCol),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      capacity, shardCol, orderCol)
+
+  /** `packSequences` over pre-computed token counts (orderCol, shardCol,
+    * n_tokens) — pipelines that already hold counts (Pipelines.trainPipeline
+    * after the budget stage) pack without re-tokenizing.
+    */
+  def packSequencesFromCounts(
+      counts: DataFrame,
+      capacity: Long,
+      shardCol: String = "source",
       orderCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(orderCol), col(shardCol),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    counts
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col(orderCol), col(shardCol), col("n_tokens"),
         // integral `div`, not `/`: the `/` operator is double division and a
@@ -140,10 +152,19 @@ object Corpus {
   def tokenBudget(
       docs: DataFrame,
       budgetTokens: Long,
-      shardCol: String = "source"): DataFrame = {
-    val scored = Text.qualityScoredFromToks(
+      shardCol: String = "source"): DataFrame =
+    tokenBudgetFromToks(
       docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
-      keep = Seq(shardCol))
+      budgetTokens, shardCol)
+
+  /** `tokenBudget` over a pre-tokenized (doc_id, shardCol, toks) projection —
+    * pipeline stages feed it from one shared tokenized scan.
+    */
+  def tokenBudgetFromToks(
+      t: DataFrame,
+      budgetTokens: Long,
+      shardCol: String = "source"): DataFrame = {
+    val scored = Text.qualityScoredFromToks(t, keep = Seq(shardCol))
     val w = Window.partitionBy(col(shardCol))
       .orderBy(col("quality_e6").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

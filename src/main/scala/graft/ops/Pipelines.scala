@@ -155,7 +155,35 @@ object Pipelines {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** The corpus build carried all the way to the TRAINING LAYOUT, one lazy
+    * plan: quality filter → exact dedup → decontamination → per-source token
+    * budget (best docs first) → sequence packing. This is what actually
+    * lands on disk before a training run — not a survivor list but a packed
+    * (doc, pack_id, offset) layout. Every stage is an independently
+    * oracle-verified operator; all selection branches feed from ONE
+    * tokenized scan (the layout windows run over the already-small budgeted
+    * set). Mixture reweighting (`Corpus.mixSources`) composes the same way
+    * when the budget should follow target weights instead of uniform caps.
+    */
+  def trainPipeline(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint(false)
+    val kept = Text.qualityFromToks(t).filter(col("verdict") === "keep").select(col("doc_id"))
+    val keptT = t.join(kept, Seq("doc_id"))
+    val reps = Dedup.exactFromToks(keptT).select(col("keep_id").as("doc_id"))
+    val contaminated = Curation.contaminationFromToks(t, Curation.BenchmarkFilter)
+      .select(col("doc_id"))
+    val clean = keptT.join(reps, Seq("doc_id"))
+      .filter(not(expr(Curation.BenchmarkFilter)))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val budgeted = Corpus.tokenBudgetFromToks(clean, Corpus.BudgetTokens)
+    Corpus.packSequencesFromCounts(
+      budgeted.select(col("doc_id"), col("source"), col("n_tokens")),
+      Corpus.PackCapacity)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_train" -> ((s, d) => trainPipeline(Tables.documents(s, d))),
     "q_agg_tc_quirks" -> ((s, d) => tcQuirkAggs(Tables.nation(s, d))),
     "q_agg_typed" -> ((s, d) => typedStats(Tables.lineitem(s, d))),
     "q_agg_salted" -> ((s, d) => saltedAgg(Tables.events(s, d))),
@@ -166,6 +194,45 @@ object Pipelines {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_pipeline_train" ->
+      s"""WITH toks AS (SELECT doc_id, text, source, string_split($normSql, ' ') AS t FROM documents),
+         |s AS (SELECT doc_id, text, source,
+         |        len(t) AS n_tokens,
+         |        round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to'))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+         |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio
+         |      FROM toks),
+         |sc AS (SELECT doc_id, text, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |        CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |                    + 0.3 * least(1.0, stop_ratio * 5.0)
+         |                    + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
+         |      FROM s),
+         |kept AS (SELECT * FROM sc WHERE quality_e6 >= 500000),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5($normSql)),
+         |sh AS (SELECT doc_id,
+         |         unnest([('0x' || substr(md5(g), 1, 15))::BIGINT
+         |                 for g in list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                                         for i in range(1, len(t) - 1)])]) AS sh
+         |       FROM toks WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (sh)
+         |                 WHERE NOT (doc_id < 20)),
+         |clean AS (SELECT k.doc_id, k.source, k.n_tokens, k.quality_e6
+         |          FROM kept k JOIN reps USING (doc_id)
+         |          WHERE NOT (doc_id < 20)
+         |            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |b AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY quality_e6 DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM clean),
+         |bud AS (SELECT doc_id, source, n_tokens FROM b WHERE cum <= ${Corpus.BudgetTokens}),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pcum
+         |      FROM bud)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST((pcum - n_tokens) // ${Corpus.PackCapacity} AS BIGINT) AS pack_id,
+         |  CAST((pcum - n_tokens) % ${Corpus.PackCapacity} AS BIGINT) AS pack_offset
+         |FROM p""".stripMargin,
+
     "q_agg_tc_quirks" ->
       """SELECT n_regionkey,
         |  round(CAST(sum(n_nationkey) AS DOUBLE) / count(*), 6) AS avg_tc,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
 
 class PipelinesSpec extends SparkSpec {
 
@@ -14,9 +15,38 @@ class PipelinesSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("train pipeline packs only budgeted survivors, packs laid out correctly") {
+    val docs = Tables.documents(spark, sf())
+    val out = Pipelines.trainPipeline(docs).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // per-source token mass within the budget; offsets within capacity
+    out.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= Corpus.BudgetTokens, s"$src over budget")
+      rs.foreach { case (_, _, _, _, off) =>
+        assert(off >= 0 && off < Corpus.PackCapacity)
+      }
+      // packing is the concat-then-cut cumsum over the budgeted set
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, _, n, packId, off) =>
+        assert(packId * Corpus.PackCapacity + off == cum)
+        cum += n
+      }
+    }
+    // packed docs are a subset of the clean survivor set (no dup, no
+    // benchmark, no contaminated, quality-kept): cross-check via operators
+    val t = docs.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+    val kept = Text.qualityFromToks(t).filter(col("verdict") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedIds = out.map(_._2).toSet
+    assert(packedIds.subsetOf(kept), "packed docs must all pass the quality gate")
+    assert(packedIds.forall(_ >= 20), "benchmark docs must not be packed")
+  }
+
   test("corpus pipelines scan documents once via the shared tokenized projection") {
     val docs = Tables.documents(spark, sf())
-    for (q <- Seq(Pipelines.corpusPipeline(docs), Pipelines.corpusPipelineNear(docs))) {
+    for (q <- Seq(Pipelines.corpusPipeline(docs), Pipelines.corpusPipelineNear(docs),
+        Pipelines.trainPipeline(docs))) {
       val plan = q.queryExecution.executedPlan.toString
       // every branch reads the localCheckpoint'd (doc_id, lang, toks) RDD;
       // the parquet scan happens once, inside that RDD's materialization
