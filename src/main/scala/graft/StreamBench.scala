@@ -1,14 +1,14 @@
 package graft
 
 import graft.sources.Sources
-import graft.streaming.StreamWindows
+import graft.streaming.{CorpusIngest, StreamWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming throughput micro-benchmark. Prints one JSON line with rows/sec.
   * Not part of the driver's Bench contract — run manually:
   *
-  *   tools/run_verify.sh graft.StreamBench [memory|file] [nRows] [batchRows]
+  *   tools/run_verify.sh graft.StreamBench [memory|file|ingest] [nRows] [batchRows]
   *
   * Two ingest shapes for the same query (hopping 1h/30m window sum — the
   * reference's flagship load, README.md:59-131):
@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *     `maxFilesPerTrigger`, the local stand-in for partitioned sources
   *     (Kafka): each micro-batch scans its files with all cores, so ingest
   *     parallelizes and the stateful operator becomes the bottleneck.
+  *
+  * `ingest` drives the corpus-ingest chain (quality gate -> watermarked
+  * exact dedup -> windowed admission stats, CorpusIngest.pipeline) over the
+  * file shape with synthetic documents at a 90% duplicate / ~8% junk mix —
+  * the throughput of three chained operators incl. tokenize+score, two
+  * state stores, and the nondeterministic gate pin.
   *
   * Env: SPARK_GRAFT_CPUS (default 8) cores + shuffle partitions;
   * SPARK_GRAFT_ROCKSDB=1 swaps HDFS-backed state for RocksDB, measuring the
@@ -54,8 +60,9 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val (rows, secs) = mode match {
-      case "file" => runFile(spark, total, batchSize, cpus.toInt)
-      case _      => runMemory(spark, total, batchSize)
+      case "file"   => runFile(spark, total, batchSize, cpus.toInt)
+      case "ingest" => runIngest(spark, total, batchSize, cpus.toInt)
+      case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
     println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","mode":"$mode","stateStore":"${if (rocksdb) "rocksdb" else "hdfs"}","rows":$rows,"secs":$secs%.3f}""")
@@ -97,6 +104,50 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     q.stop()
     (sent.toLong - batchSize, secs)
+  }
+
+  /** Synthetic document feed, built by executors: groups of 10 share one text
+    * (so watermark-bounded dedup admits ~1 in 10), every 13th is a short
+    * stopword-free doc the quality gate drops, 8 sources, event time 10
+    * ms/doc.
+    */
+  private def corpusDf(spark: SparkSession, from: Long, n: Long): DataFrame =
+    spark.range(from, from + n).select(
+      timestamp_millis(lit(Epoch) + col("id") * 10L).as("ts"),
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(8))).as("source"),
+      expr(
+        """case when id % 13 = 0 then 'zz qq xx'
+          |else concat('the quick brown fox number ', cast(id div 10 as string),
+          |  ' jumps over the lazy dog and the cat sleeps in the warm sun',
+          |  ' while the dog watches batch ', cast(id div 10 as string),
+          |  ' of the day and is in a good mood to run for a while longer')
+          |end""".stripMargin).as("text"))
+
+  /** The corpus-ingest chain over the partitioned-file shape. */
+  private def runIngest(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory("streambench-ingest").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    var from = 0L
+    while (from < total) {
+      val n = math.min(batchSize.toLong, total - from)
+      corpusDf(spark, from, n).repartition(filesPerChunk)
+        .write.mode("append").parquet(dir)
+      from += n
+    }
+    val schema = corpusDf(spark, 0, 1).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false")
+      .parquet(dir)
+    val t0 = System.nanoTime()
+    val q = CorpusIngest.pipeline(src, "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("sbi").outputMode("append").start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (total.toLong, secs)
   }
 
   /** Partitioned-ingest shape: each event-time-contiguous chunk is written as
