@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   *     an inverted-index equi-join on shingle hash — the corpus-level dedup
   *     diagnostic ("how much does crawl A duplicate crawl B"). No pair of
   *     sources is ever materialized against the full corpus; the join
-  *     carries (shingle, source) ids only. At web scale a df-cut (drop
-  *     shingles present in nearly every source) bounds the hot-key fan-out;
-  *     with 20 synthetic sources the exact join is the oracle-checkable
+  *     carries (shingle, source) ids only. `maxDf` drops shingles present
+  *     in more than that many sources before the self-join — the hot-key
+  *     bound at web scale; the default keeps the exact oracle-checkable
   *     form.
   *
   * The reference has no corpus layer (its tables are streams); these extend
@@ -207,13 +207,26 @@ object Corpus {
     * carries 8-byte hashes + source ids, never text, and per-source set
     * sizes come from one small aggregate joined back by source.
     */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
-    val sh = docs
+  def sourceOverlap(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = docs
       .select(col("source"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
       .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    // document-frequency cut: a shingle present in more than `maxDf` sources
+    // contributes maxDf² join rows while saying nothing about any PAIR —
+    // dropping them bounds hot-key fan-out at web scale. The filter reuses
+    // the same (source, sh) exchange the join consumes. Set sizes are
+    // counted BEFORE the cut so jaccard denominators stay exact; the cut
+    // only loses shared-count mass from near-universal shingles.
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else {
+        val w = Window.partitionBy(col("sh"))
+        sh0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxDf).drop("df")
+      }
+    val sizes = sh0.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("src_a"), col("sh"))
     val b = sh.select(col("source").as("src_b"), col("sh"))
     a.join(b, Seq("sh"))

@@ -127,6 +127,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("source overlap df-cut only removes near-universal shingle mass") {
+    val exact = Corpus.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // maxDf = #sources: cut is a no-op, result identical to the exact form
+    val nSrc = docs.select(col("source")).distinct().count().toInt
+    val uncut = Corpus.sourceOverlap(docs, maxDf = nSrc).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(uncut == exact)
+    // aggressive cut: shared counts can only shrink (never grow, never add pairs)
+    val cut = Corpus.sourceOverlap(docs, maxDf = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cut.foreach { case (pair, n) =>
+      assert(exact.contains(pair) && n <= exact(pair), s"pair $pair grew under the cut")
+    }
+  }
+
   test("vocabulary trims via TakeOrderedAndProject before the rank window") {
     val plan = Corpus.vocabulary(docs, topK = 100)
       .queryExecution.executedPlan.toString
