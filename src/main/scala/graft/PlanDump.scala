@@ -1,6 +1,11 @@
 package graft
 
-/** Throwaway: print executed plans for named queries. Usage: graft.PlanDump q1 q2 ... */
+/** Diagnostic main (NOT part of the driver contract, never in a data path):
+  * prints the EXECUTED plan of named queries for the PLANS.md audits. The
+  * collect() exists only to materialize the query so AQE's final plan — the
+  * one that actually ran — is what gets printed, not the initial estimate.
+  * Usage: tools/run_verify.sh graft.PlanDump q1 q2 ...
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

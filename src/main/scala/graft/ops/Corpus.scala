@@ -175,6 +175,24 @@ object Corpus {
         col("cum_tokens"))
   }
 
+  /** Decile histogram of the quality score — the calibration view consulted
+    * before choosing a keep threshold (what fraction of docs and of token
+    * mass sits in each score band). One tokenize pass + one 10-group
+    * aggregate; the doc fraction joins in as a broadcast 1-row total. All
+    * binning is integral (`div` on micro-units), engine-deterministic.
+    */
+  def qualityHistogram(docs: DataFrame): DataFrame = {
+    val scored = Text.qualityScoredFromToks(
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("toks")))
+    val h = scored
+      .groupBy(least(lit(9L), expr("quality_e6 div 100000")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = h.agg(sum(col("n_docs")).as("tot"))
+    h.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("tot"), 6).as("doc_frac"))
+  }
+
   /** Corpus vocabulary: top-k terms by count with rank (count DESC, term ASC
     * — engine-deterministic) and cumulative coverage of the token stream.
     * One partial+final agg over the corpus; the window ranks only distinct
@@ -260,6 +278,7 @@ object Corpus {
     "q_pack_chunks" -> ((s, d) => packChunks(Tables.documents(s, d), PackCapacity)),
     "q_mix_sources" -> ((s, d) => mixSources(Tables.documents(s, d), mixWeightsDf(s))),
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d), BudgetTokens)),
+    "q_quality_hist" -> ((s, d) => qualityHistogram(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))))
 
@@ -329,6 +348,28 @@ object Corpus {
          |      FROM q)
          |SELECT doc_id, source, n_tokens, quality_e6, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= $BudgetTokens""".stripMargin
+    },
+
+    "q_quality_hist" -> {
+      val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+         |FROM t),
+         |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |              + 0.3 * least(1.0, stop_ratio * 5.0)
+         |              + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
+         |FROM s),
+         |h AS (SELECT least(9, quality_e6 // 100000) AS bucket,
+         |        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |      FROM q GROUP BY 1),
+         |tot AS (SELECT sum(n_docs) AS tot FROM h)
+         |SELECT bucket, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_frac
+         |FROM h CROSS JOIN tot""".stripMargin
     },
 
     "q_vocab" ->

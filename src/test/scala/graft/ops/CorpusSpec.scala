@@ -127,6 +127,18 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("quality histogram covers every doc exactly once across buckets 0-9") {
+    val h = Corpus.qualityHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(h.nonEmpty)
+    h.foreach { case (b, n, toks, _) =>
+      assert(b >= 0 && b <= 9); assert(n > 0 && toks > 0)
+    }
+    assert(h.map(_._1).distinct.length == h.length, "one row per bucket")
+    assert(h.map(_._2).sum == docs.count(), "every doc in exactly one bucket")
+    assert(math.abs(h.map(_._4).sum - 1.0) < 1e-4, "doc fractions sum to 1")
+  }
+
   test("source overlap df-cut only removes near-universal shingle mass") {
     val exact = Corpus.sourceOverlap(docs).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
