@@ -211,7 +211,36 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-label embedding drift: each label's mean vector vs the global
+    * centroid, as cosine. The domain-shift diagnostic run before mixing
+    * corpora: a label whose centroid points away from the corpus centroid is
+    * distributionally distinct. Distributed shape: posexplode to (label,
+    * idx, v) and average per component — two partial+final aggs (never a
+    * vector collect), the per-label and global component means join on the
+    * 64-row idx key, and the cosine folds per label. Component means are
+    * rounded to 6 dp BEFORE the cosine (the k-means determinism trick:
+    * partial-agg fold-order ulps vanish, so engine and oracle see identical
+    * inputs to the product sums).
+    */
+  def embeddingDrift(embs: DataFrame): DataFrame = {
+    val e = embs.select(col("label").cast("long").as("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("idx"), col("v").cast("double").as("v"))
+    val lm = e.groupBy(col("label"), col("idx")).agg(round(avg(col("v")), 6).as("m"))
+    val gm = e.groupBy(col("idx")).agg(round(avg(col("v")), 6).as("g"))
+    val n = embs.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    lm.join(broadcast(gm), Seq("idx"))
+      .groupBy(col("label"))
+      .agg(sum(col("m") * col("g")).as("dot"),
+        sum(col("m") * col("m")).as("nm"), sum(col("g") * col("g")).as("ng"))
+      .join(broadcast(n), Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("dot") / (sqrt(col("nm")) * sqrt(col("ng"))), 6).as("cos_to_global"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
     "q_knn_brute" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -258,6 +287,19 @@ object Similarity {
       }).mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_drift" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, i AS idx,
+        |             CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings, generate_series(1, 64) AS t(i)),
+        |lm AS (SELECT label, idx, round(avg(v), 6) AS m FROM e GROUP BY 1, 2),
+        |gm AS (SELECT idx, round(avg(v), 6) AS g FROM e GROUP BY 1),
+        |c AS (SELECT label, sum(m * g) AS dot, sum(m * m) AS nm, sum(g * g) AS ng
+        |      FROM lm JOIN gm USING (idx) GROUP BY 1),
+        |n AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs
+        |      FROM embeddings GROUP BY 1)
+        |SELECT label, n_vecs, round(dot / (sqrt(nm) * sqrt(ng)), 6) AS cos_to_global
+        |FROM c JOIN n USING (label)""".stripMargin,
+
     "q_knn_ivf_kmeans" ->
       s"""WITH $duckNormCte,
          |${duckLloydCtes(TrainIters)},

@@ -85,6 +85,29 @@ class SimilaritySpec extends SparkSpec {
     assert(maxCell(Similarity.trainedCentroids(e)) <= maxCell(seed))
   }
 
+  test("embedding drift matches a driver-side centroid computation") {
+    val out = Similarity.embeddingDrift(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, cos) =>
+      assert(n > 0); assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // brute force one label on the driver from the raw vectors
+    val raw = embs.collect().map(r =>
+      (r.getAs[Number]("label").longValue(), r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)))
+    val lbl = raw.head._1
+    val dim = raw.head._2.length
+    def mean(vs: Seq[Seq[Double]]): Seq[Double] =
+      (0 until dim).map(i => BigDecimal(vs.map(_(i)).sum / vs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val m = mean(raw.filter(_._1 == lbl).map(_._2).toSeq)
+    val g = mean(raw.map(_._2).toSeq)
+    val dot = m.zip(g).map { case (a, b) => a * b }.sum
+    val cosExpect = dot / (math.sqrt(m.map(x => x * x).sum) * math.sqrt(g.map(x => x * x).sum))
+    val got = out.find(_._1 == lbl).get._3
+    assert(math.abs(got - cosExpect) < 1e-5, s"label $lbl: $got vs $cosExpect")
+  }
+
   test("normalized vectors have unit norm") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions
