@@ -29,10 +29,21 @@ class StreamingCorpusSpec extends SparkSpec {
     IngestDoc(ts(12000), 5, "web", good2)) // next window, fp seen before 12s watermark
 
   test("streaming ingest admits exactly what the batch gate + dedup admit") {
+    runAdmissionScenario("scorpus")
+  }
+
+  test("ingest chain (two stateful operators) runs on the RocksDB state store") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.GraftSession.RocksDbProvider)
+    try runAdmissionScenario("scorpus_rocks")
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private def runAdmissionScenario(name: String): Unit = {
     import spark.implicits._
     val src = Sources.memoryStream[IngestDoc](spark)
     val q = CorpusIngest.pipeline(src.toDS().toDF(), "10 seconds", "10 seconds")
-      .writeStream.format("memory").queryName("scorpus").outputMode("append").start()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       src.addData(rows.take(4))
       q.processAllAvailable()
@@ -45,7 +56,7 @@ class StreamingCorpusSpec extends SparkSpec {
       src.addData(Seq(IngestDoc(ts(61000), 98, "web", junk)))
       q.processAllAvailable()
 
-      val out = spark.table("scorpus").collect()
+      val out = spark.table(name).collect()
         .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3)))
         .sortBy(t => (t._1, t._2))
 
