@@ -175,6 +175,29 @@ object Corpus {
         col("cum_tokens"))
   }
 
+  /** Per-document novelty: the fraction of a doc's distinct shingles whose
+    * FIRST appearance (minimum doc_id) in the corpus is this doc — "how much
+    * new content does each doc contribute", the curation diagnostic that
+    * separates originals from recombinations where pairwise dedup sees
+    * nothing. Inverted-index shape like `sourceOverlap`: distinct (doc,
+    * shingle-hash) pairs, a min-doc aggregate per shingle, one hash-keyed
+    * join back — shuffles carry 8-byte hashes + ids, never text.
+    */
+  def novelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
+      .distinct()
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Decile histogram of the quality score — the calibration view consulted
     * before choosing a keep threshold (what fraction of docs and of token
     * mass sits in each score band). One tokenize pass + one 10-group
@@ -279,6 +302,7 @@ object Corpus {
     "q_mix_sources" -> ((s, d) => mixSources(Tables.documents(s, d), mixWeightsDf(s))),
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d), BudgetTokens)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(Tables.documents(s, d))),
+    "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))))
 
@@ -349,6 +373,21 @@ object Corpus {
          |SELECT doc_id, source, n_tokens, quality_e6, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= $BudgetTokens""".stripMargin
     },
+
+    "q_text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |shl AS (SELECT doc_id,
+         |          unnest([('0x' || substr(md5(g), 1, 15))::BIGINT
+         |                  for g in list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                          for i in range(1, len(toks) - 1)])]) AS sh
+         |        FROM t WHERE len(toks) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM shl),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS novelty
+         |FROM sh JOIN f USING (sh) GROUP BY 1""".stripMargin,
 
     "q_quality_hist" -> {
       val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")

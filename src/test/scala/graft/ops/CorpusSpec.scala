@@ -127,6 +127,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("novelty: first doc contributes all-new shingles; fractions bounded") {
+    val out = Corpus.novelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, novel, frac) =>
+      assert(novel >= 0 && novel <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the lowest doc_id in the output has no earlier doc: everything is novel
+    val firstDoc = out.minBy(_._1)
+    assert(firstDoc._3 == firstDoc._2 && firstDoc._4 == 1.0,
+      "first doc must be 100% novel")
+  }
+
   test("quality histogram covers every doc exactly once across buckets 0-9") {
     val h = Corpus.qualityHistogram(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
