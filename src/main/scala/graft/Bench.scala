@@ -28,9 +28,23 @@ object Bench {
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Between queries, release executor storage held by localCheckpoint():
+    // the iterative operators (k-means, connected components, the shared
+    // tokenized scan in the pipelines) each leave checkpoint RDD blocks in
+    // storage memory that are reclaimed only when the driver GC collects the
+    // RDD reference. Across 75 warm-ups + 225 timed runs that accumulation
+    // evicted the working set and inflated the heavy queries ~2.6-2.9x versus
+    // isolation (round-6 verdict). Unpersisting directly is deterministic.
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     // warm-up pass (untimed)
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      sweep()
     }
     // A failed query must be LOUD: it reports {"err": ...} instead of a
     // timing, never a number that shrinks the total, and fails the process
@@ -42,6 +56,7 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        sweep()
         name -> Right(times.sorted)
       } catch {
         case e: Throwable =>
@@ -65,8 +80,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // Also persist the line: the driver scrapes a bounded stdout tail, which
-    // truncated round 5's artifact mid-JSON. The file is the durable copy.
+    // The driver scrapes a bounded stdout tail, which truncated the big line
+    // mid-JSON in rounds 5 and 6. Print a second SHORT summary line AFTER it
+    // so any bounded tail always ends with a parseable headline, and persist
+    // the full line to a file as the durable copy.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

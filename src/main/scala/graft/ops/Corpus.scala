@@ -1,9 +1,11 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Corpus-level operators that close the gap between a cleaned document set
   * and a training run:
@@ -11,10 +13,10 @@ import org.apache.spark.sql.functions._
   *   - sequence PACKING: the standard "concatenate then cut at the context
   *     length" layout — assign each document a pack id and offset within a
   *     fixed token budget, deterministically. Packing is inherently
-  *     sequential, so the distributed shape is per-shard (here: per source)
-  *     cumulative sums — each shard packs independently in parallel, which
-  *     is exactly how a 100 TB corpus is packed in practice (per input
-  *     shard/domain), and a plain window cumsum expresses it.
+  *     sequential per shard (here: per source), but the running sum itself
+  *     is computed as a two-level prefix sum (`shardedCumsum`) — so even a
+  *     corpus arriving as a handful of coarse sources spreads across the
+  *     cluster instead of funneling each shard through one window task.
   *   - VOCABULARY building: term counts with rank and cumulative coverage —
   *     the tokenizer-training statistic. Heavy lifting is one partial+final
   *     aggregate over exploded tokens; the rank/coverage window runs over
@@ -40,11 +42,85 @@ object Corpus {
     "array_distinct(transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
 
+  /** Per-shard running sum of `valueCol` in `order` within each `shardCol`
+    * shard — the primitive behind the packing/budget layouts — as a
+    * TWO-LEVEL prefix sum instead of a single `Window.partitionBy(shard)`
+    * cumsum. The plain window funnels each shard's entire stream through ONE
+    * task: fine when a corpus has many fine shards, a single-task bottleneck
+    * when 100 TB arrives as a handful of coarse sources. Here instead:
+    *
+    *   1. range-repartition by (shard, order): a shard's rows land in
+    *      consecutive, individually-bounded partitions no matter how few
+    *      shards there are;
+    *   2. one mapPartitions pass computes the partition-LOCAL running sum
+    *      (resetting at shard boundaries) plus the partition id — no
+    *      shuffle, stays in the range layout;
+    *   3. per-(shard, partition) totals — at most one row per (shard,
+    *      partition) pair survives the map-side partial agg — get a
+    *      per-shard running offset via a window over that tiny table;
+    *   4. offsets broadcast-join back on (shard, pid):
+    *      cum = local + offset.
+    *
+    * Output = input columns + `outCol` (LongType), with values identical to
+    * the one-window form for ANY partition boundaries (the local sums and
+    * offsets telescope), so the oracle results are unchanged — asserted in
+    * CorpusSpec against the naive window on both multi- and single-shard
+    * inputs. The range exchange is the only full-data shuffle; Spark reuses
+    * it across the totals and join branches (ReusedExchange).
+    */
+  private[ops] def shardedCumsum(
+      df: DataFrame,
+      valueCol: String,
+      shardCol: String,
+      order: Seq[Column],
+      outCol: String): DataFrame = {
+    val shardIdx = df.columns.indexOf(shardCol)
+    val valIdx = df.columns.indexOf(valueCol)
+    require(shardIdx >= 0 && valIdx >= 0, s"missing $shardCol or $valueCol")
+    // Explicit partition count: an advisory-size range exchange would let AQE
+    // coalesce a small input back to ONE partition — exactly the funnel this
+    // operator exists to avoid (same pin as Dedup's bucket repartitions).
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(n, col(shardCol) +: order: _*)
+      .sortWithinPartitions(col(shardCol) +: order: _*)
+    val localSchema = df.schema.add("__pid", IntegerType, nullable = false)
+      .add(outCol, LongType, nullable = false)
+    // localCheckpoint pins the partition-id assignment: the totals branch and
+    // the join-back branch BOTH read this one materialized RDD. Without it,
+    // each branch may recompute the range exchange with independently SAMPLED
+    // bounds (RangePartitioner seeds differ per instance), assigning rows to
+    // different pids — the offsets join would then silently drop rows. Same
+    // lineage-pinning idiom as the k-means/CC iterations.
+    val local = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var first = true
+      var shard: Any = null
+      var run = 0L
+      it.map { r =>
+        val s = r.get(shardIdx)
+        if (first || s != shard) { run = 0L; shard = s; first = false }
+        run += r.get(valIdx).asInstanceOf[Number].longValue
+        Row.fromSeq(r.toSeq :+ pid :+ run)
+      }
+    }(Encoders.row(localSchema)).localCheckpoint(false)
+    val wOff = Window.partitionBy(col(shardCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = local.groupBy(col(shardCol), col("__pid"))
+      .agg(max(col(outCol)).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
+      .select(col(shardCol), col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq(shardCol, "__pid"))
+      .withColumn(outCol, col(outCol) + col("__off"))
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+
   /** Concat-then-cut packing of whole documents into `capacity`-token packs,
     * per `shardCol` shard in `orderCol` order: pack_id = which pack this
     * doc STARTS in, pack_offset = its token offset within the running
-    * concatenation. Map-only except one per-shard window cumsum (shards
-    * pack in parallel; the order column must be a total order per shard).
+    * concatenation. Map-only except the two-level per-shard prefix sum
+    * (`shardedCumsum` — scales with partitions, not shards; the order
+    * column must be a total order per shard).
     */
   def packSequences(
       docs: DataFrame,
@@ -64,17 +140,13 @@ object Corpus {
       counts: DataFrame,
       capacity: Long,
       shardCol: String = "source",
-      orderCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      orderCol: String = "doc_id"): DataFrame =
+    shardedCumsum(counts, "n_tokens", shardCol, Seq(col(orderCol)), "cum")
       .select(col(orderCol), col(shardCol), col("n_tokens"),
         // integral `div`, not `/`: the `/` operator is double division and a
         // shard cumsum past 2^53 tokens would lose exactness in the cast
         expr(s"(cum - n_tokens) div ${capacity}L").as("pack_id"),
         ((col("cum") - col("n_tokens")) % capacity).cast("long").as("pack_offset"))
-  }
 
   /** Per-pack SLICES of the concat-then-cut layout: where `packSequences`
     * reports which pack each doc starts in, this emits one row per
@@ -82,21 +154,19 @@ object Corpus {
     * doc-relative token range landing in `pack_id`, so a boundary-crossing
     * document yields one slice per pack it spans. Slices tile each document
     * exactly and each pack holds exactly `capacity` tokens (except the last
-    * per shard). Same single per-shard cumsum shuffle as `packSequences`;
+    * per shard). Same two-level `shardedCumsum` shape as `packSequences`;
     * the explode fan-out is ceil(n_tokens / capacity), i.e. output rows ≈
-    * corpus tokens / capacity extra — map-only after the window.
+    * corpus tokens / capacity extra — map-only after the prefix sum.
     */
   def packChunks(
       docs: DataFrame,
       capacity: Long,
       shardCol: String = "source",
       orderCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(orderCol), col(shardCol),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("strt", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val counts = docs.select(col(orderCol), col(shardCol),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    shardedCumsum(counts, "n_tokens", shardCol, Seq(col(orderCol)), "cum")
+      .withColumn("strt", col("cum") - col("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col(orderCol), col(shardCol), col("n_tokens"), col("strt"),
         explode(expr(
@@ -124,12 +194,25 @@ object Corpus {
       docs: DataFrame,
       weightsE6: DataFrame,
       shardCol: String = "source"): DataFrame = {
+    // Validation is IN-PLAN (raise_error), not a driver-side action: a
+    // non-positive w_e6 hits integer division by zero (NULL — silently
+    // skipped by min), and a weight source absent from the corpus would drop
+    // out of the join and leave t_total unconstrained while its own quota
+    // stays unattainable. Both now fail loudly when the plan executes.
+    val weights = weightsE6.select(
+      col(shardCol),
+      when(col("w_e6") > 0, col("w_e6")).otherwise(raise_error(
+        concat(lit("mixSources: w_e6 must be > 0 for source "),
+          col(shardCol).cast("string")))).as("w_e6"))
     val counts = docs.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
-    val t = counts.join(weightsE6, shardCol)
-      .select(min(expr("n_docs * 1000000L div w_e6")).as("t_total"))
+    val t = weights.join(counts, Seq(shardCol), "left")
+      .select(min(when(col("n_docs").isNotNull,
+        expr("n_docs * 1000000L div w_e6")).otherwise(raise_error(
+        concat(lit("mixSources: weight source absent from corpus: "),
+          col(shardCol).cast("string"))))).as("t_total"))
     // quota needs only (weight, T) — joining counts back in would re-scan the
-    // corpus for nothing (a weight entry with no corpus rows matches nothing)
-    val quotas = weightsE6.crossJoin(broadcast(t))
+    // corpus for nothing
+    val quotas = weights.crossJoin(broadcast(t))
       .select(col(shardCol), expr("w_e6 * t_total div 1000000L").as("quota"))
     docs
       .select(col("doc_id"), col(shardCol),
@@ -146,7 +229,8 @@ object Corpus {
     * documents in (quality_e6 DESC, doc_id) order while the running token
     * sum stays within `budgetTokens` — "best docs first until the budget is
     * spent", per source. One tokenize pass computes score and token count
-    * together; one per-shard window does the cumsum. The kept set is by
+    * together; the running sum is the two-level `shardedCumsum` (quality
+    * order within shard), safe on coarse shards. The kept set is by
     * construction a prefix of the per-source quality order.
     */
   def tokenBudget(
@@ -165,11 +249,8 @@ object Corpus {
       budgetTokens: Long,
       shardCol: String = "source"): DataFrame = {
     val scored = Text.qualityScoredFromToks(t, keep = Seq(shardCol))
-    val w = Window.partitionBy(col(shardCol))
-      .orderBy(col("quality_e6").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    shardedCumsum(scored, "n_tokens", shardCol,
+      Seq(col("quality_e6").desc, col("doc_id")), "cum_tokens")
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col(shardCol), col("n_tokens"), col("quality_e6"),
         col("cum_tokens"))
@@ -304,7 +385,15 @@ object Corpus {
     "q_quality_hist" -> ((s, d) => qualityHistogram(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
-    "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))))
+    "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    // the SCALE path: df-cut before the self-join (hot-shingle bound); the
+    // oracle applies the identical cut so the row is hash-checkable
+    "q_source_overlap_cut" -> ((s, d) => sourceOverlap(Tables.documents(s, d), maxDf = OverlapMaxDf)))
+
+  /** df-cut for the oracle-checked scale variant: 12 of the demo's 20
+    * sources, low enough that the cut provably bites at every sf.
+    */
+  val OverlapMaxDf = 12
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -434,6 +523,25 @@ object Corpus {
          |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
          |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
          |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (x.n_sh + y.n_sh - n_shared), 6) AS jaccard
+         |FROM p JOIN sizes x ON x.source = p.src_a JOIN sizes y ON y.source = p.src_b""".stripMargin,
+
+    "q_source_overlap_cut" ->
+      s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+         |shl AS (SELECT source,
+         |          unnest([('0x' || substr(md5(g), 1, 15))::BIGINT
+         |                  for g in list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                          for i in range(1, len(toks) - 1)])]) AS sh
+         |        FROM t WHERE len(toks) >= 3),
+         |sh AS (SELECT DISTINCT source, sh FROM shl),
+         |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+         |cut AS (SELECT source, sh FROM
+         |          (SELECT source, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+         |        WHERE df <= $OverlapMaxDf),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |      FROM cut a JOIN cut b ON a.sh = b.sh AND a.source < b.source
          |      GROUP BY 1, 2)
          |SELECT src_a, src_b, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / (x.n_sh + y.n_sh - n_shared), 6) AS jaccard

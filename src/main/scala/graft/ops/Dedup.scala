@@ -276,6 +276,23 @@ object Dedup {
     * (not language blocking) bounding the pair count, i.e. recall is that of
     * `minhashCandidates` (any band of 4/16 minhashes colliding).
     */
+  /** Combined near-dup signature per doc — the 16 minhashes (LSH banding)
+    * AND the sorted 60-bit shingle hashes (exact verification) — with ONE
+    * md5 per shingle. `streaming.NearDupStream` consumes this so its
+    * banding and verification are bit-identical to the batch
+    * `lshVerifiedPairs` chain; `keep` carries pass-through columns (event
+    * time). Map-only.
+    */
+  def nearDupSignaturesFromToks(t: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    t.filter(size(col("toks")) >= 3)
+      .select(keep.map(col) ++ Seq(col("doc_id"),
+        expr(s"transform($shinglesSql, s -> ${hashSql("s")})").as("h60")): _*)
+      .select(keep.map(col) ++ Seq(col("doc_id"),
+        GraftFunctions.minhashes(
+          expr(s"transform(h60, h -> h % ${MersennePrime}L)"),
+          permCoeffs, MersennePrime).as("mh"),
+        expr("array_sort(h60)").as("hs")): _*)
+
   def lshVerifiedPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
     lshVerifiedPairsFromToks(tokenize(docs), threshold)
 
@@ -323,11 +340,17 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(false)
-    def checksum(df: DataFrame): (Long, Option[Long]) = {
+    def checksum(df: DataFrame): (Long, Option[Long], Option[Long]) = {
       // bit_xor, not sum: overflow-free under ANSI mode and order-insensitive
-      // over the distinct edge set
-      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      // over the distinct edge set. TWO independent digests (the second mixes
+      // a constant into every hash input): one 64-bit xor collision between
+      // DIFFERENT edge sets would declare false convergence and silently emit
+      // wrong clusters; requiring both digests to collide squares those odds
+      // away. Still one job, one driver row.
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(7L, u, v))")).head()
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), opt(1), opt(2))
     }
     var prev = checksum(e)
     var converged = prev._1 == 0L

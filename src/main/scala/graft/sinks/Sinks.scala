@@ -72,7 +72,15 @@ object Sinks {
           throw e
         case e: Exception if attempt < maxAttempts =>
           onFailure(attempt, delay, e)
-          sleep(delay)
+          // Thread.sleep CLEARS the interrupt flag when it throws; restore it
+          // so the shutdown-passthrough contract holds even when the
+          // interrupt lands mid-backoff rather than mid-write.
+          try sleep(delay)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw ie
+          }
           delay *= 2
           attempt += 1
       }
@@ -108,14 +116,25 @@ object Sinks {
       batch.write.mode("append").jdbc(url, table, props)
     }
 
-  /** Kafka sink: rows → JSON payload; `__time__` becomes the record key and
-    * is dropped from the payload (KafkaOutputTable.java:37-178 semantics).
+  /** Wire-format half of the Kafka sink: rows → (key, value) records;
+    * `__time__` becomes the record key and is dropped from the JSON payload
+    * (KafkaOutputTable.java:37-178 semantics). Public because it is the
+    * testable half — the round-trip spec feeds it straight into
+    * `Sources.kafkaJsonParse` (the source's wire-format half), verifying the
+    * full record contract without the absent broker.
     */
-  def kafkaJsonSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[Row] = {
+  def kafkaJsonPayload(df: DataFrame): DataFrame = {
     val payloadCols = df.columns.filterNot(_ == "__time__").map(col)
     df.select(
       col("__time__").cast("string").as("key"),
       to_json(struct(payloadCols.toSeq: _*)).as("value"))
+  }
+
+  /** Kafka sink: rows → JSON payload; `__time__` becomes the record key and
+    * is dropped from the payload (KafkaOutputTable.java:37-178 semantics).
+    */
+  def kafkaJsonSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[Row] = {
+    kafkaJsonPayload(df)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)

@@ -72,8 +72,13 @@ object Sources {
   /** JSON-value projection shared by the streaming and bounded Kafka readers:
     * value parsed by declared schema (the reference's `columnTypeMap`),
     * record timestamp → `__time__` epoch-ms, reserved metadata columns.
+    * Public because it IS the testable half of the Kafka source: everything
+    * from the wire record (value, topic, timestamp) to typed rows is this
+    * function; only the broker I/O itself (`format("kafka").load`) needs a
+    * broker — see the round-trip spec in SourcesSinksSpec and the "Kafka
+    * verification boundary" note in README.
     */
-  private def kafkaProject(raw: DataFrame, schema: StructType): DataFrame =
+  def kafkaJsonParse(raw: DataFrame, schema: StructType): DataFrame =
     raw
       .select(
         from_json(col("value").cast("string"), schema).as("j"),
@@ -96,7 +101,7 @@ object Sources {
     kafkaOptions(bootstrap, topic, startingOffsets, consumeFromSec).foreach {
       case (k, v) => reader.option(k, v)
     }
-    kafkaProject(reader.load(), schema)
+    kafkaJsonParse(reader.load(), schema)
   }
 
   /** Bounded BATCH replay of a Kafka topic between two epoch-second points —
@@ -115,7 +120,7 @@ object Sources {
     val reader = spark.read.format("kafka")
     kafkaOptions(bootstrap, topic, consumeFromSec = consumeFromSec, consumeToSec = consumeToSec)
       .foreach { case (k, v) => reader.option(k, v) }
-    kafkaProject(reader.load(), schema)
+    kafkaJsonParse(reader.load(), schema)
   }
 
   /** Partitioned JDBC scan — the reference stripes `LIMIT start,batch` pages

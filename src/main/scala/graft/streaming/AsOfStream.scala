@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -154,15 +154,24 @@ object AsOfStream {
     val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
 
+    // Event time → epoch MILLIS. A bare cast("long") on a TimestampType
+    // column yields epoch SECONDS, silently coarsening event time to 1 s and
+    // diverging from batch `ops.AsOf.asofJoin` (which orders on the raw
+    // column with sub-second precision) — timestamps go through unix_millis
+    // instead. Integral columns pass through in the caller's own unit.
+    def toMillis(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_millis(col(c))
+      case _ => col(c).cast("long")
+    }
     val taggedLeft = left.select(
       struct(keys.map(col): _*).as("__k"),
-      col(leftTime).cast("long").as("__t"),
+      toMillis(left, leftTime).as("__t"),
       lit(true).as("__isleft"),
       struct(leftNonKey.map(col): _*).as("__lv"),
       lit(null).cast(rvSchema).as("__rv"))
     val taggedRight = right.select(
       struct(keys.map(col): _*).as("__k"),
-      col(rightTime).cast("long").as("__t"),
+      toMillis(right, rightTime).as("__t"),
       lit(false).as("__isleft"),
       lit(null).cast(lvSchema).as("__lv"),
       struct((valueCols :+ rightTime).map(col): _*).as("__rv"))

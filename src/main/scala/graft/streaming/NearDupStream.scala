@@ -1,0 +1,206 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming NEAR-dedup: banded MinHash candidate matching within the
+  * watermark — the stateful analog of the batch
+  * `Dedup.lshVerifiedPairs` chain, for a continuously-ingesting corpus
+  * (the reference's central use case is a continuously deduplicating
+  * pipeline, README.md:59-131; its Index-based dedup is exact-only — this
+  * is the near-dup capability the batch side already has, under Structured
+  * Streaming).
+  *
+  * Shape: signatures (16 minhashes + sorted 60-bit shingle hashes, shared
+  * verbatim with the batch path via `Dedup.nearDupSignaturesFromToks`) are
+  * computed MAP-ONLY; each doc then lands in its 4 LSH band buckets
+  * (explode), and ONE `flatMapGroupsWithState` keyed by (band, band
+  * signature) buffers signatures per bucket and emits VERIFIED pairs — a
+  * new doc is compared against the bucket's buffered docs with the exact
+  * sorted-intersect Jaccard, exactly the batch verify step. The shuffle
+  * carries band keys + signatures, never text, and state per key is
+  * bounded by the watermark — the same properties that make the batch LSH
+  * join the 100 TB shape.
+  *
+  * Pair-exactness across buckets: a candidate pair shares up to 4 bands,
+  * but only the group of the pair's MINIMAL matching band emits it (both
+  * full 16-minhash signatures are in state, so every shared group computes
+  * the same minimal band and exactly one elects itself) — no second
+  * stateful dedup operator needed, which keeps the whole plan a single
+  * append-mode stateful op. On batch inputs the identical code path runs
+  * with an infinite watermark, so `pairs(batchDf)` == `lshVerifiedPairs`
+  * restricted to docs with >= 3 tokens — the spec cross-checks stream
+  * against batch on the same rows.
+  *
+  * Semantics of "within the watermark": a bucket entry is evicted once the
+  * watermark passes its event time (the `dropDuplicatesWithinWatermark`
+  * contract) — two near-dup docs are guaranteed paired iff they are within
+  * `watermarkDelay` of each other; older duplicates are the recall the
+  * stream trades for bounded state. Keep-first admission = drop every doc
+  * that appears as the LATER element (by event time, then doc_id) of an
+  * emitted pair; because every doc is buffered whether or not it was
+  * itself a duplicate, matching is TRANSITIVE like the batch
+  * connected-components step (a doc matching an already-rejected buffered
+  * doc is still rejected — same cluster).
+  *
+  * Hot buckets: a degenerate feed (e.g. millions of identical band
+  * signatures) is capped at `maxBucket` newest entries per bucket —
+  * graceful recall degradation instead of an executor OOM; the batch path
+  * pays the same pathology as join fan-out.
+  */
+object NearDupStream {
+
+  /** Verified near-dup pairs over a streaming (ts: timestamp, doc_id: long,
+    * text: string) feed. Returns (ts = the later doc's event time, doc_a <
+    * doc_b, jaccard rounded to 6dp — batch-identical). Works unchanged on a
+    * batch DataFrame (everything matures, nothing evicts).
+    */
+  def pairs(
+      docs: DataFrame,
+      threshold: Double = Dedup.JaccardThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxBucket: Int = 65536): DataFrame = {
+    val streaming = docs.isStreaming
+
+    val sigs = Dedup.nearDupSignaturesFromToks(
+      docs.select(col("ts"), col("doc_id"), Text.tokens(col("text")).as("toks")),
+      keep = Seq("ts"))
+    val banded = sigs
+      .select(col("ts"), col("doc_id"), col("mh"), col("hs"),
+        explode(expr(s"transform(sequence(0, ${Dedup.MinhashBands - 1}), " +
+          s"b -> struct(b as band, slice(mh, b * ${Dedup.MinhashRows} + 1, " +
+          s"${Dedup.MinhashRows}) as sig))")).as("bs"))
+      .select(
+        struct(col("bs.band").as("band"), col("bs.sig").as("sig")).as("__k"),
+        unix_millis(col("ts")).as("__t"),
+        col("doc_id").as("__doc"),
+        col("mh").as("__mh"),
+        col("hs").as("__hs"),
+        col("ts").as("__eventTime"))
+    val watermarked =
+      if (streaming) banded.withWatermark("__eventTime", watermarkDelay) else banded
+
+    val keySchema = banded.schema("__k").dataType.asInstanceOf[StructType]
+    val entrySchema = StructType(Seq(
+      StructField("t", LongType), StructField("doc", LongType),
+      StructField("mh", ArrayType(LongType)), StructField("hs", ArrayType(LongType))))
+    val stateSchema = StructType(Seq(StructField("buf", ArrayType(entrySchema))))
+    val outSchema = StructType(Seq(
+      StructField("em", LongType), StructField("doc_a", LongType),
+      StructField("doc_b", LongType), StructField("jaccard", DoubleType)))
+
+    val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+    val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    // first band index (0-based) on which the two signatures fully agree; -1
+    // if none — the pair's electing group
+    def minMatchingBand(a: Array[Long], b: Array[Long]): Int = {
+      var band = 0
+      while (band < Dedup.MinhashBands) {
+        var r = 0
+        var ok = true
+        while (ok && r < Dedup.MinhashRows) {
+          if (a(band * Dedup.MinhashRows + r) != b(band * Dedup.MinhashRows + r)) ok = false
+          r += 1
+        }
+        if (ok) return band
+        band += 1
+      }
+      -1
+    }
+
+    // codegen'd SortedIntersectCount's semantics, in-state: merge walk over
+    // the two sorted hash arrays
+    def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) i += 1
+        else if (a(i) > b(j)) j += 1
+        else { n += 1; i += 1; j += 1 }
+      }
+      n
+    }
+
+    // Spark's round(x, 6): HALF_UP decimal rounding — batch-identical output
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    type Entry = (Long, Long, Array[Long], Array[Long]) // (t, doc, mh, hs)
+    def decode(s: Row): ArrayBuffer[Entry] = {
+      val buf = new ArrayBuffer[Entry]()
+      s.getSeq[Row](0).foreach { r =>
+        buf += ((r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toArray, r.getSeq[Long](3).toArray))
+      }
+      buf
+    }
+    def encode(buf: Seq[Entry]): Row =
+      Row(buf.map { case (t, d, mh, hs) => Row(t, d, mh.toSeq, hs.toSeq) })
+
+    val func = (k: Row, it: Iterator[Row], state: GroupState[Row]) => {
+      val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+      val band = k.getInt(0)
+      // Evict BEFORE comparing: a bucket is only invoked when new data (or a
+      // timeout) reaches it, so a stale entry can linger long past the
+      // watermark — comparing against it would make "do old dups pair?"
+      // depend on invocation timing. Evict-first makes the contract
+      // deterministic: a pair emits iff the earlier doc is still within the
+      // watermark when the later one arrives. (Batch mode: state is always
+      // empty at the single invocation, so wm = MaxValue evicts nothing
+      // that matters and all pairs form within the call.)
+      val buf = state.getOption.map(decode).getOrElse(new ArrayBuffer[Entry]())
+        .filter(_._1 >= wm)
+      // deterministic processing order regardless of shuffle arrival order
+      val incoming = it.map(r => (r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toArray, r.getSeq[Long](4).toArray))
+        .toArray.sortBy(e => (e._1, e._2))
+      val out = new ArrayBuffer[Row]()
+      incoming.foreach { e =>
+        if (!buf.exists(_._2 == e._2)) { // replayed doc_id: already counted
+          var i = 0
+          while (i < buf.length) {
+            val o = buf(i)
+            if (minMatchingBand(o._3, e._3) == band) {
+              val inter = sortedIntersect(o._4, e._4)
+              val j = inter.toDouble / (o._4.length + e._4.length - inter)
+              if (j >= threshold) {
+                val (a, b) = if (o._2 < e._2) (o._2, e._2) else (e._2, o._2)
+                out += Row(math.max(o._1, e._1), a, b, round6(j))
+              }
+            }
+            i += 1
+          }
+          buf += e
+        }
+      }
+      // hot-bucket cap (newest entries win — the oldest would evict first
+      // anyway)
+      var kept: scala.collection.mutable.Seq[Entry] = buf
+      if (kept.length > maxBucket)
+        kept = kept.sortBy(e => (e._1, e._2)).takeRight(maxBucket)
+      if (kept.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(encode(kept.toSeq))
+        if (streaming)
+          state.setTimeoutTimestamp(
+            math.max(kept.map(_._1).max + idleTimeoutMs, wm + 1))
+      }
+      out.iterator
+    }
+
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    watermarked
+      .groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Append(), timeoutConf)(func)(stateEnc, outEnc)
+      .select(timestamp_millis(col("em")).as("ts"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

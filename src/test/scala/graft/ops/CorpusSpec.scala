@@ -23,12 +23,43 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("packing parallelizes per shard: window partitions by source") {
-    val plan = Corpus.packSequences(docs, 64L)
-      .queryExecution.executedPlan.toString
-    // a global (unpartitioned) window would single-thread the corpus
-    assert(plan.contains("partitionBy") || plan.contains("hashpartitioning(source"),
-      s"pack window must partition by shard, got:\n${plan.take(800)}")
+  test("packing spreads even a single coarse shard: range layout, no shard funnel") {
+    // one source = the worst case for a Window.partitionBy(shard) cumsum
+    // (the whole corpus would funnel through ONE window task); the two-level
+    // prefix sum must keep the full-data path range-partitioned instead
+    val one = docs.withColumn("source", lit("onesrc"))
+    val out = Corpus.packSequences(one, 64L)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"),
+      s"full-data exchange must be range partitioning, got:\n${plan.take(1200)}")
+    // the data really lands in many partitions, not one hash bucket
+    val nonEmpty = out.rdd.mapPartitions(it => Iterator(it.hasNext)).collect().count(identity)
+    assert(nonEmpty > 1, s"single shard collapsed to $nonEmpty non-empty partition(s)")
+    // and the two-level sum telescopes to exactly the naive one-window cumsum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = one
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), expr("(cum - n_tokens) div 64L").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % 64L).cast("long").as("pack_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got == naive, "two-level prefix sum must equal the one-window cumsum")
+  }
+
+  test("mix sources fails loudly on bad or unattainable weights") {
+    val s = spark
+    import s.implicits._
+    // non-positive weight: integer div-by-zero would silently NULL out of min()
+    val zero = Seq(("web", 0L), ("books", 1000000L)).toDF("source", "w_e6")
+    assertThrows[Exception](Corpus.mixSources(docs, zero).collect())
+    // weight source absent from the corpus: quota would be unattainable
+    val ghost = Seq(("no_such_source", 1000000L)).toDF("source", "w_e6")
+    assertThrows[Exception](Corpus.mixSources(docs, ghost).collect())
   }
 
   test("vocabulary: contiguous ranks, monotone coverage reaching the token mass") {

@@ -188,4 +188,35 @@ class SourcesSinksSpec extends SparkSpec {
       assert(spark.table("mem1").count() == 2)
     } finally q.stop()
   }
+
+  test("kafka wire-format round-trip: sink payload -> record -> source parse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the container has no broker and no kafka connector jar, so the
+    // verifiable surface is everything EITHER side of the socket: rows ->
+    // (key=__time__, value=json) on the way out (KafkaOutputTable.java:37-178)
+    // and (value, topic, timestamp) -> typed rows + __time__ on the way in
+    // (KafkaStreamTable.java:151-178). Compose the two halves directly.
+    val rows = Seq((7L, "alpha", 1700000001000L), (8L, "beta", 1700000002000L))
+      .toDF("id", "name", "__time__")
+    val records = Sinks.kafkaJsonPayload(rows)
+    // payload drops __time__ from the value and makes it the record key
+    val rec = records.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rec.map(_._1).toSeq == Seq("1700000001000", "1700000002000"))
+    assert(rec.forall(!_._2.contains("__time__")))
+    // a broker would hand the consumer (value, topic, timestamp); the
+    // reference's contract is record time == the key the producer set
+    val wire = records.select(
+      col("value"),
+      lit("t1").as("topic"),
+      timestamp_millis(col("key").cast("long")).as("timestamp"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val back = Sources.kafkaJsonParse(wire, schema)
+      .select(col("id"), col("name"), col(Sources.TimeCol), col(Sources.TopicCol))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (7L, "alpha", 1700000001000L, "t1"),
+      (8L, "beta", 1700000002000L, "t1")))
+  }
 }
