@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** 60-bit positive long from an md5 prefix — the engine-portable hash. */
   private def hashSql(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
@@ -311,6 +313,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // --- incremental (new increment vs admitted corpus) dedup ----------------
+
+  /** Exact incremental dedup — the DAILY-INCREMENT production shape the
+    * within-corpus operators don't cover: fingerprint-aggregate a NEW batch
+    * after dropping every doc whose normalized-text fingerprint already
+    * exists in the admitted corpus. Returns (fp, keep_id, n_copies) of the
+    * increment's surviving groups, exactly `exact`'s contract restricted to
+    * genuinely-new content. The corpus side reduces to a distinct
+    * fingerprint set before the anti-join — at scale that is a precomputed
+    * 16-byte-key table, and only (fp, doc_id) ever shuffles.
+    */
+  def incrementalExact(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs
+      .select(md5(Text.normalized(col("text"))).as("fp"), col("doc_id"))
+      .join(corpus.select(md5(Text.normalized(col("text"))).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-dup pairs of a NEW increment AGAINST the admitted corpus: banded
+    * minhash equi-join BETWEEN the two tables (new×4 band rows meet
+    * corpus×4 band rows on (band, sig) — never |new|·|corpus| pairs), then
+    * the exact sorted-intersect Jaccard verification, exactly the
+    * `lshVerifiedPairs` chain split across two inputs. Returns (doc_a = new
+    * doc, doc_b = corpus doc, jaccard) — drop every doc_a to admit only
+    * novel content; compose with `lshVerifiedPairs(newDocs)` for
+    * within-increment duplicates. At 100 TB the corpus signatures are a
+    * precomputed incrementally-refreshed table: `FromSigs` consumes
+    * `nearDupSignaturesFromToks` output directly so history is never
+    * re-signed.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame =
+    incrementalNearDupPairsFromSigs(
+      nearDupSignaturesFromToks(tokenize(newDocs)),
+      nearDupSignaturesFromToks(tokenize(corpus)), threshold)
+
+  def incrementalNearDupPairsFromSigs(
+      newSigs: DataFrame, corpusSigs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    def bands(sigs: DataFrame, side: String) = sigs.select(
+      col("doc_id").as(side),
+      explode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
+        s"b -> struct(b as band, slice(mh, b * $MinhashRows + 1, $MinhashRows) as sig))")).as("bs"))
+      .select(col(side), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Explicit partition count for the same AQE reason as minhashCandidates;
+    // candidates carry only ids so the verify joins stay compact-key.
+    val n = newSigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    bands(newSigs, "doc_a").repartition(n, col("band"), col("sig"))
+      .join(bands(corpusSigs, "doc_b").repartition(n, col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(newSigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(corpusSigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // --- near-dup clustering → survivor set ----------------------------------
 
   /** Connected components over an undirected pair list, via the alternating
@@ -385,6 +449,9 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    // rounds are driver-synchronous; log the count so a slow-converging
+    // input (long chains instead of near-clique clusters) is diagnosable
+    if (i > 3) log.info(s"connectedComponents converged in $i rounds (${prev._1} edges)")
     // fixpoint = a star per component: members point at the root, roots
     // appear only on the v side
     e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
@@ -438,7 +505,15 @@ object Dedup {
     "q_dedup_ngram" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => lshVerifiedPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => connectedComponents(lshVerifiedPairs(Tables.documents(s, d)))),
-    "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
+    "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))),
+    // increment = every 5th doc, corpus = the rest — a fixed deterministic
+    // split so the incremental operators get a hash-checkable oracle
+    "q_dedup_incr_exact" -> ((s, d) => incrementalExact(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))),
+    "q_dedup_incr_near" -> ((s, d) => incrementalNearDupPairs(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))))
 
   // DuckDB mirrors. Shared fragments:
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -551,6 +626,34 @@ object Dedup {
       s"""WITH RECURSIVE perms AS ($duckPerms),
          |${duckClusterCtes("documents", "_d")}
          |SELECT doc_id, cluster_id FROM cc_d""".stripMargin,
+
+    "q_dedup_incr_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM f
+         |WHERE doc_id % 5 = 0
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+         |GROUP BY fp""".stripMargin,
+
+    "q_dedup_incr_near" ->
+      s"""WITH perms AS ($duckPerms),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles AS shingles FROM t WHERE len(toks) >= 3),
+         |hs AS (SELECT doc_id, ${duckHash("s")} % $MersennePrime AS h
+         |       FROM sh, unnest(shingles) u(s)),
+         |mh AS (SELECT doc_id, p.i AS i, min((p.a * h + p.b) % $MersennePrime) AS h
+         |       FROM hs, perms p GROUP BY doc_id, p.i),
+         |sig AS (SELECT doc_id, i // $MinhashRows AS band,
+         |          string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+         |        FROM mh GROUP BY doc_id, i // $MinhashRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |          / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+         |      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= $JaccardThreshold""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -127,4 +127,33 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= Dedup.CosineThreshold - 1e-9)
     }
   }
+
+  test("incremental near-dup == whole-corpus verified pairs restricted to the split") {
+    import org.apache.spark.sql.functions._
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val got = Dedup.incrementalNearDupPairs(inc, corpus).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    // the same chain over the union, keeping only cross-split pairs
+    val expected = Dedup.lshVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }.toSet
+    assert(expected.nonEmpty, "split must cross at least one planted near-dup")
+    assert(got == expected)
+  }
+
+  test("incremental exact keeps only fingerprints absent from the corpus") {
+    import org.apache.spark.sql.functions._
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val kept = Dedup.incrementalExact(inc, corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val corpusFps = Dedup.exact(corpus).collect().map(_.getString(0)).toSet
+    val incGroups = Dedup.exact(inc).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // kept = the increment's own dedup groups minus corpus-known fingerprints
+    assert(kept.toSet == incGroups.filterNot(g => corpusFps.contains(g._1)))
+    assert(kept.nonEmpty)
+  }
 }
