@@ -90,16 +90,52 @@ object Curation {
         org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
 
-  // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24.
+  /** Registrable host of a URL — the grouping key for domain-level curation.
+    * regexp (not a UDF): strips scheme, userinfo, port, path; lowercases.
+    * Spec-tested on literal URLs (the shared testdata has no URL column —
+    * the documents table's `source` is the domain analog the oracle uses).
+    */
+  def domainOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(regexp_extract(url, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Per-domain frequency cap — the web-corpus curation rule "keep at most
+    * `maxPerDomain` documents from any one domain" (over-represented hosts
+    * would otherwise dominate training). Deterministic like the samplers:
+    * the kept subset is the `maxPerDomain` smallest md5-rank docs per
+    * domain, invariant to partitioning and row order. One rank window per
+    * domain — the per-domain sort is the price of an exact cap, same trade
+    * as `Corpus.mixSources` (and hot domains are exactly the rows being
+    * cut, so the window input per domain is bounded by what survives at
+    * most once the cap's upstream coarse filter runs at scale).
+    */
+  def domainCap(
+      docs: DataFrame,
+      maxPerDomain: Long,
+      domainCol: String = "source"): DataFrame =
+    docs
+      .select(col("doc_id"), col(domainCol),
+        expr(hashSql("cast(doc_id as string)")).as("h"))
+      .withColumn("rnk", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(domainCol)).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= maxPerDomain)
+      .select(col("doc_id"), col(domainCol), col("rnk"))
+
+  // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24;
+  // domain cap below the per-source doc count so the cap provably bites.
   val BenchmarkFilter = "doc_id < 20"
   val ChunkSize = 32
   val ChunkStride = 24
+  val MaxPerDomain = 15L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contamination" -> ((s, d) =>
       contamination(Tables.documents(s, d), BenchmarkFilter)),
     "q_text_chunks" -> ((s, d) =>
-      chunks(Tables.documents(s, d), ChunkSize, ChunkStride)))
+      chunks(Tables.documents(s, d), ChunkSize, ChunkStride)),
+    "q_domain_cap" -> ((s, d) =>
+      domainCap(Tables.documents(s, d), MaxPerDomain)))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -129,5 +165,14 @@ object Curation {
          |      FROM st)
          |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
          |       array_to_string(chunk, ' ') AS chunk_text
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+         |           FROM (SELECT doc_id, source,
+         |                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |                 FROM documents))
+         |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= $MaxPerDomain""".stripMargin)
 }

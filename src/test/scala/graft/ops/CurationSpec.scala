@@ -56,4 +56,36 @@ class CurationSpec extends SparkSpec {
     val emitted = perDoc.map(_.getLong(3)).sum
     assert(emitted >= totTok)
   }
+
+  test("domainOf extracts the registrable host across URL shapes") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://www.Example.COM/path?q=1" -> "www.example.com",
+      "http://sub.host.org:8080/x" -> "sub.host.org",
+      "ftp://user:pw@files.net/dir" -> "files.net",
+      "bare-host.io/path" -> "bare-host.io",
+      "https://host.co.uk" -> "host.co.uk")
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.domainOf(col("url")).as("d")).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("domain cap keeps at most K docs per domain, deterministically") {
+    val k = Curation.MaxPerDomain
+    val out = Curation.domainCap(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val perDomain = out.groupBy(_._2).view.mapValues(_.length).toMap
+    perDomain.values.foreach(n => assert(n <= k))
+    // domains with more docs than K are cut to EXACTLY K
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.filter(_._2 >= k).keys.foreach { d =>
+      assert(perDomain(d) == k, s"domain $d must be capped at $k")
+    }
+    // deterministic under repartitioning
+    val again = Curation.domainCap(docs.repartition(7), k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
 }
