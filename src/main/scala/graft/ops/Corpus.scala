@@ -362,8 +362,42 @@ object Corpus {
           .as("jaccard"))
   }
 
+  /** Per-source quality threshold calibrated to a target keep rate — the
+    * step before a corpus build that replaces a global hardcoded cut (the
+    * ingest gate's 0.5) with data-derived per-source cutoffs: cutoff_e6 =
+    * the quality of each source's k-th best doc, k = n·keepE6/1e6 (integer,
+    * floor ≥ 1), so `quality_e6 >= cutoff_e6` keeps the best ~keepE6/1e6 of
+    * the source. Ties at the cutoff are KEPT (never split
+    * nondeterministically), so n_kept >= k. One scored scan + one rank
+    * window per source (the same exact-selection price as `mixSources`,
+    * acknowledged there) + a broadcast-joined recount; output is one row
+    * per source. Returns (source, n_docs, cutoff_e6, n_kept).
+    */
+  def qualityThresholds(
+      docs: DataFrame,
+      keepE6: Long,
+      shardCol: String = "source"): DataFrame = {
+    require(keepE6 > 0 && keepE6 <= 1000000L, s"keepE6 must be in (0, 1e6], got $keepE6")
+    val scored = Text.qualityScoredFromToks(
+      docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
+      keep = Seq(shardCol))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("quality_e6").desc, col("doc_id"))
+    val counts = scored.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
+    val cut = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(shardCol))
+      .filter(col("rnk") === expr(s"greatest(1L, n_docs * $keepE6 div 1000000L)"))
+      .select(col(shardCol), col("n_docs"), col("quality_e6").as("cutoff_e6"))
+    scored.join(broadcast(cut), Seq(shardCol))
+      .filter(col("quality_e6") >= col("cutoff_e6"))
+      .groupBy(col(shardCol), col("n_docs"), col("cutoff_e6"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   val PackCapacity = 128L
   val BudgetTokens = 600L
+  val KeepTargetE6 = 600000L // q_quality_thresholds: keep the best 60% per source
 
   /** Skewed demo mixture: src0-9 get 7%, src10-19 get 3% (sums to 1e6
     * micro-units). The synthetic table is uniform across its 20 sources, so
@@ -383,6 +417,7 @@ object Corpus {
     "q_mix_sources" -> ((s, d) => mixSources(Tables.documents(s, d), mixWeightsDf(s))),
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d), BudgetTokens)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(Tables.documents(s, d))),
+    "q_quality_thresholds" -> ((s, d) => qualityThresholds(Tables.documents(s, d), KeepTargetE6)),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
@@ -498,6 +533,30 @@ object Corpus {
          |SELECT bucket, n_docs, n_tokens,
          |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_frac
          |FROM h CROSS JOIN tot""".stripMargin
+    },
+
+    "q_quality_thresholds" -> {
+      val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+         |FROM t),
+         |q AS (SELECT doc_id, source,
+         |  CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |              + 0.3 * least(1.0, stop_ratio * 5.0)
+         |              + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
+         |FROM s),
+         |c AS (SELECT source, count(*) AS n_docs FROM q GROUP BY 1),
+         |r AS (SELECT q.*, row_number() OVER (PARTITION BY source ORDER BY quality_e6 DESC, doc_id) AS rnk
+         |      FROM q),
+         |cut AS (SELECT r.source, c.n_docs, r.quality_e6 AS cutoff_e6
+         |        FROM r JOIN c USING (source)
+         |        WHERE rnk = greatest(1, n_docs * $KeepTargetE6 // 1000000))
+         |SELECT q.source, cut.n_docs, cut.cutoff_e6, count(*) AS n_kept
+         |FROM q JOIN cut ON q.source = cut.source AND q.quality_e6 >= cut.cutoff_e6
+         |GROUP BY 1, 2, 3""".stripMargin
     },
 
     "q_vocab" ->

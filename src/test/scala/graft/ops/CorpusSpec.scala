@@ -178,6 +178,26 @@ class CorpusSpec extends SparkSpec {
       "first doc must be 100% novel")
   }
 
+  test("quality thresholds hit the target keep rate with ties kept") {
+    val target = Corpus.KeepTargetE6
+    val out = Corpus.qualityThresholds(docs, target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val nSrc = docs.select(col("source")).distinct().count()
+    assert(out.length == nSrc, "one calibration row per source")
+    out.foreach { case (src, n, cutoff, kept) =>
+      val k = math.max(1L, n * target / 1000000L)
+      // k-th best has quality == cutoff, so >= k docs clear it (ties kept)...
+      assert(kept >= k, s"$src keeps $kept < target rank $k")
+      // ...and everything STRICTLY above the cutoff ranks before k
+      val strictlyAbove = Text.qualityScoredFromToks(
+        docs.filter(col("source") === src)
+          .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks")),
+        keep = Seq("source")).filter(col("quality_e6") > cutoff).count()
+      assert(strictlyAbove < k, s"$src cutoff $cutoff is not the rank-$k quality")
+    }
+  }
+
   test("quality histogram covers every doc exactly once across buckets 0-9") {
     val h = Corpus.qualityHistogram(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
