@@ -247,6 +247,37 @@ object Text {
         round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
   }
 
+  /** PII redaction rules: each (regex, placeholder), applied in order. The
+    * standard pre-training privacy pass — emails, IPv4 addresses, long
+    * digit runs (account/phone/ID numbers). Patterns stay in the
+    * RE2-compatible subset (no backrefs, no lookaround) so the DuckDB
+    * oracle replays them byte-identically.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\d{9,}" -> "<NUM>")
+
+  /** Pattern scrubbing: replace every match of each rule with its
+    * placeholder (rules applied in order), plus `n_redactions` = total
+    * matches counted on the ORIGINAL column (sequential replacement can in
+    * principle reveal new matches; counts are defined pre-replacement).
+    * Map-only — regexp_replace/regexp_count are codegen'd, nothing
+    * shuffles; at 100 TB this is scan-bound like the other text ops.
+    */
+  def scrub(
+      df: DataFrame,
+      column: String,
+      rules: Seq[(String, String)] = PiiRules,
+      outCol: String = "scrubbed"): DataFrame = {
+    val scrubbed = rules.foldLeft(col(column)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val n = rules.map { case (p, _) => regexp_count(col(column), lit(p)) }
+      .reduce(_ + _)
+    df.withColumn(outCol, scrubbed).withColumn("n_redactions", n.cast("long"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,12 +287,24 @@ object Text {
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
-    "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))))
+    "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
+    // the documents text is digit- and @-free, so the oracle-checked scrub
+    // runs a digit rule over events.props (the digit-rich column); the
+    // PII rule set itself is spec-tested on literal fixtures (TextSpec)
+    "q_text_scrub" -> ((s, d) =>
+      scrub(Tables.events(s, d), "props", Seq("\\d+" -> "<NUM>"))
+        .select(col("event_id"), col("scrubbed"), col("n_redactions"))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_scrub" ->
+      s"""SELECT event_id,
+         |  regexp_replace(props, '\\d+', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(props, '\\d+')) AS BIGINT) AS n_redactions
+         |FROM events""".stripMargin,
+
     "q_text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),

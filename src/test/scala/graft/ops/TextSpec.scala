@@ -113,4 +113,19 @@ class TextSpec extends SparkSpec {
     assert(out(1) == "keep")
     assert(out(2) == "drop")
   }
+
+  test("PII scrub redacts emails, IPv4s and long digit runs, counting matches") {
+    val d = docs(
+      (1L, "contact alice.smith+news@example.co.uk or bob@host.org today"),
+      (2L, "server at 10.0.255.7 responded; port note 8.8.8.8 ok"),
+      (3L, "card 4111111111111111 and ssn 123456789 but year 2024 stays"),
+      (4L, "nothing sensitive here at all"))
+    val out = Text.scrub(d, "text").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("scrubbed"), r.getAs[Long]("n_redactions")))
+      .sortBy(_._1)
+    assert(out(0)._2 == "contact <EMAIL> or <EMAIL> today" && out(0)._3 == 2L)
+    assert(out(1)._2 == "server at <IP> responded; port note <IP> ok" && out(1)._3 == 2L)
+    assert(out(2)._2 == "card <NUM> and ssn <NUM> but year 2024 stays" && out(2)._3 == 2L)
+    assert(out(3)._2 == "nothing sensitive here at all" && out(3)._3 == 0L)
+  }
 }
