@@ -395,9 +395,39 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Deterministic global shuffle into `nShards` training shards — the
+    * layout step after packing: training wants documents in a fixed
+    * pseudo-random order, reproducible across reruns and independent of
+    * input partitioning. shard_id = md5(seed, doc_id) mod nShards (hash-
+    * balanced, so no shard skew by construction), shard_pos = the doc's
+    * rank inside its shard in (hash, doc_id) order — writer tasks emit each
+    * shard's rows in shard_pos order and the global order is seeded-random.
+    * One hash projection + one per-shard rank window; shards are
+    * hash-balanced so each window partition carries ~n/nShards rows no
+    * matter how the corpus was previously laid out (unlike shardCol-keyed
+    * windows, skew cannot exist here). Changing `seed` reshuffles
+    * everything.
+    */
+  def shuffleShards(
+      docs: DataFrame,
+      nShards: Int,
+      seed: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col(idCol))
+    docs
+      .select(col(idCol),
+        expr(hashSql(s"concat('$seed:', cast($idCol as string))")).as("h"))
+      .withColumn("shard_id", (col("h") % nShards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard_id"), col("shard_pos"))
+  }
+
   val PackCapacity = 128L
   val BudgetTokens = 600L
   val KeepTargetE6 = 600000L // q_quality_thresholds: keep the best 60% per source
+  val ShuffleShards = 8
+  val ShuffleSeed = 42L
 
   /** Skewed demo mixture: src0-9 get 7%, src10-19 get 3% (sums to 1e6
     * micro-units). The synthetic table is uniform across its 20 sources, so
@@ -420,6 +450,8 @@ object Corpus {
     "q_quality_thresholds" -> ((s, d) => qualityThresholds(Tables.documents(s, d), KeepTargetE6)),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
+    "q_shuffle_shards" -> ((s, d) =>
+      shuffleShards(Tables.documents(s, d), ShuffleShards, ShuffleSeed)),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     // the SCALE path: df-cut before the self-join (hot-shingle bound); the
     // oracle applies the identical cut so the row is hash-checkable
@@ -570,6 +602,15 @@ object Corpus {
          |SELECT term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
          |  round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
          |FROM r CROSS JOIN tot WHERE rank <= 100""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |           FROM documents),
+         |s AS (SELECT doc_id, h, h % $ShuffleShards AS shard_id FROM h)
+         |SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+         |FROM s""".stripMargin,
 
     "q_source_overlap" ->
       s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),

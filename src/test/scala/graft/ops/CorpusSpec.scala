@@ -198,6 +198,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("shuffle shards: balanced, dense positions, seed-reproducible") {
+    val n = Corpus.ShuffleShards
+    val out = Corpus.shuffleShards(docs, n, Corpus.ShuffleSeed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until n).toSet))
+    // hash balance: no shard more than 2x the mean at this size
+    val sizes = byShard.view.mapValues(_.length).values
+    assert(sizes.max <= 2 * out.length / n, s"skewed shards: ${sizes.mkString(",")}")
+    // positions dense from 1 within each shard
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    // partitioning-independent and seed-keyed
+    val again = Corpus.shuffleShards(docs.repartition(7), n, Corpus.ShuffleSeed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    val other = Corpus.shuffleShards(docs, n, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSet != out.toSet, "a different seed must reshuffle")
+  }
+
   test("quality histogram covers every doc exactly once across buckets 0-9") {
     val h = Corpus.qualityHistogram(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
