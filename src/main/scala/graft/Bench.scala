@@ -56,12 +56,11 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        sweep()
         name -> Right(times.sorted)
       } catch {
         case e: Throwable =>
           name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-      }
+      } finally sweep() // a FAILED query must not leak its blocks into the next timings
     }
     def median(sorted: Seq[Double]): Double = {
       val n = sorted.length

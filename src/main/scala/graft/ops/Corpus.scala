@@ -65,8 +65,15 @@ object Corpus {
     * the one-window form for ANY partition boundaries (the local sums and
     * offsets telescope), so the oracle results are unchanged — asserted in
     * CorpusSpec against the naive window on both multi- and single-shard
-    * inputs. The range exchange is the only full-data shuffle; Spark reuses
-    * it across the totals and join branches (ReusedExchange).
+    * inputs. The range exchange is the only full-data shuffle.
+    *
+    * Constraints: `valueCol` must be NON-NEGATIVE — partition totals are
+    * read as max(running sum), exact only for nondecreasing sums (all
+    * callers pass token counts). The checkpoint below pins blocks in
+    * executor storage until the driver GCs the RDD reference; a long-lived
+    * session calling packing operators repeatedly should sweep
+    * (`sparkContext.getPersistentRDDs` → unpersist) between jobs, as
+    * `Bench.sweep()` does.
     */
   private[ops] def shardedCumsum(
       df: DataFrame,
@@ -368,10 +375,12 @@ object Corpus {
     * the quality of each source's k-th best doc, k = n·keepE6/1e6 (integer,
     * floor ≥ 1), so `quality_e6 >= cutoff_e6` keeps the best ~keepE6/1e6 of
     * the source. Ties at the cutoff are KEPT (never split
-    * nondeterministically), so n_kept >= k. One scored scan + one rank
-    * window per source (the same exact-selection price as `mixSources`,
-    * acknowledged there) + a broadcast-joined recount; output is one row
-    * per source. Returns (source, n_docs, cutoff_e6, n_kept).
+    * nondeterministically), so n_kept >= k. ONE scored scan — the compact
+    * (id, source, tokens, quality) projection is checkpoint-pinned so its
+    * three consumers (count agg, rank window, recount) never re-tokenize
+    * the corpus — plus one rank window per source (the same exact-selection
+    * price as `mixSources`) and a broadcast-joined recount; output is one
+    * row per source. Returns (source, n_docs, cutoff_e6, n_kept).
     */
   def qualityThresholds(
       docs: DataFrame,
@@ -381,6 +390,7 @@ object Corpus {
     val scored = Text.qualityScoredFromToks(
       docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
       keep = Seq(shardCol))
+      .localCheckpoint(false)
     val w = Window.partitionBy(col(shardCol))
       .orderBy(col("quality_e6").desc, col("doc_id"))
     val counts = scored.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))

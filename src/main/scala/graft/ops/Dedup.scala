@@ -100,6 +100,16 @@ object Dedup {
       .select(col("doc_id"),
         GraftFunctions.minhashes(col("hs"), permCoeffs, MersennePrime).as("mh"))
 
+  /** SQL fragment exploding a 16-minhash array column `mh` into its 4
+    * (band, 4-minhash signature) structs — THE banding definition, shared
+    * verbatim by the batch self-join, the incremental cross-join, and the
+    * streaming bucket key (`NearDupStream`) so all three candidate
+    * generators stay bit-identical by construction.
+    */
+  private[graft] val bandStructsSql: String =
+    s"transform(sequence(0, ${MinhashBands - 1}), " +
+      s"b -> struct(b as band, slice(mh, b * $MinhashRows + 1, $MinhashRows) as sig))"
+
   /** LSH candidate pairs: band signature = the 4 minhashes of the band; a pair
     * is a candidate iff some band matches. Self-join on (band, sig) — the
     * shuffle key is 4 longs, and at 100 TB the join input is N×4 rows, never
@@ -114,8 +124,7 @@ object Dedup {
     val n = t.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val bands = sigs.select(
       col("doc_id"), col("mh"),
-      explode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
-        s"b -> struct(b as band, slice(mh, b * $MinhashRows + 1, $MinhashRows) as sig))")).as("bs"))
+      explode(expr(bandStructsSql)).as("bs"))
       .select(col("doc_id"), col("mh"), col("bs.band"), col("bs.sig"))
       // Shared exchange: both self-join branches reuse this one shuffle, so
       // signatures are computed once; explicit count keeps AQE from
@@ -356,8 +365,7 @@ object Dedup {
       threshold: Double = JaccardThreshold): DataFrame = {
     def bands(sigs: DataFrame, side: String) = sigs.select(
       col("doc_id").as(side),
-      explode(expr(s"transform(sequence(0, ${MinhashBands - 1}), " +
-        s"b -> struct(b as band, slice(mh, b * $MinhashRows + 1, $MinhashRows) as sig))")).as("bs"))
+      explode(expr(bandStructsSql)).as("bs"))
       .select(col(side), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // Explicit partition count for the same AQE reason as minhashCandidates;
     // candidates carry only ids so the verify joins stay compact-key.

@@ -74,48 +74,6 @@ object CorpusIngest {
     * watermark-driven; a window's ranking emits once the watermark passes
     * its end. Returns (win_start, term, n, rank).
     */
-  /** Near-dup monitoring for the ingest chain: quality gate (same cut as
-    * `pipeline`), then the banded-MinHash pair stream (`NearDupStream.pairs`
-    * — one flatMapGroupsWithState), then per-tumbling-window pair counts —
-    * the "how duplicated is the feed right now" gauge a continuously-
-    * ingesting corpus needs next to the admission stats. TWO chained
-    * stateful operators in ONE append-mode plan; the pair stream is
-    * re-watermarked on the emitted event time (the later doc's ts), so a
-    * window closes once pair emission moves `watermarkDelay` past it.
-    * Returns (win_start, n_pairs, avg_jaccard).
-    *
-    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
-    * = false`: Spark's static checker rejects any flatMapGroupsWithState
-    * followed by a stateful op because it cannot bound what the custom
-    * operator emits. THIS chain is provably safe — each emitted pair's ts is
-    * the LATER doc's event time, which passed the upstream watermark filter,
-    * so pair_ts >= doc-side watermark at emission; and since every pair ts
-    * is <= the max doc ts seen, the pair-side watermark (same delay) is
-    * always <= the doc-side watermark. Hence every pair arrives at the
-    * window agg at-or-ahead of its watermark — nothing is ever late-dropped.
-    * The proof holds only while the downstream delay >= the upstream delay,
-    * which this method enforces by using ONE `watermarkDelay` for both.
-    */
-  def nearDupStats(
-      docs: DataFrame,
-      watermarkDelay: String = "10 seconds",
-      windowDuration: String = "10 seconds",
-      threshold: Double = graft.ops.Dedup.JaccardThreshold): DataFrame = {
-    val toks = docs.select(
-      col("ts"), col("doc_id"), col("source"), col("text"),
-      Text.tokens(col("text")).as("toks"))
-    val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "source", "text"))
-    val gated = scored
-      .filter(gate(col("quality_e6")))
-      .select(col("ts"), col("doc_id"), col("text"))
-    NearDupStream.pairs(gated, threshold, watermarkDelay)
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowDuration))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 6).as("avg_jaccard"))
-      .select(col("window.start").as("win_start"), col("n_pairs"), col("avg_jaccard"))
-  }
-
   def trendingTerms(
       docs: DataFrame,
       watermarkDelay: String = "10 seconds",
@@ -132,5 +90,51 @@ object CorpusIngest {
       .select(col("window.start").as("win_start"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("win_start"), col("t.term").as("term"), col("t.tf").as("n"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Near-dup monitoring for the ingest chain: quality gate (same cut as
+    * `pipeline`), then the banded-MinHash pair stream (`NearDupStream.pairs`
+    * — one flatMapGroupsWithState), then per-tumbling-window pair counts —
+    * the "how duplicated is the feed right now" gauge a continuously-
+    * ingesting corpus needs next to the admission stats. TWO chained
+    * stateful operators in ONE append-mode plan; the pair stream is
+    * re-watermarked on the emitted event time (the later doc's ts), so a
+    * window closes once pair emission moves `watermarkDelay` past it
+    * (append-mode gauge semantics: a quiet feed reports late, but bucket
+    * STATE is bounded by the doc-side watermark regardless of pair
+    * frequency). The gate rides through `pairs`' `admitCol` — junk rows
+    * advance event time above the watermark node but never enter near-dup
+    * state, the same no-stall pin as `pipeline`'s gate.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+    * = false`: Spark's static checker rejects any flatMapGroupsWithState
+    * followed by a stateful op because it cannot bound what the custom
+    * operator emits. THIS chain is provably safe — each emitted pair's ts is
+    * the LATER doc's event time, which passed the upstream watermark filter,
+    * so pair_ts >= doc-side watermark at emission; and since every pair ts
+    * is <= the max doc ts seen, the pair-side watermark (same delay) is
+    * always <= the doc-side watermark. Hence every pair arrives at the
+    * window agg at-or-ahead of its watermark — nothing is ever late-dropped.
+    * The proof holds only while the downstream delay >= the upstream delay,
+    * which this method enforces by using ONE `watermarkDelay` for both.
+    * Returns (win_start, n_pairs, avg_jaccard).
+    */
+  def nearDupStats(
+      docs: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      windowDuration: String = "10 seconds",
+      threshold: Double = graft.ops.Dedup.JaccardThreshold): DataFrame = {
+    val toks = docs.select(
+      col("ts"), col("doc_id"), col("source"), col("text"),
+      Text.tokens(col("text")).as("toks"))
+    val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "source", "text"))
+    val gated = scored.select(col("ts"), col("doc_id"), col("text"),
+      (col("quality_e6") >= KeepThresholdE6).as("admit"))
+    NearDupStream.pairs(gated, threshold, watermarkDelay, admitCol = Some("admit"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+      .select(col("window.start").as("win_start"), col("n_pairs"), col("avg_jaccard"))
   }
 }

@@ -41,12 +41,12 @@ import org.apache.spark.sql.types._
   * watermark passes its event time (the `dropDuplicatesWithinWatermark`
   * contract) — two near-dup docs are guaranteed paired iff they are within
   * `watermarkDelay` of each other; older duplicates are the recall the
-  * stream trades for bounded state. Keep-first admission = drop every doc
-  * that appears as the LATER element (by event time, then doc_id) of an
-  * emitted pair; because every doc is buffered whether or not it was
-  * itself a duplicate, matching is TRANSITIVE like the batch
-  * connected-components step (a doc matching an already-rejected buffered
-  * doc is still rejected — same cluster).
+  * stream trades for bounded state. Keep-first admission = drop every
+  * `doc_dup` (the pair's later-ARRIVING side, emitted explicitly — see
+  * `pairs`); because every doc is buffered whether or not it was itself a
+  * duplicate, matching is TRANSITIVE like the batch connected-components
+  * step (a doc matching an already-rejected buffered doc is still rejected
+  * — same cluster).
   *
   * Hot buckets: a degenerate feed (e.g. millions of identical band
   * signatures) is capped at `maxBucket` newest entries per bucket —
@@ -55,36 +55,69 @@ import org.apache.spark.sql.types._
   */
 object NearDupStream {
 
+  /** The watermark-stall pin (same as CorpusIngest.pipeline / StreamWindows'
+    * heartbeat): a deterministic predicate above the EventTimeWatermark node
+    * would be pushed BELOW it by PushPredicateThroughNonJoin, so a stretch
+    * of all-filtered input (junk-heavy feed, all-short docs) would silently
+    * stop event time — state would never evict. The nondeterministic
+    * wrapper pins filters above the watermark node so the RAW feed drives
+    * time.
+    */
+  private val pin = udf((b: java.lang.Boolean) => b != null && b).asNondeterministic()
+
   /** Verified near-dup pairs over a streaming (ts: timestamp, doc_id: long,
     * text: string) feed. Returns (ts = the later doc's event time, doc_a <
-    * doc_b, jaccard rounded to 6dp — batch-identical). Works unchanged on a
-    * batch DataFrame (everything matures, nothing evicts).
+    * doc_b, jaccard rounded to 6dp — batch-identical, and doc_dup = the
+    * LATER-ARRIVING side of the pair, by (event time, doc_id) within a
+    * batch and by arrival across batches). Keep-first admission = drop the
+    * `doc_dup` values: a stream cannot retract an already-emitted doc, so
+    * "first" means first ARRIVED — equal to event-time order whenever the
+    * feed is in order, which is the only keep-first a stream can implement
+    * without lookahead. Works unchanged on a batch DataFrame (everything
+    * matures in one pass, ordered by (ts, doc_id)).
+    *
+    * `admitCol` (optional boolean column): rows with false are dropped
+    * ABOVE the watermark node via the nondeterministic pin — they advance
+    * event time but never enter bucket state. This is how a quality gate
+    * composes without stalling time on a junk flood
+    * (CorpusIngest.nearDupStats).
     */
   def pairs(
       docs: DataFrame,
       threshold: Double = Dedup.JaccardThreshold,
       watermarkDelay: String = "10 seconds",
       idleTimeoutMs: Long = 3600000L,
-      maxBucket: Int = 65536): DataFrame = {
+      maxBucket: Int = 65536,
+      admitCol: Option[String] = None): DataFrame = {
     val streaming = docs.isStreaming
 
-    val sigs = Dedup.nearDupSignaturesFromToks(
-      docs.select(col("ts"), col("doc_id"), Text.tokens(col("text")).as("toks")),
-      keep = Seq("ts"))
+    // Watermark FIRST, filters after it and pinned: the watermark tracks the
+    // raw feed, not the admitted subset (see `pin`).
+    val base0 = docs.select(
+      Seq(col("ts"), col("doc_id"), Text.tokens(col("text")).as("toks")) ++
+        admitCol.map(c => col(c).as("__admit")): _*)
+    val base = if (streaming) base0.withWatermark("ts", watermarkDelay) else base0
+    val keepExpr = admitCol match {
+      case Some(_) => col("__admit") && size(col("toks")) >= 3
+      case None => size(col("toks")) >= 3
+    }
+    val admitted = base.filter(pin(keepExpr))
+      .select(col("ts"), col("doc_id"), col("toks"))
+
+    val sigs = Dedup.nearDupSignaturesFromToks(admitted, keep = Seq("ts"))
     val banded = sigs
       .select(col("ts"), col("doc_id"), col("mh"), col("hs"),
-        explode(expr(s"transform(sequence(0, ${Dedup.MinhashBands - 1}), " +
-          s"b -> struct(b as band, slice(mh, b * ${Dedup.MinhashRows} + 1, " +
-          s"${Dedup.MinhashRows}) as sig))")).as("bs"))
+        explode(expr(Dedup.bandStructsSql)).as("bs"))
       .select(
         struct(col("bs.band").as("band"), col("bs.sig").as("sig")).as("__k"),
         unix_millis(col("ts")).as("__t"),
         col("doc_id").as("__doc"),
         col("mh").as("__mh"),
         col("hs").as("__hs"),
+        // event-time watermark metadata follows the attribute through the
+        // alias, so the stateful operator below still sees it
         col("ts").as("__eventTime"))
-    val watermarked =
-      if (streaming) banded.withWatermark("__eventTime", watermarkDelay) else banded
+    val watermarked = banded
 
     val keySchema = banded.schema("__k").dataType.asInstanceOf[StructType]
     val entrySchema = StructType(Seq(
@@ -93,7 +126,8 @@ object NearDupStream {
     val stateSchema = StructType(Seq(StructField("buf", ArrayType(entrySchema))))
     val outSchema = StructType(Seq(
       StructField("em", LongType), StructField("doc_a", LongType),
-      StructField("doc_b", LongType), StructField("jaccard", DoubleType)))
+      StructField("doc_b", LongType), StructField("jaccard", DoubleType),
+      StructField("doc_dup", LongType)))
 
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
     val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
@@ -172,7 +206,9 @@ object NearDupStream {
               val j = inter.toDouble / (o._4.length + e._4.length - inter)
               if (j >= threshold) {
                 val (a, b) = if (o._2 < e._2) (o._2, e._2) else (e._2, o._2)
-                out += Row(math.max(o._1, e._1), a, b, round6(j))
+                // e is always the later-processed side: incoming this batch,
+                // after buffered state and after earlier-sorted incoming
+                out += Row(math.max(o._1, e._1), a, b, round6(j), e._2)
               }
             }
             i += 1
@@ -201,6 +237,6 @@ object NearDupStream {
       .groupByKey((r: Row) => r.getStruct(0))(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Append(), timeoutConf)(func)(stateEnc, outEnc)
       .select(timestamp_millis(col("em")).as("ts"),
-        col("doc_a"), col("doc_b"), col("jaccard"))
+        col("doc_a"), col("doc_b"), col("jaccard"), col("doc_dup"))
   }
 }

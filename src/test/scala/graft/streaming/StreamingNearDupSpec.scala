@@ -47,10 +47,11 @@ class StreamingNearDupSpec extends SparkSpec {
         s"stream-vs-batch pair mismatch: stream-only=${(got -- expected).take(5)} " +
           s"batch-only=${(expected -- got).take(5)}")
 
-      // keep-first ADMISSIONS: a doc is rejected iff it is the LATER element
-      // of an emitted pair; with ts aligned to doc_id this equals the batch
-      // rule "rejected iff some earlier doc pairs with it"
-      val streamRejected = spark.table("ndpairs").collect().map(_.getLong(2)).toSet
+      // keep-first ADMISSIONS: a doc is rejected iff it is the doc_dup (the
+      // later-ARRIVING side) of an emitted pair; with ts aligned to doc_id
+      // arrival order == doc_id order, so this equals the batch rule
+      // "rejected iff some earlier doc pairs with it" (= the doc_b set)
+      val streamRejected = spark.table("ndpairs").collect().map(_.getLong(4)).toSet
       val batchRejected = expected.map(_._2)
       assert(streamRejected == batchRejected, "admission sets must agree")
     } finally q.stop()
@@ -128,6 +129,55 @@ class StreamingNearDupSpec extends SparkSpec {
       // shared session: restore the checker for every other suite
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     }
+  }
+
+  test("doc_dup marks the later-ARRIVING side even when event times disagree") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val src = Sources.memoryStream[NDoc](spark)
+    val q = NearDupStream.pairs(src.toDS().toDF(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("ndlate").outputMode("append").start()
+    try {
+      // doc 9 has the LATER event time but arrives FIRST; doc 5 arrives later
+      src.addData(Seq(NDoc(ts(2000), 9L, text)))
+      q.processAllAvailable()
+      src.addData(Seq(NDoc(ts(1000), 5L, text)))
+      q.processAllAvailable()
+      val out = spark.table("ndlate").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      // normalized pair is (5, 9); the rejected side is 5 — it arrived when 9
+      // was already admitted and emitted, so the stream can only drop 5
+      assert(out.toSeq == Seq((5L, 9L, 5L)), out.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("non-admitted rows still advance the watermark (no stall on a junk flood)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val src = Sources.memoryStream[SDoc](spark)
+    val gated = src.toDS().toDF()
+      .withColumn("admit", col("source") === "good")
+    val q = NearDupStream.pairs(gated, watermarkDelay = "5 seconds", admitCol = Some("admit"))
+      .writeStream.format("memory").queryName("ndflood").outputMode("append").start()
+    try {
+      src.addData(Seq(SDoc(ts(1000), 1L, "good", text)))
+      q.processAllAvailable()
+      // a junk-only flood far in the future: rows are dropped before state,
+      // but their event times MUST advance the watermark past doc 1
+      src.addData(Seq(SDoc(ts(60000), 2L, "junk", text)))
+      q.processAllAvailable()
+      src.addData(Seq(SDoc(ts(61000), 3L, "junk", text)))
+      q.processAllAvailable()
+      // doc 4 duplicates doc 1, but doc 1 was evicted by the junk-advanced
+      // watermark — with the gate below the watermark node (the bug this
+      // guards against), time would have stalled at 1000 and (1,4) would pair
+      src.addData(Seq(SDoc(ts(62000), 4L, "good", text)))
+      q.processAllAvailable()
+      val got = spark.table("ndflood").collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(!got.contains((1L, 4L)), s"junk flood failed to advance the watermark: $got")
+      // and junk never entered state: no pair involves docs 2 or 3
+      assert(got.forall { case (a, b) => a != 2L && b != 2L && a != 3L && b != 3L })
+    } finally q.stop()
   }
 
   test("transitive matching: a doc matching an already-rejected buffered doc is rejected too") {
