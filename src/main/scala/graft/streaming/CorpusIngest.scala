@@ -33,12 +33,10 @@ object CorpusIngest {
 
   /** The gate must sit ABOVE the EventTimeWatermark node: the watermark
     * tracks the raw feed's event time, so a stretch of all-rejected input
-    * still advances it (closing windows, evicting dedup state). A
-    * deterministic predicate would be pushed below the watermark node by
-    * PushPredicateThroughNonJoin, silently stalling time whenever the feed
-    * turns junk-heavy — same pin as StreamWindows' heartbeat filter.
+    * still advances it (closing windows, evicting dedup state) — the shared
+    * `Pin.keep` idiom.
     */
-  private val gate = udf((q: Long) => q >= KeepThresholdE6).asNondeterministic()
+  private def gate(q: org.apache.spark.sql.Column) = Pin.keep(q >= KeepThresholdE6)
 
   /** docs: streaming (ts: timestamp, doc_id: long, source: string, text:
     * string). Returns (win_start, source, n_docs, n_tokens) of ADMITTED docs
@@ -125,12 +123,14 @@ object CorpusIngest {
       windowDuration: String = "10 seconds",
       threshold: Double = graft.ops.Dedup.JaccardThreshold): DataFrame = {
     val toks = docs.select(
-      col("ts"), col("doc_id"), col("source"), col("text"),
+      col("ts"), col("doc_id"), col("source"),
       Text.tokens(col("text")).as("toks"))
-    val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "source", "text"))
-    val gated = scored.select(col("ts"), col("doc_id"), col("text"),
+    // keep = toks: scoring and signatures share ONE tokenize pass (the
+    // FromToks convention — pairs never re-reads the text)
+    val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "source", "toks"))
+    val gated = scored.select(col("ts"), col("doc_id"), col("toks"),
       (col("quality_e6") >= KeepThresholdE6).as("admit"))
-    NearDupStream.pairs(gated, threshold, watermarkDelay, admitCol = Some("admit"))
+    NearDupStream.pairsFromToks(gated, threshold, watermarkDelay, admitCol = Some("admit"))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration))
       .agg(count(lit(1)).as("n_pairs"),

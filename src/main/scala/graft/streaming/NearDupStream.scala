@@ -55,16 +55,6 @@ import org.apache.spark.sql.types._
   */
 object NearDupStream {
 
-  /** The watermark-stall pin (same as CorpusIngest.pipeline / StreamWindows'
-    * heartbeat): a deterministic predicate above the EventTimeWatermark node
-    * would be pushed BELOW it by PushPredicateThroughNonJoin, so a stretch
-    * of all-filtered input (junk-heavy feed, all-short docs) would silently
-    * stop event time — state would never evict. The nondeterministic
-    * wrapper pins filters above the watermark node so the RAW feed drives
-    * time.
-    */
-  private val pin = udf((b: java.lang.Boolean) => b != null && b).asNondeterministic()
-
   /** Verified near-dup pairs over a streaming (ts: timestamp, doc_id: long,
     * text: string) feed. Returns (ts = the later doc's event time, doc_a <
     * doc_b, jaccard rounded to 6dp — batch-identical, and doc_dup = the
@@ -88,20 +78,39 @@ object NearDupStream {
       watermarkDelay: String = "10 seconds",
       idleTimeoutMs: Long = 3600000L,
       maxBucket: Int = 65536,
+      admitCol: Option[String] = None): DataFrame =
+    pairsFromToks(
+      docs.select(
+        Seq(col("ts"), col("doc_id"), Text.tokens(col("text")).as("toks")) ++
+          admitCol.map(col): _*),
+      threshold, watermarkDelay, idleTimeoutMs, maxBucket, admitCol)
+
+  /** `pairs` over a pre-tokenized (ts, doc_id, toks [, admitCol]) input —
+    * pipelines that already tokenized for scoring (CorpusIngest.nearDupStats)
+    * feed this directly so each document is tokenized exactly once, the
+    * same FromToks convention as the batch operators.
+    */
+  def pairsFromToks(
+      docs: DataFrame,
+      threshold: Double = Dedup.JaccardThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxBucket: Int = 65536,
       admitCol: Option[String] = None): DataFrame = {
     val streaming = docs.isStreaming
 
-    // Watermark FIRST, filters after it and pinned: the watermark tracks the
-    // raw feed, not the admitted subset (see `pin`).
+    // Watermark FIRST, filters after it and PINNED (Pin.keep): the watermark
+    // tracks the RAW feed, not the admitted subset — junk/short rows advance
+    // event time, then drop before any state.
     val base0 = docs.select(
-      Seq(col("ts"), col("doc_id"), Text.tokens(col("text")).as("toks")) ++
+      Seq(col("ts"), col("doc_id"), col("toks")) ++
         admitCol.map(c => col(c).as("__admit")): _*)
     val base = if (streaming) base0.withWatermark("ts", watermarkDelay) else base0
     val keepExpr = admitCol match {
       case Some(_) => col("__admit") && size(col("toks")) >= 3
       case None => size(col("toks")) >= 3
     }
-    val admitted = base.filter(pin(keepExpr))
+    val admitted = base.filter(Pin.keep(keepExpr))
       .select(col("ts"), col("doc_id"), col("toks"))
 
     val sigs = Dedup.nearDupSignaturesFromToks(admitted, keep = Seq("ts"))
@@ -115,9 +124,9 @@ object NearDupStream {
         col("mh").as("__mh"),
         col("hs").as("__hs"),
         // event-time watermark metadata follows the attribute through the
-        // alias, so the stateful operator below still sees it
+        // alias, so the stateful operator below still sees it (the watermark
+        // NODE itself sits upstream, above the pinned filters)
         col("ts").as("__eventTime"))
-    val watermarked = banded
 
     val keySchema = banded.schema("__k").dataType.asInstanceOf[StructType]
     val entrySchema = StructType(Seq(
@@ -233,7 +242,7 @@ object NearDupStream {
 
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
-    watermarked
+    banded
       .groupByKey((r: Row) => r.getStruct(0))(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Append(), timeoutConf)(func)(stateEnc, outEnc)
       .select(timestamp_millis(col("em")).as("ts"),
