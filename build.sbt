@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the driver scrapes a bounded stdout tail for the
+// Bench headline JSON line, and the logger's "[info] " prefix made that
+// line unparseable (round-7 advice).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,11 +12,36 @@ import org.apache.spark.sql.SparkSession
   * throughput claims (README.md:7-8), so steady-state medians are the honest
   * comparison — cold JVM startup is a constant ~6 s that would otherwise land
   * entirely on whichever query happens to run first.
+  *
+  * Session-pathology defenses (round-7 verdict: the driver artifact recorded
+  * 344.8 s where a clean re-run of the same binary took 55.9 s — progressive
+  * storage/GC contamination the old harness neither prevented nor recorded):
+  *
+  *   - the checkpoint-block sweep runs BLOCKING after EVERY timed pass, not
+  *     just between queries: a heavy query's own checkpoint blocks
+  *     (CC rounds, pipeline scans) otherwise stay pinned across its later
+  *     passes, and `blocking = false` frees could lag into the next timing
+  *     under memory pressure — exactly the min-healthy/median-blown signature
+  *     BENCH_r07 shows.
+  *   - every query entry embeds telemetry: GC-time delta over its passes,
+  *     peak block-manager storage bytes and peak persistent-RDD count
+  *     observed BEFORE each sweep. A poisoned session is now self-diagnosing
+  *     from the artifact alone (healthy run: storage returns to ~0 after
+  *     each sweep and gc_ms stays a small fraction of wall time).
+  *   - `SPARK_GRAFT_BENCH_ISOLATE=1` is the adjudication mode: a FRESH
+  *     SparkSession (new SparkContext) per query, so nothing can leak across
+  *     queries at all. Slower (pays JVM/session startup per query) but
+  *     removes every cross-query channel; use it to confirm whether an
+  *     in-session number is contamination or a real regression.
+  *
+  * The full JSON line goes to SPARK_GRAFT_BENCH_OUT (default bench_out.json)
+  * as the durable primary artifact; stdout gets the same line plus a short
+  * headline (build.sbt forks with OutputStrategy.StdoutOutput so neither is
+  * sbt-prefixed — a bounded stdout tail ends with bare parseable JSON).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,68 +50,112 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    spark
+  }
 
+  /** Cumulative stop-the-world GC millis of this JVM (driver == executors at
+    * local[*], so this is the whole engine's GC time).
+    */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  /** Block-manager storage bytes currently in use (max - remaining over all
+    * block managers; local mode has exactly one).
+    */
+  private def storageBytes(spark: SparkSession): Long =
+    spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum
+
+  /** Release executor storage held by localCheckpoint(): the iterative
+    * operators (k-means, connected components, the shared tokenized scan in
+    * the pipelines) each leave checkpoint RDD blocks in storage memory that
+    * are reclaimed only when the driver GC collects the RDD reference.
+    * BLOCKING, so the next timing never starts while frees are in flight.
+    */
+  private def sweep(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  private case class QStat(
+      times: Seq[Double], gcDeltaMs: Long, storagePeak: Long, rddsPeak: Int)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // Between queries, release executor storage held by localCheckpoint():
-    // the iterative operators (k-means, connected components, the shared
-    // tokenized scan in the pipelines) each leave checkpoint RDD blocks in
-    // storage memory that are reclaimed only when the driver GC collects the
-    // RDD reference. Across 75 warm-ups + 225 timed runs that accumulation
-    // evicted the working set and inflated the heavy queries ~2.6-2.9x versus
-    // isolation (round-6 verdict). Unpersisting directly is deterministic.
-    def sweep(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
+    var spark = newSession(cpus)
+
+    // warm-up pass (untimed; in isolate mode each query warms its own fresh
+    // session instead)
+    if (!isolate) ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      sweep(spark)
     }
 
-    // warm-up pass (untimed)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      sweep()
-    }
     // A failed query must be LOUD: it reports {"err": ...} instead of a
     // timing, never a number that shrinks the total, and fails the process
     // exit code so a regression can't bench as an improvement.
-    val results: Seq[(String, Either[String, Seq[Double]])] = ordered.map { case (name, fn) =>
-      try {
-        val times = (1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Either[String, QStat])] = ordered.zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (isolate && i > 0) { spark.stop(); spark = newSession(cpus) }
+        try {
+          if (isolate) { fn(spark, sfDir).count(); sweep(spark) } // per-query warm-up
+          val gc0 = gcMs()
+          var stPeak = 0L
+          var rddPeak = 0
+          val times = (1 to passes).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            // observe BEFORE the sweep: what this query left pinned
+            stPeak = math.max(stPeak, storageBytes(spark))
+            rddPeak = math.max(rddPeak, spark.sparkContext.getPersistentRDDs.size)
+            sweep(spark)
+            dt
+          }
+          name -> Right(QStat(times.sorted, gcMs() - gc0, stPeak, rddPeak))
+        } catch {
+          case e: Throwable =>
+            sweep(spark) // a FAILED query must not leak its blocks into the next timings
+            name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
-        name -> Right(times.sorted)
-      } catch {
-        case e: Throwable =>
-          name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-      } finally sweep() // a FAILED query must not leak its blocks into the next timings
     }
     def median(sorted: Seq[Double]): Double = {
       val n = sorted.length
       if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
     }
     val qs = results.map {
-      case (k, Right(sorted)) =>
-        "\"" + k + "\":{\"median\":" + median(sorted) +
-          ",\"min\":" + sorted.head + ",\"max\":" + sorted.last + "}"
+      case (k, Right(s)) =>
+        "\"" + k + "\":{\"median\":" + median(s.times) +
+          ",\"min\":" + s.times.head + ",\"max\":" + s.times.last +
+          ",\"gc_ms\":" + s.gcDeltaMs + ",\"storage_bytes\":" + s.storagePeak +
+          ",\"n_rdds\":" + s.rddsPeak + "}"
       case (k, Left(err)) =>
         "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\"}"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => k }
-    val total = results.collect { case (_, Right(sorted)) => median(sorted) }.sum
+    val total = results.collect { case (_, Right(s)) => median(s.times) }.sum
+    val gcTotal = results.collect { case (_, Right(s)) => s.gcDeltaMs }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver scrapes a bounded stdout tail, which truncated the big line
-    // mid-JSON in rounds 5 and 6. Print a second SHORT summary line AFTER it
-    // so any bounded tail always ends with a parseable headline, and persist
-    // the full line to a file as the durable copy.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // mid-JSON in rounds 5 and 6. Persist the full line to a file as the
+    // durable primary artifact, print it, then print a SHORT headline LAST so
+    // any bounded tail ends with a parseable line (build.sbt's
+    // OutputStrategy.StdoutOutput keeps both free of sbt's "[info] " prefix).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

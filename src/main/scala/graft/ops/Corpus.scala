@@ -74,7 +74,23 @@ object Corpus {
     * session calling packing operators repeatedly should sweep
     * (`sparkContext.getPersistentRDDs` → unpersist) between jobs, as
     * `Bench.sweep()` does.
+    *
+    * ADAPTIVE: the two-level machinery (range exchange + checkpoint +
+    * offsets window + broadcast join-back) earns its cost only when a shard
+    * is too big for one task. A bounded probe (`limit(k+1).count`, memoized
+    * by semantic plan hash so repeated calls on the same input pay it once;
+    * at scale the limit short-circuits after ~one partition) checks whether
+    * the WHOLE input fits comfortably in one window task — at or under
+    * `graft.cumsum.windowMaxRows` rows (default shuffle.partitions × 1024)
+    * — and if so runs the plain per-shard window instead. Values are
+    * identical either way (CorpusSpec asserts both modes against each
+    * other); only the physical plan differs. Set the conf to 0 to force the
+    * two-level form always (the CorpusSpec funnel asserts do), or large to
+    * force the window form.
     */
+  private val cumsumProbeMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+
   private[ops] def shardedCumsum(
       df: DataFrame,
       valueCol: String,
@@ -88,6 +104,24 @@ object Corpus {
     // coalesce a small input back to ONE partition — exactly the funnel this
     // operator exists to avoid (same pin as Dedup's bucket repartitions).
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val maxRows = df.sparkSession.conf.get("graft.cumsum.windowMaxRows", "auto") match {
+      case "auto" => n.toLong * 1024L
+      case v => v.toLong
+    }
+    val small = maxRows > 0 && {
+      val key = (df.queryExecution.logical.semanticHash(), maxRows)
+      cumsumProbeMemo.contains(key) || {
+        val probe = math.min(maxRows, Int.MaxValue.toLong - 1L).toInt
+        val fits = df.limit(probe + 1).count() <= maxRows
+        if (fits) cumsumProbeMemo.add(key)
+        fits
+      }
+    }
+    if (small) {
+      val w = Window.partitionBy(col(shardCol)).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(outCol, sum(col(valueCol).cast("long")).over(w))
+    }
     val sorted = df
       .repartitionByRange(n, col(shardCol) +: order: _*)
       .sortWithinPartitions(col(shardCol) +: order: _*)
@@ -335,13 +369,41 @@ object Corpus {
     * (shingle, source) pairs self-join on the shingle hash — the shuffle
     * carries 8-byte hashes + source ids, never text, and per-source set
     * sizes come from one small aggregate joined back by source.
+    *
+    * The UNBOUNDED default (`maxDf = Int.MaxValue`) is the exact diagnostic
+    * form, and it is guarded like the all-pairs dedup baselines: one shingle
+    * present in all S sources contributes S² self-join rows, and at web
+    * scale near-universal boilerplate shingles make that the dominant term.
+    * Past `graft.corpus.overlapShingleLimit` inverted-index rows (default
+    * 2M; bounded `limit(k+1).count` probe, memoized by semantic plan hash)
+    * the exact form fails fast with a pointer at the `maxDf` cut — the
+    * scale path, oracle-checked by `q_source_overlap_cut`.
     */
+  val OverlapShingleLimit = 2000000L
+
+  private val overlapGuardMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+
   def sourceOverlap(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
     val sh0 = docs
       .select(col("source"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
       .distinct()
+    if (maxDf == Int.MaxValue) {
+      val limit = docs.sparkSession.conf
+        .get("graft.corpus.overlapShingleLimit", OverlapShingleLimit.toString).toLong
+      val key = (sh0.queryExecution.logical.semanticHash(), limit)
+      if (limit < Int.MaxValue && !overlapGuardMemo.contains(key)) {
+        val n = sh0.limit(limit.toInt + 1).count()
+        require(n <= limit,
+          s"sourceOverlap without a df bound is the exact diagnostic form and the " +
+            s"inverted index exceeds $limit rows (conf graft.corpus.overlapShingleLimit): " +
+            s"a near-universal shingle contributes nSources^2 self-join rows. Pass a " +
+            s"finite maxDf (the hot-key cut, e.g. maxDf = nSources) or raise the limit.")
+        overlapGuardMemo.add(key)
+      }
+    }
     // document-frequency cut: a shingle present in more than `maxDf` sources
     // contributes maxDf² join rows while saying nothing about any PAIR —
     // dropping them bounds hot-key fan-out at web scale. The filter reuses
@@ -412,10 +474,14 @@ object Corpus {
     * balanced, so no shard skew by construction), shard_pos = the doc's
     * rank inside its shard in (hash, doc_id) order — writer tasks emit each
     * shard's rows in shard_pos order and the global order is seeded-random.
-    * One hash projection + one per-shard rank window; shards are
-    * hash-balanced so each window partition carries ~n/nShards rows no
-    * matter how the corpus was previously laid out (unlike shardCol-keyed
-    * windows, skew cannot exist here). Changing `seed` reshuffles
+    * One hash projection + the shared `shardedCumsum` rank (value = 1 per
+    * row, ordered by (hash, id)): shard_pos is a running COUNT, so the
+    * two-level prefix sum computes it with parallelism bounded by the
+    * cluster's partitions, not by nShards — a corpus sharded into 8 training
+    * files no longer funnels each shard through one window task (round-7
+    * advice; small inputs take the adaptive plain-window path, where the
+    * per-shard window is harmless). Shards are hash-balanced regardless of
+    * how the corpus was previously laid out. Changing `seed` reshuffles
     * everything.
     */
   def shuffleShards(
@@ -424,12 +490,12 @@ object Corpus {
       seed: Long,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col(idCol))
-    docs
+    val hashed = docs
       .select(col(idCol),
         expr(hashSql(s"concat('$seed:', cast($idCol as string))")).as("h"))
       .withColumn("shard_id", (col("h") % nShards).cast("long"))
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .withColumn("__one", lit(1L))
+    shardedCumsum(hashed, "__one", "shard_id", Seq(col("h"), col(idCol)), "shard_pos")
       .select(col(idCol), col("shard_id"), col("shard_pos"))
   }
 

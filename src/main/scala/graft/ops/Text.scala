@@ -259,23 +259,25 @@ object Text {
     "\\d{9,}" -> "<NUM>")
 
   /** Pattern scrubbing: replace every match of each rule with its
-    * placeholder (rules applied in order), plus `n_redactions` = total
-    * matches counted on the ORIGINAL column (sequential replacement can in
-    * principle reveal new matches; counts are defined pre-replacement).
-    * Map-only — regexp_replace/regexp_count are codegen'd, nothing
-    * shuffles; at 100 TB this is scan-bound like the other text ops.
+    * placeholder (rules applied in order), plus `n_redactions` = the number
+    * of placeholders actually inserted: each rule is counted against the
+    * PROGRESSIVELY-scrubbed intermediate it actually rewrites, so two rules
+    * overlapping one span (an email whose local part contains a 9-digit
+    * run) count it exactly once — a privacy metric that over-reports
+    * redactions would be misleading (round-7 advice). Map-only —
+    * regexp_replace/regexp_count are codegen'd, nothing shuffles; at 100 TB
+    * this is scan-bound like the other text ops.
     */
   def scrub(
       df: DataFrame,
       column: String,
       rules: Seq[(String, String)] = PiiRules,
       outCol: String = "scrubbed"): DataFrame = {
-    val scrubbed = rules.foldLeft(col(column)) {
-      case (c, (p, r)) => regexp_replace(c, p, r)
+    val (scrubbed, counts) = rules.foldLeft((col(column), Seq.empty[org.apache.spark.sql.Column])) {
+      case ((c, ns), (p, r)) => (regexp_replace(c, p, r), ns :+ regexp_count(c, lit(p)))
     }
-    val n = rules.map { case (p, _) => regexp_count(col(column), lit(p)) }
-      .reduce(_ + _)
-    df.withColumn(outCol, scrubbed).withColumn("n_redactions", n.cast("long"))
+    df.withColumn(outCol, scrubbed)
+      .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
 
   // -------------------------------------------------------------------------

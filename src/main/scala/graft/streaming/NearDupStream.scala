@@ -49,9 +49,15 @@ import org.apache.spark.sql.types._
   * — same cluster).
   *
   * Hot buckets: a degenerate feed (e.g. millions of identical band
-  * signatures) is capped at `maxBucket` newest entries per bucket —
-  * graceful recall degradation instead of an executor OOM; the batch path
-  * pays the same pathology as join fan-out.
+  * signatures) is capped at `maxBucket` newest entries per bucket, and the
+  * cap is enforced INSIDE the batch, not just across batches: the incoming
+  * group is reduced to its `maxBucket` newest rows by a bounded min-heap
+  * (O(batch·log maxBucket) time, O(maxBucket) memory) before any compare,
+  * and the buffer evicts its oldest entry in-loop whenever an insert would
+  * exceed the cap — so a single micro-batch flooding one bucket does at
+  * most batch×maxBucket compares and never materializes an unbounded
+  * buffer. Graceful recall degradation instead of an executor OOM; the
+  * batch path pays the same pathology as join fan-out.
   */
 object NearDupStream {
 
@@ -200,10 +206,19 @@ object NearDupStream {
       // that matters and all pairs form within the call.)
       val buf = state.getOption.map(decode).getOrElse(new ArrayBuffer[Entry]())
         .filter(_._1 >= wm)
-      // deterministic processing order regardless of shuffle arrival order
-      val incoming = it.map(r => (r.getLong(1), r.getLong(2),
+      val byTime = Ordering.by[Entry, (Long, Long)](e => (e._1, e._2))
+      // Deterministic processing order regardless of shuffle arrival order,
+      // with the hot-bucket cap applied to the BATCH itself: a bounded
+      // min-heap keeps the `maxBucket` newest rows by (t, doc) — the same
+      // survivors the across-batch cap elects — so a one-batch degenerate
+      // flood is bounded in memory before any compare (round-7 advice).
+      val heap = scala.collection.mutable.PriorityQueue.empty[Entry](byTime.reverse)
+      it.foreach { r =>
+        heap.enqueue((r.getLong(1), r.getLong(2),
           r.getSeq[Long](3).toArray, r.getSeq[Long](4).toArray))
-        .toArray.sortBy(e => (e._1, e._2))
+        if (heap.size > maxBucket) heap.dequeue() // drop the oldest overflow
+      }
+      val incoming = heap.dequeueAll.toArray // dequeue order = ascending (t, doc)
       val out = new ArrayBuffer[Row]()
       incoming.foreach { e =>
         if (!buf.exists(_._2 == e._2)) { // replayed doc_id: already counted
@@ -222,20 +237,23 @@ object NearDupStream {
             }
             i += 1
           }
+          // in-loop cap: evict the oldest buffered entry BEFORE the insert
+          // would exceed maxBucket, so the buffer (and with it the per-row
+          // compare cost above) stays bounded even mid-batch
+          if (buf.length >= maxBucket) {
+            var m = 0; var s = 1
+            while (s < buf.length) { if (byTime.lt(buf(s), buf(m))) m = s; s += 1 }
+            buf.remove(m)
+          }
           buf += e
         }
       }
-      // hot-bucket cap (newest entries win — the oldest would evict first
-      // anyway)
-      var kept: scala.collection.mutable.Seq[Entry] = buf
-      if (kept.length > maxBucket)
-        kept = kept.sortBy(e => (e._1, e._2)).takeRight(maxBucket)
-      if (kept.isEmpty) { if (state.exists) state.remove() }
+      if (buf.isEmpty) { if (state.exists) state.remove() }
       else {
-        state.update(encode(kept.toSeq))
+        state.update(encode(buf.toSeq))
         if (streaming)
           state.setTimeoutTimestamp(
-            math.max(kept.map(_._1).max + idleTimeoutMs, wm + 1))
+            math.max(buf.map(_._1).max + idleTimeoutMs, wm + 1))
       }
       out.iterator
     }

@@ -119,7 +119,10 @@ class TextSpec extends SparkSpec {
       (1L, "contact alice.smith+news@example.co.uk or bob@host.org today"),
       (2L, "server at 10.0.255.7 responded; port note 8.8.8.8 ok"),
       (3L, "card 4111111111111111 and ssn 123456789 but year 2024 stays"),
-      (4L, "nothing sensitive here at all"))
+      (4L, "nothing sensitive here at all"),
+      // overlapping rules: the digit run sits INSIDE the email match — one
+      // placeholder inserted, so n_redactions must be 1, not 2
+      (5L, "reach 123456789ab@example.com asap"))
     val out = Text.scrub(d, "text").collect()
       .map(r => (r.getLong(0), r.getAs[String]("scrubbed"), r.getAs[Long]("n_redactions")))
       .sortBy(_._1)
@@ -127,5 +130,7 @@ class TextSpec extends SparkSpec {
     assert(out(1)._2 == "server at <IP> responded; port note <IP> ok" && out(1)._3 == 2L)
     assert(out(2)._2 == "card <NUM> and ssn <NUM> but year 2024 stays" && out(2)._3 == 2L)
     assert(out(3)._2 == "nothing sensitive here at all" && out(3)._3 == 0L)
+    assert(out(4)._2 == "reach <EMAIL> asap" && out(4)._3 == 1L,
+      s"overlapping rules must not double-count one redacted span: ${out(4)}")
   }
 }

@@ -180,6 +180,45 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hot-bucket cap evicts oldest in-loop: bucket state never exceeds maxBucket") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val src = Sources.memoryStream[NDoc](spark)
+    val q = NearDupStream.pairs(src.toDS().toDF(), watermarkDelay = "1 hour", maxBucket = 2)
+      .writeStream.format("memory").queryName("ndcap").outputMode("append").start()
+    try {
+      src.addData(Seq(NDoc(ts(1000), 1L, text), NDoc(ts(2000), 2L, text)))
+      q.processAllAvailable()
+      // doc 3 compares against {1,2} then evicts 1 (oldest) on insert
+      src.addData(Seq(NDoc(ts(3000), 3L, text)))
+      q.processAllAvailable()
+      // doc 4 sees only {2,3}: (1,4) must be ABSENT — doc 1 was capped out
+      src.addData(Seq(NDoc(ts(4000), 4L, text)))
+      q.processAllAvailable()
+      val got = spark.table("ndcap").collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got((1L, 2L)) && got((1L, 3L)) && got((2L, 3L)), s"pre-cap pairs missing: $got")
+      assert(got((2L, 4L)) && got((3L, 4L)) && !got((1L, 4L)),
+        s"capped-out doc must not pair: $got")
+    } finally q.stop()
+  }
+
+  test("hot-bucket cap bounds a SINGLE flooding micro-batch (round-7 advice)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val src = Sources.memoryStream[NDoc](spark)
+    val q = NearDupStream.pairs(src.toDS().toDF(), watermarkDelay = "1 hour", maxBucket = 2)
+      .writeStream.format("memory").queryName("ndflood1").outputMode("append").start()
+    try {
+      // 5 identical docs in ONE batch with maxBucket = 2: the incoming heap
+      // keeps only the 2 newest (docs 4, 5), so exactly ONE pair emits —
+      // bounded memory and compares instead of C(5,2) = 10 pairs
+      src.addData((1L to 5L).map(i => NDoc(ts(1000 * i), i, text)))
+      q.processAllAvailable()
+      val got = spark.table("ndflood1").collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((4L, 5L)), s"flood must degrade to the newest survivors: $got")
+    } finally q.stop()
+  }
+
   test("transitive matching: a doc matching an already-rejected buffered doc is rejected too") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
