@@ -117,6 +117,47 @@ object CorpusIngest {
     * which this method enforces by using ONE `watermarkDelay` for both.
     * Returns (win_start, n_pairs, avg_jaccard).
     */
+  /** The ADMITTED document stream — the full ingest admission chain ending
+    * in the thing a production corpus actually writes, ONE append-mode
+    * plan: quality gate → exact dedup within the watermark
+    * (`dropDuplicatesWithinWatermark` on the normalized-text fingerprint)
+    * → streaming NEAR-dedup admission (`NearDupStream.admittedFromToks` —
+    * the banded-MinHash stateful op emitting per-doc verdicts, ORed by a
+    * watermarked per-doc aggregation). Returns (ts, doc_id): every doc
+    * that cleared the gate, was the first arrival of its exact text, and
+    * near-duplicates no earlier-arriving admitted-or-rejected doc within
+    * the watermark. Emission finalizes one `watermarkDelay` after the
+    * doc's event time (append mode cannot retract); doc text lands in the
+    * raw store at arrival, so the admitted set is an id-join away — ids
+    * and signatures are all that ever shuffles, never text.
+    *
+    * THREE chained stateful operators; requires the same
+    * `checkCorrectness.enabled = false` contract as `nearDupStats`. The
+    * safety proof composes: dropDuplicatesWithinWatermark emits rows
+    * unchanged (ts untouched, never late downstream), and the verdict
+    * rows carry each doc's own event time (NearDupStream.admitted
+    * scaladoc), so every stage's input is at-or-ahead of its watermark
+    * while all stages share one delay.
+    */
+  def admittedDocs(
+      docs: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      threshold: Double = graft.ops.Dedup.JaccardThreshold): DataFrame = {
+    val toks = docs.select(
+      col("ts"), col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("toks"))
+      .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+    // keep = toks: scoring, the exact fingerprint and the minhash signatures
+    // all ride ONE tokenize pass
+    val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "fp", "toks"))
+    val exact = scored
+      .withWatermark("ts", watermarkDelay)
+      .filter(gate(col("quality_e6")))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("ts"), col("doc_id"), col("toks"))
+    NearDupStream.admittedFromToks(exact, threshold, watermarkDelay)
+  }
+
   def nearDupStats(
       docs: DataFrame,
       watermarkDelay: String = "10 seconds",

@@ -102,7 +102,102 @@ object NearDupStream {
       watermarkDelay: String = "10 seconds",
       idleTimeoutMs: Long = 3600000L,
       maxBucket: Int = 65536,
+      admitCol: Option[String] = None): DataFrame =
+    engine(docs, threshold, watermarkDelay, idleTimeoutMs, maxBucket, admitCol,
+      verdicts = false)
+
+  /** The ADMITTED document stream — what a production ingest actually
+    * writes: (ts, doc_id) of every doc that is NOT a near-duplicate of an
+    * earlier-arriving doc within the watermark (keep-first admission, the
+    * complement of `pairs`' doc_dup set — spec-asserted equal). Docs with
+    * fewer than 3 tokens have no shingles, cannot near-duplicate anything,
+    * and pass straight through; `admitCol = false` rows are dropped above
+    * the watermark node like in `pairs`.
+    *
+    * Shape: the same single banded flatMapGroupsWithState, but each band
+    * group emits one VERDICT row per incoming doc — (ts, doc_id, matched =
+    * "this bucket holds a verified near-dup") — instead of electing pairs.
+    * A doc lands in all `MinhashBands` buckets, so a watermarked per-
+    * (ts, doc_id) aggregation ORs the verdicts and keeps docs with none
+    * matched. Two chained stateful operators in ONE append-mode plan; the
+    * admission therefore finalizes one `watermarkDelay` after the doc's
+    * event time (the price of a retraction-free append stream).
+    *
+    * Watermark safety (why `spark.sql.streaming.statefulOperator
+    * .checkCorrectness.enabled = false` is part of the contract, same proof
+    * shape as `CorpusIngest.nearDupStats`): every verdict row's ts is the
+    * doc's OWN event time, which was at-or-ahead of the doc-side watermark
+    * when the stateful op processed it; the verdict-side watermark uses the
+    * same delay and can only lag the doc side, so no verdict ever arrives
+    * late at the aggregation. Holds only while the downstream delay >= the
+    * upstream delay, which this method enforces by sharing one
+    * `watermarkDelay`.
+    *
+    * Works unchanged on a batch DataFrame (the spec cross-checks batch
+    * admissions against `pairs`' doc_dup complement and the CC survivor
+    * set).
+    */
+  def admitted(
+      docs: DataFrame,
+      threshold: Double = Dedup.JaccardThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxBucket: Int = 65536,
+      admitCol: Option[String] = None): DataFrame =
+    admittedFromToks(
+      docs.select(
+        Seq(col("ts"), col("doc_id"), Text.tokens(col("text")).as("toks")) ++
+          admitCol.map(col): _*),
+      threshold, watermarkDelay, idleTimeoutMs, maxBucket, admitCol)
+
+  /** `admitted` over a pre-tokenized (ts, doc_id, toks [, admitCol]) input. */
+  def admittedFromToks(
+      docs: DataFrame,
+      threshold: Double = Dedup.JaccardThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxBucket: Int = 65536,
       admitCol: Option[String] = None): DataFrame = {
+    val streaming = docs.isStreaming
+    val verdicts0 = engine(docs, threshold, watermarkDelay, idleTimeoutMs,
+      maxBucket, admitCol, verdicts = true)
+    val verdicts =
+      if (streaming) verdicts0.withWatermark("ts", watermarkDelay) else verdicts0
+    val longDocs = verdicts
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(max(when(col("matched"), 1).otherwise(0)).as("__m"))
+      .filter(col("__m") === 0)
+      .select(col("ts"), col("doc_id"))
+    // < 3 tokens: no shingles, no bands — admitted by construction. Own
+    // watermark node (same delay; Spark combines multiple watermarks by min),
+    // gate pinned above it like the engine's.
+    val base0 = docs.select(
+      Seq(col("ts"), col("doc_id"), col("toks")) ++
+        admitCol.map(c => col(c).as("__admit")): _*)
+    val base = if (streaming && !hasWatermark(base0, "ts")) base0.withWatermark("ts", watermarkDelay) else base0
+    val shortKeep = admitCol match {
+      case Some(_) => col("__admit") && size(col("toks")) < 3
+      case None => size(col("toks")) < 3
+    }
+    val shortDocs = base.filter(Pin.keep(shortKeep)).select(col("ts"), col("doc_id"))
+    longDocs.unionByName(shortDocs)
+  }
+
+  /** True iff `c` already carries event-time watermark metadata — composed
+    * plans (CorpusIngest.admittedDocs: watermark → gate → exact dedup →
+    * here) arrive pre-watermarked, and Spark disallows redefining one.
+    */
+  private def hasWatermark(df: DataFrame, c: String): Boolean =
+    df.schema(c).metadata.contains("spark.watermarkDelayMs")
+
+  private def engine(
+      docs: DataFrame,
+      threshold: Double,
+      watermarkDelay: String,
+      idleTimeoutMs: Long,
+      maxBucket: Int,
+      admitCol: Option[String],
+      verdicts: Boolean): DataFrame = {
     val streaming = docs.isStreaming
 
     // Watermark FIRST, filters after it and PINNED (Pin.keep): the watermark
@@ -111,7 +206,7 @@ object NearDupStream {
     val base0 = docs.select(
       Seq(col("ts"), col("doc_id"), col("toks")) ++
         admitCol.map(c => col(c).as("__admit")): _*)
-    val base = if (streaming) base0.withWatermark("ts", watermarkDelay) else base0
+    val base = if (streaming && !hasWatermark(base0, "ts")) base0.withWatermark("ts", watermarkDelay) else base0
     val keepExpr = admitCol match {
       case Some(_) => col("__admit") && size(col("toks")) >= 3
       case None => size(col("toks")) >= 3
@@ -139,10 +234,14 @@ object NearDupStream {
       StructField("t", LongType), StructField("doc", LongType),
       StructField("mh", ArrayType(LongType)), StructField("hs", ArrayType(LongType))))
     val stateSchema = StructType(Seq(StructField("buf", ArrayType(entrySchema))))
-    val outSchema = StructType(Seq(
-      StructField("em", LongType), StructField("doc_a", LongType),
-      StructField("doc_b", LongType), StructField("jaccard", DoubleType),
-      StructField("doc_dup", LongType)))
+    val outSchema =
+      if (verdicts) StructType(Seq(
+        StructField("em", LongType), StructField("doc", LongType),
+        StructField("matched", BooleanType)))
+      else StructType(Seq(
+        StructField("em", LongType), StructField("doc_a", LongType),
+        StructField("doc_b", LongType), StructField("jaccard", DoubleType),
+        StructField("doc_dup", LongType)))
 
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
     val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
@@ -222,6 +321,22 @@ object NearDupStream {
       val out = new ArrayBuffer[Row]()
       incoming.foreach { e =>
         if (!buf.exists(_._2 == e._2)) { // replayed doc_id: already counted
+          if (verdicts) {
+            // verdict mode: does THIS bucket hold a verified near-dup of e?
+            // Every buffered entry shares e's band signature (the group key),
+            // so all are candidates — no minimal-band election needed; the
+            // downstream per-doc aggregation ORs the bands' verdicts.
+            var matched = false
+            var i = 0
+            while (!matched && i < buf.length) {
+              val o = buf(i)
+              val inter = sortedIntersect(o._4, e._4)
+              if (inter.toDouble / (o._4.length + e._4.length - inter) >= threshold)
+                matched = true
+              i += 1
+            }
+            out += Row(e._1, e._2, matched)
+          } else {
           var i = 0
           while (i < buf.length) {
             val o = buf(i)
@@ -236,6 +351,7 @@ object NearDupStream {
               }
             }
             i += 1
+          }
           }
           // in-loop cap: evict the oldest buffered entry BEFORE the insert
           // would exceed maxBucket, so the buffer (and with it the per-row
@@ -260,10 +376,14 @@ object NearDupStream {
 
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
-    banded
+    val raw = banded
       .groupByKey((r: Row) => r.getStruct(0))(keyEnc)
       .flatMapGroupsWithState[Row, Row](OutputMode.Append(), timeoutConf)(func)(stateEnc, outEnc)
-      .select(timestamp_millis(col("em")).as("ts"),
+    if (verdicts)
+      raw.select(timestamp_millis(col("em")).as("ts"), col("doc").as("doc_id"),
+        col("matched"))
+    else
+      raw.select(timestamp_millis(col("em")).as("ts"),
         col("doc_a"), col("doc_b"), col("jaccard"), col("doc_dup"))
   }
 }

@@ -180,6 +180,116 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitted stream == keep-first survivors; batch mode identical; CC survivors subset") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val withTs = docs.withColumn("ts", timestamp_millis(lit(1000L) + col("doc_id")))
+    // keep-first contract: admitted == all docs minus the later-arriving side
+    // of every verified pair
+    val dupIds = NearDupStream.pairs(withTs).collect().map(_.getLong(4)).toSet
+    val expected = rows.map(_._1).toSet -- dupIds
+    assert(dupIds.nonEmpty, "fixture must contain near-dups for the check to bite")
+
+    // batch mode: identical code path, everything matures in one pass
+    val batchAdmitted = NearDupStream.admitted(withTs).collect().map(_.getLong(1)).toSet
+    assert(batchAdmitted == expected,
+      s"batch admitted mismatch: extra=${(batchAdmitted -- expected).take(5)} " +
+        s"missing=${(expected -- batchAdmitted).take(5)}")
+
+    // the batch CC survivor set keeps each cluster's min id; in an in-order
+    // feed a cluster's min arrives first and nothing earlier can reject it,
+    // so CC survivors can only be a SUBSET of keep-first admissions
+    val ccDropped = Dedup.connectedComponents(Dedup.lshVerifiedPairs(docs))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    val ccSurvivors = rows.map(_._1).toSet -- ccDropped
+    assert(ccSurvivors.subsetOf(batchAdmitted))
+
+    // streaming, split across two micro-batches + a far-future flusher that
+    // advances the watermark so every admission group finalizes
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val src = Sources.memoryStream[NDoc](spark)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = NearDupStream.admitted(src.toDS().toDF(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("ndadm").outputMode("append").start()
+    try {
+      src.addData(h1.map { case (id, text) => NDoc(ts(1000L + id), id, text) }.toSeq)
+      q.processAllAvailable()
+      src.addData(h2.map { case (id, text) => NDoc(ts(1000L + id), id, text) }.toSeq)
+      q.processAllAvailable()
+      // the flusher must be a LONG doc: the verdict-side watermark advances
+      // only from verdict rows, which short docs never produce (they take
+      // the stateless passthrough)
+      src.addData(Seq(NDoc(ts(100000000L), 999999L,
+        "zyx wvu tsr qpo nml kji hgf edc ba flusher sentinel words only")))
+      q.processAllAvailable()
+      val got = spark.table("ndadm").collect().map(_.getLong(1)).toSet - 999999L
+      assert(got == expected,
+        s"stream admitted mismatch: extra=${(got -- expected).take(5)} " +
+          s"missing=${(expected -- got).take(5)}")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
+  test("ingest admission chain: gate -> exact dedup -> near dedup in one plan (RocksDB)") {
+    import spark.implicits._
+    val goodA = "the quick brown fox jumps over the lazy dog and the cat sleeps " +
+      "in the warm sun while the dog watches the yard and is in a good mood"
+    val goodB = "a gentle rain falls on the quiet town and the lights of the harbor " +
+      "glow in the mist while a ship waits patiently out past the long stone pier"
+    val feed = Seq(
+      SDoc(ts(1000), 1L, "s", goodA),
+      SDoc(ts(2000), 2L, "s", goodA),                              // exact dup of 1
+      SDoc(ts(3000), 3L, "s", "zz qq xx"),                         // junk: gated
+      SDoc(ts(4000), 4L, "s", goodA + " extra trailing words here"), // near dup of 1
+      SDoc(ts(5000), 5L, "s", goodB))
+
+    // expected = the same chain composed from batch operators on the same rows
+    val batch = feed.toDF()
+    val t = batch.select(col("ts"), col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+      .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+    val scoredB = graft.ops.Text.qualityScoredFromToks(t, keep = Seq("ts", "fp", "toks"))
+      .filter(col("quality_e6") >= CorpusIngest.KeepThresholdE6)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      .orderBy(col("ts"), col("doc_id"))
+    val exactB = scoredB.withColumn("rk", row_number().over(wFp))
+      .filter(col("rk") === 1)
+      .select(col("ts"), col("doc_id"), col("toks"))
+    val expected = NearDupStream.admittedFromToks(exactB).collect().map(_.getLong(1)).toSet
+    assert(expected.contains(1L) && !expected.contains(2L) && !expected.contains(3L),
+      s"fixture sanity: $expected")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", graft.GraftSession.RocksDbProvider)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val src = Sources.memoryStream[SDoc](spark)
+    val q = CorpusIngest.admittedDocs(src.toDS().toDF(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("ndadmdocs").outputMode("append").start()
+    try {
+      src.addData(feed.take(3))
+      q.processAllAvailable()
+      src.addData(feed.drop(3))
+      q.processAllAvailable()
+      // far-future flusher: must CLEAR the gate and carry >= 3 tokens so the
+      // near-dedup stage emits verdicts at its event time — only verdict
+      // rows advance the verdict-side watermark that finalizes admissions.
+      // Its own admission group never finalizes, so it stays out of the sink.
+      src.addData(Seq(SDoc(ts(100000000L), 99L, "s",
+        "the late evening ferry is crossing the wide bay and the distant shore " +
+          "lights are slowly fading into a calm and quiet night of stars")))
+      q.processAllAvailable()
+      val got = spark.table("ndadmdocs").collect().map(_.getLong(1)).toSet
+      assert(got == expected,
+        s"admitted-docs chain mismatch: got=$got expected=$expected")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("hot-bucket cap evicts oldest in-loop: bucket state never exceeds maxBucket") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog again and again and again"
