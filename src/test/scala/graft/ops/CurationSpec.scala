@@ -70,6 +70,23 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("url fixture: messy spellings of one host collapse to one cap group") {
+    val out = Curation.domainCapUrls(
+      Curation.urlFixture(docs), Curation.UrlMaxPerDomain).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val domains = out.map(_._2).toSet
+    // scheme-less, userinfo+port and uppercase spellings all land on siteK.com;
+    // www./cdn. prefixes are distinct hosts by design
+    assert(domains.exists(_.matches("site\\d\\.com")), domains.toString)
+    assert(domains.exists(_.startsWith("www.site")) && domains.exists(_.startsWith("cdn.site")))
+    assert(domains.forall(d => d.matches("(www\\.|cdn\\.)?site\\d\\.(com|org)")), domains.toString)
+    // the cap holds per extracted host
+    out.groupBy(_._2).foreach { case (d, rs) =>
+      assert(rs.length <= Curation.UrlMaxPerDomain, s"domain $d exceeds the cap")
+    }
+  }
+
   test("domain cap keeps at most K docs per domain, deterministically") {
     val k = Curation.MaxPerDomain
     val out = Curation.domainCap(docs, k).collect()
