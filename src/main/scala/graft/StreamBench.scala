@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Streaming throughput micro-benchmark. Prints one JSON line with rows/sec.
   * Not part of the driver's Bench contract — run manually:
   *
-  *   tools/run_verify.sh graft.StreamBench [memory|file|ingest] [nRows] [batchRows]
+  *   tools/run_verify.sh graft.StreamBench [memory|file|ingest|admit] [nRows] [batchRows]
   *
   * Two ingest shapes for the same query (hopping 1h/30m window sum — the
   * reference's flagship load, README.md:59-131):
@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * exact dedup -> windowed admission stats, CorpusIngest.pipeline) over the
   * file shape with synthetic documents at a 90% duplicate / ~8% junk mix —
   * the throughput of three chained operators incl. tokenize+score, two
-  * state stores, and the nondeterministic gate pin.
+  * state stores, and the nondeterministic gate pin. `admit` upgrades the
+  * chain to the full NEAR-dedup admission (CorpusIngest.admittedDocs:
+  * banded minhash stateful op + per-doc verdict agg on top of gate+exact
+  * dedup) — the per-doc signature compute and third state store price the
+  * near-dup capability against the `ingest` row.
   *
   * Env: SPARK_GRAFT_CPUS (default 8) cores + shuffle partitions;
   * SPARK_GRAFT_ROCKSDB=1 swaps HDFS-backed state for RocksDB, measuring the
@@ -62,6 +66,7 @@ object StreamBench {
     val (rows, secs) = mode match {
       case "file"   => runFile(spark, total, batchSize, cpus.toInt)
       case "ingest" => runIngest(spark, total, batchSize, cpus.toInt)
+      case "admit"  => runAdmit(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -144,6 +149,38 @@ object StreamBench {
     val t0 = System.nanoTime()
     val q = CorpusIngest.pipeline(src, "10 seconds", "1 minute")
       .writeStream.format("memory").queryName("sbi").outputMode("append").start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (total.toLong, secs)
+  }
+
+  /** The FULL admission chain (quality gate -> watermarked exact dedup ->
+    * banded near-dedup admission, `CorpusIngest.admittedDocs` — three
+    * chained stateful operators incl. 16 minhashes + sorted shingle hashes
+    * per doc) over the partitioned-file shape. The heavier per-doc compute
+    * and the extra state stores price the near-dedup upgrade over `ingest`.
+    */
+  private def runAdmit(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("streambench-admit").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    var from = 0L
+    while (from < total) {
+      val n = math.min(batchSize.toLong, total - from)
+      corpusDf(spark, from, n).repartition(filesPerChunk)
+        .write.mode("append").parquet(dir)
+      from += n
+    }
+    val schema = corpusDf(spark, 0, 1).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false")
+      .parquet(dir)
+    val t0 = System.nanoTime()
+    val q = CorpusIngest.admittedDocs(src, "10 seconds")
+      .writeStream.format("memory").queryName("sba").outputMode("append").start()
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     q.stop()

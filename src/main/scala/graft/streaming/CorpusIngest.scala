@@ -158,6 +158,41 @@ object CorpusIngest {
     NearDupStream.admittedFromToks(exact, threshold, watermarkDelay)
   }
 
+  /** Land the ADMITTED corpus as parquet — the production close of
+    * `admittedDocs`' "doc text is an id-join away" contract. Each
+    * micro-batch of admitted (ts, doc_id) left-semi-joins the raw document
+    * store (the landed feed; ids-only build side, so Catalyst/AQE
+    * broadcasts the batch at any realistic admission rate) and writes one
+    * `ingest_batch=<id>` partition with DYNAMIC partition overwrite: a
+    * batch replayed after a failure between write and commit OVERWRITES
+    * its own partition instead of appending duplicates — idempotent, hence
+    * effectively exactly-once at the sink, the same guarantee the
+    * reference's sinks approximate with retry + batch flush
+    * (sp/output/MysqlOutputTable.java:58-84). Returns the started query.
+    */
+  def writeAdmittedCorpus(
+      docs: DataFrame,
+      rawStorePath: String,
+      outPath: String,
+      checkpointLocation: String,
+      watermarkDelay: String = "10 seconds",
+      threshold: Double = graft.ops.Dedup.JaccardThreshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    admittedDocs(docs, watermarkDelay, threshold)
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.read.parquet(rawStorePath)
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+      }
+      .start()
+
   def nearDupStats(
       docs: DataFrame,
       watermarkDelay: String = "10 seconds",

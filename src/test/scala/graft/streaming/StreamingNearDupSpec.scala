@@ -290,6 +290,63 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("admitted corpus writer lands full admitted docs, idempotent batch partitions") {
+    import spark.implicits._
+    val goodA = "the quick brown fox jumps over the lazy dog and the cat sleeps " +
+      "in the warm sun while the dog watches the yard and is in a good mood"
+    val goodB = "a gentle rain falls on the quiet town and the lights of the harbor " +
+      "glow in the mist while a ship waits patiently out past the long stone pier"
+    val flushDoc = SDoc(ts(100000000L), 99L, "s",
+      "the late evening ferry is crossing the wide bay and the distant shore " +
+        "lights are slowly fading into a calm and quiet night of stars")
+    val feed = Seq(
+      SDoc(ts(1000), 1L, "s", goodA),
+      SDoc(ts(2000), 2L, "s", goodA),                               // exact dup
+      SDoc(ts(3000), 3L, "s", "zz qq xx"),                          // junk: gated
+      SDoc(ts(4000), 4L, "s", goodA + " extra trailing words here"), // near dup
+      SDoc(ts(5000), 5L, "s", goodB))
+
+    // the raw store: the landed feed the writer joins back to
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-raw").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-corpus").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wac").toString
+    (feed :+ flushDoc).toDF().write.mode("overwrite").parquet(rawDir)
+
+    // expected = the batch-composed admission chain on the same rows
+    val t = feed.toDF().select(col("ts"), col("doc_id"),
+        graft.ops.Text.tokens(col("text")).as("toks"))
+      .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+    val scoredB = graft.ops.Text.qualityScoredFromToks(t, keep = Seq("ts", "fp", "toks"))
+      .filter(col("quality_e6") >= CorpusIngest.KeepThresholdE6)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      .orderBy(col("ts"), col("doc_id"))
+    val exactB = scoredB.withColumn("rk", row_number().over(wFp))
+      .filter(col("rk") === 1).select(col("ts"), col("doc_id"), col("toks"))
+    val expected = NearDupStream.admittedFromToks(exactB).collect().map(_.getLong(1)).toSet
+
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val src = Sources.memoryStream[SDoc](spark)
+    val q = CorpusIngest.writeAdmittedCorpus(
+      src.toDS().toDF(), rawDir, outDir, ckpt, watermarkDelay = "10 seconds")
+    try {
+      src.addData(feed.take(3)); q.processAllAvailable()
+      src.addData(feed.drop(3)); q.processAllAvailable()
+      src.addData(Seq(flushDoc)); q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      val ids = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(ids == expected, s"corpus ids mismatch: got=$ids expected=$expected")
+      // full document rows landed (the id-join recovered the payload), and
+      // each row carries its ingest_batch partition for idempotent replay
+      assert(out.columns.toSet == Set("ts", "doc_id", "source", "text", "ingest_batch"))
+      val text1 = out.filter(col("doc_id") === 1L).select(col("text"))
+        .collect().map(_.getString(0))
+      assert(text1.toSeq == Seq(goodA))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("hot-bucket cap evicts oldest in-loop: bucket state never exceeds maxBucket") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog again and again and again"
