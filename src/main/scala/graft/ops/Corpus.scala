@@ -467,6 +467,89 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** The SCALE path for threshold calibration: `qualityThresholds` pays one
+    * rank window per source (a per-source SORT of the corpus — exact, but
+    * the sort is the dominant cost at 100 TB). Here the cutoff is resolved
+    * to BUCKET precision instead: quality_e6 is binned into `buckets`
+    * integer bins, one partial+final aggregate counts (source, bucket)
+    * occupancy, and a window over that TINY table (≤ sources × buckets
+    * rows) walks cumulative counts from the top bucket down to the first
+    * bucket where the running count reaches the target rank k. cutoff_e6 =
+    * that bucket's lower bound, so `quality_e6 >= cutoff_e6` keeps at least
+    * the target rate and overshoots by at most one bucket's occupancy
+    * (cutoff error < 1e6/buckets micro-units). All arithmetic is integral —
+    * engine-deterministic, DuckDB-replayable (`q_quality_thresholds_bkt`),
+    * unlike approx-percentile sketches. No corpus sort, no per-source
+    * funnel: ONE aggregate over the corpus is the only full-data pass.
+    * Returns (source, n_docs, cutoff_e6, n_kept) like the exact form.
+    */
+  def qualityThresholdsBucketed(
+      docs: DataFrame,
+      keepE6: Long,
+      buckets: Int = 1000,
+      shardCol: String = "source"): DataFrame = {
+    require(keepE6 > 0 && keepE6 <= 1000000L, s"keepE6 must be in (0, 1e6], got $keepE6")
+    require(buckets > 0 && 1000000L % buckets == 0,
+      s"buckets must divide 1e6 evenly, got $buckets")
+    val w = 1000000L / buckets
+    val scored = Text.qualityScoredFromToks(
+      docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
+      keep = Seq(shardCol))
+    val h = scored
+      .groupBy(col(shardCol), expr(s"quality_e6 div ${w}L").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col(shardCol)).orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("n")).over(win))
+    val counts = h.groupBy(col(shardCol)).agg(sum(col("n")).as("n_docs"))
+    // the first (highest) bucket whose cumulative count reaches k: cum is
+    // strictly increasing walking down, so max(b) and min(cum) land on the
+    // same row
+    cum.join(broadcast(counts), Seq(shardCol))
+      .filter(col("cum") >= expr(s"greatest(1L, n_docs * $keepE6 div 1000000L)"))
+      .groupBy(col(shardCol), col("n_docs"))
+      .agg((max(col("b")) * w).as("cutoff_e6"), min(col("cum")).as("n_kept"))
+      .select(col(shardCol), col("n_docs"), col("cutoff_e6"), col("n_kept"))
+  }
+
+  /** The SCALE path for mixture rebalancing: `mixSources` pays one rank
+    * window per source for integer-EXACT quotas; here each source keeps
+    * docs whose md5 hash falls under a per-source acceptance rate
+    * (rate_e6 = quota·1e6 div n_docs) — a shuffle-free hash-gated scan,
+    * the same mechanism as `Sampling.stratified`. Quota attainment is
+    * binomial (±√quota), the selection itself is deterministic, rerun- and
+    * partitioning-stable, and integral throughout, so the output is
+    * hash-checkable against the DuckDB oracle (`q_mix_sources_approx`).
+    * Use the exact form when quotas must be met to the document; this form
+    * when the corpus is large enough that ±√quota is noise (at 100 TB it
+    * always is).
+    */
+  def mixSourcesApprox(
+      docs: DataFrame,
+      weightsE6: DataFrame,
+      shardCol: String = "source"): DataFrame = {
+    val weights = weightsE6.select(
+      col(shardCol),
+      when(col("w_e6") > 0, col("w_e6")).otherwise(raise_error(
+        concat(lit("mixSourcesApprox: w_e6 must be > 0 for source "),
+          col(shardCol).cast("string")))).as("w_e6"))
+    val counts = docs.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
+    val t = weights.join(counts, Seq(shardCol), "left")
+      .select(min(when(col("n_docs").isNotNull,
+        expr("n_docs * 1000000L div w_e6")).otherwise(raise_error(
+        concat(lit("mixSourcesApprox: weight source absent from corpus: "),
+          col(shardCol).cast("string"))))).as("t_total"))
+    val rates = weights.join(counts, Seq(shardCol)).crossJoin(broadcast(t))
+      .select(col(shardCol),
+        expr("(w_e6 * t_total div 1000000L) * 1000000L div n_docs").as("rate_e6"))
+    docs
+      .select(col("doc_id"), col(shardCol),
+        expr(hashSql("concat('mix:', cast(doc_id as string))")).as("h"))
+      .join(broadcast(rates), Seq(shardCol))
+      .filter(pmod(col("h"), lit(1000000L)) < col("rate_e6"))
+      .select(col("doc_id"), col(shardCol))
+  }
+
   /** Deterministic global shuffle into `nShards` training shards — the
     * layout step after packing: training wants documents in a fixed
     * pseudo-random order, reproducible across reruns and independent of
@@ -502,6 +585,7 @@ object Corpus {
   val PackCapacity = 128L
   val BudgetTokens = 600L
   val KeepTargetE6 = 600000L // q_quality_thresholds: keep the best 60% per source
+  val ThresholdBuckets = 1000 // q_quality_thresholds_bkt: 1e3 micro-unit bins
   val ShuffleShards = 8
   val ShuffleSeed = 42L
 
@@ -524,6 +608,9 @@ object Corpus {
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d), BudgetTokens)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(Tables.documents(s, d))),
     "q_quality_thresholds" -> ((s, d) => qualityThresholds(Tables.documents(s, d), KeepTargetE6)),
+    "q_quality_thresholds_bkt" -> ((s, d) =>
+      qualityThresholdsBucketed(Tables.documents(s, d), KeepTargetE6, ThresholdBuckets)),
+    "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
     "q_shuffle_shards" -> ((s, d) =>
@@ -665,6 +752,48 @@ object Corpus {
          |SELECT q.source, cut.n_docs, cut.cutoff_e6, count(*) AS n_kept
          |FROM q JOIN cut ON q.source = cut.source AND q.quality_e6 >= cut.cutoff_e6
          |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q_quality_thresholds_bkt" -> {
+      val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")
+      val w = 1000000L / ThresholdBuckets
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+         |FROM t),
+         |q AS (SELECT doc_id, source,
+         |  CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |              + 0.3 * least(1.0, stop_ratio * 5.0)
+         |              + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
+         |FROM s),
+         |h AS (SELECT source, quality_e6 // $w AS b, count(*) AS n FROM q GROUP BY 1, 2),
+         |c AS (SELECT source, b, n,
+         |        sum(n) OVER (PARTITION BY source ORDER BY b DESC
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM h),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+         |SELECT c.source, tot.n_docs,
+         |  CAST(max(b) * $w AS BIGINT) AS cutoff_e6,
+         |  CAST(min(cum) AS BIGINT) AS n_kept
+         |FROM c JOIN tot USING (source)
+         |WHERE cum >= greatest(1, n_docs * $KeepTargetE6 // 1000000)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_mix_sources_approx" -> {
+      val values = MixTargetsE6.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS v(source, w_e6)),
+         |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |tt AS (SELECT min(n_docs * 1000000 // w_e6) AS t_total FROM c JOIN w USING (source)),
+         |r AS (SELECT source, (w_e6 * t_total // 1000000) * 1000000 // n_docs AS rate_e6
+         |      FROM w JOIN c USING (source) CROSS JOIN tt)
+         |SELECT doc_id, source
+         |FROM (SELECT doc_id, source,
+         |        ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM documents) JOIN r USING (source)
+         |WHERE h % 1000000 < rate_e6""".stripMargin
     },
 
     "q_vocab" ->

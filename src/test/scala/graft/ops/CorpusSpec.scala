@@ -233,6 +233,64 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bucketed thresholds bracket the exact cutoff within one bucket, no corpus sort") {
+    val target = Corpus.KeepTargetE6
+    val w = 1000000L / Corpus.ThresholdBuckets
+    val exact = Corpus.qualityThresholds(docs, target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    val bkt = Corpus.qualityThresholdsBucketed(docs, target, Corpus.ThresholdBuckets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bkt.length == exact.size, "one row per source")
+    bkt.foreach { case (src, n, cutoff, kept) =>
+      val (_, nE, cutoffE, keptE) = exact(src)
+      assert(n == nE)
+      // the bucketed cutoff is the k-th quality's bucket lower bound
+      assert(cutoff <= cutoffE && cutoffE < cutoff + w,
+        s"$src: bucketed $cutoff must bracket exact $cutoffE within $w")
+      // keeping at the looser (lower) cutoff keeps at least the exact set
+      assert(kept >= keptE, s"$src keeps $kept < exact $keptE")
+      val k = math.max(1L, n * target / 1000000L)
+      assert(kept >= k)
+    }
+    // scale shape: the only window runs over the (source, bucket) table, so
+    // the plan must NOT range-sort or rank the corpus by quality
+    val plan = Corpus.qualityThresholdsBucketed(docs, target)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"bucketed calibration must not rank the corpus:\n${plan.take(800)}")
+  }
+
+  test("approx mixture hits quotas within binomial noise, shuffle-free and deterministic") {
+    val s = spark
+    import s.implicits._
+    val weights = Corpus.MixTargetsE6.toDF("source", "w_e6")
+    val out = Corpus.mixSourcesApprox(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.nonEmpty)
+    val kept = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // recompute quotas independently (same arithmetic as the exact form)
+    val n = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wm = Corpus.MixTargetsE6.toMap
+    val t = wm.map { case (src, we6) => n(src) * 1000000L / we6 }.min
+    wm.foreach { case (src, we6) =>
+      val quota = we6 * t / 1000000L
+      val got = kept.getOrElse(src, 0L)
+      val tol = math.max(8L, math.ceil(4 * math.sqrt(quota.toDouble)).toLong)
+      assert(math.abs(got - quota) <= tol,
+        s"source $src kept $got vs quota $quota (tol $tol)")
+    }
+    // hash-gated selection: invariant to partitioning, no rank window in plan
+    val again = Corpus.mixSourcesApprox(docs.repartition(7), weights).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    val plan = Corpus.mixSourcesApprox(docs, weights)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"approx mixture must not rank per source:\n${plan.take(800)}")
+  }
+
   test("shuffle shards: balanced, dense positions, seed-reproducible") {
     val n = Corpus.ShuffleShards
     val out = Corpus.shuffleShards(docs, n, Corpus.ShuffleSeed).collect()
