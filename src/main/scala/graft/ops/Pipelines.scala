@@ -182,8 +182,32 @@ object Pipelines {
       Corpus.PackCapacity)
   }
 
+  /** The SHUFFLED training layout — the last meter to the on-disk artifact:
+    * per-source token budget (best docs first), then the seeded global
+    * shuffle into hash-balanced shards, then concat-then-cut packing WITHIN
+    * each shard in shard_pos order, so consecutive training sequences come
+    * from pseudo-random documents (packing in doc order would feed the
+    * model long runs of same-source text). All three stages are
+    * independently oracle-verified operators; the composition is one lazy
+    * plan whose only corpus-wide work is the budget scan — the shuffle and
+    * packing run over the already-budgeted set (adaptive cumsum: window
+    * locally, two-level at scale). Returns (doc_id, shard_id, shard_pos,
+    * n_tokens, pack_id, pack_offset).
+    */
+  def shuffledTrainLayout(docs: DataFrame): DataFrame = {
+    val budgeted = Corpus.tokenBudget(docs, Corpus.BudgetTokens)
+      .select(col("doc_id"), col("n_tokens"))
+    val sh = Corpus.shuffleShards(budgeted, Corpus.ShuffleShards, Corpus.ShuffleSeed)
+    val counts = budgeted.join(sh, Seq("doc_id"))
+    Corpus.shardedCumsum(counts, "n_tokens", "shard_id", Seq(col("shard_pos")), "cum")
+      .select(col("doc_id"), col("shard_id"), col("shard_pos"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${Corpus.PackCapacity}L").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % Corpus.PackCapacity).cast("long").as("pack_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_train" -> ((s, d) => trainPipeline(Tables.documents(s, d))),
+    "q_pipeline_shuffled" -> ((s, d) => shuffledTrainLayout(Tables.documents(s, d))),
     "q_agg_tc_quirks" -> ((s, d) => tcQuirkAggs(Tables.nation(s, d))),
     "q_agg_typed" -> ((s, d) => typedStats(Tables.lineitem(s, d))),
     "q_agg_salted" -> ((s, d) => saltedAgg(Tables.events(s, d))),
@@ -232,6 +256,40 @@ object Pipelines {
          |  CAST((pcum - n_tokens) // ${Corpus.PackCapacity} AS BIGINT) AS pack_id,
          |  CAST((pcum - n_tokens) % ${Corpus.PackCapacity} AS BIGINT) AS pack_offset
          |FROM p""".stripMargin,
+
+    "q_pipeline_shuffled" -> {
+      val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, string_split($normSql, ' ') AS tk FROM documents),
+         |s AS (SELECT doc_id, source,
+         |        len(tk) AS n_tokens,
+         |        round(CAST(len(list_filter(tk, x -> x IN ($stop))) AS DOUBLE) / len(tk), 6) AS stop_ratio,
+         |        round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS uniq_ratio
+         |      FROM t),
+         |q AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |        CAST(floor((0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |                    + 0.3 * least(1.0, stop_ratio * 5.0)
+         |                    + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
+         |      FROM s),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY quality_e6 DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_b
+         |      FROM q),
+         |bud AS (SELECT doc_id, n_tokens FROM c WHERE cum_b <= ${Corpus.BudgetTokens}),
+         |h AS (SELECT doc_id,
+         |        ('0x' || substr(md5('${Corpus.ShuffleSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM bud),
+         |r AS (SELECT b.doc_id, b.n_tokens,
+         |        CAST(h.h % ${Corpus.ShuffleShards} AS BIGINT) AS shard_id,
+         |        row_number() OVER (PARTITION BY h.h % ${Corpus.ShuffleShards}
+         |                           ORDER BY h.h, b.doc_id) AS shard_pos
+         |      FROM bud b JOIN h ON b.doc_id = h.doc_id),
+         |p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY shard_pos
+         |                                    ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM r)
+         |SELECT doc_id, shard_id, CAST(shard_pos AS BIGINT) AS shard_pos, n_tokens,
+         |  CAST((cum - n_tokens) // ${Corpus.PackCapacity} AS BIGINT) AS pack_id,
+         |  CAST((cum - n_tokens) % ${Corpus.PackCapacity} AS BIGINT) AS pack_offset
+         |FROM p""".stripMargin
+    },
 
     "q_agg_tc_quirks" ->
       """SELECT n_regionkey,
