@@ -77,9 +77,7 @@ object Corpus {
     *
     * ADAPTIVE: the two-level machinery (range exchange + checkpoint +
     * offsets window + broadcast join-back) earns its cost only when a shard
-    * is too big for one task. A bounded probe (`limit(k+1).count`, memoized
-    * by semantic plan hash so repeated calls on the same input pay it once;
-    * at scale the limit short-circuits after ~one partition) checks whether
+    * is too big for one task. A probe (`limit(k+1).count`) checks whether
     * the WHOLE input fits comfortably in one window task — at or under
     * `graft.cumsum.windowMaxRows` rows (default shuffle.partitions × 1024)
     * — and if so runs the plain per-shard window instead. Values are
@@ -87,9 +85,22 @@ object Corpus {
     * other); only the physical plan differs. Set the conf to 0 to force the
     * two-level form always (the CorpusSpec funnel asserts do), or large to
     * force the window form.
+    *
+    * Probe cost, honestly: the limit bounds OUTPUT, not compute — over a
+    * map-only input it short-circuits after ~one partition, but when a
+    * window/aggregate barrier sits upstream the probe pays up to one extra
+    * execution of that prefix (the same order of cost as the range
+    * exchange's own sampling pass it replaces on the small path). BOTH
+    * outcomes are memoized by (semantic plan hash, threshold) so repeated
+    * builds of the same plan probe once per session; fresh localCheckpoint
+    * inputs hash fresh and re-probe — they are already materialized, so
+    * that probe is a cheap checkpoint scan. The memo is decision-only and
+    * cleared past 4096 entries (long sessions over many datasets); a memo
+    * hit on a path whose underlying data has since GROWN keeps the stale
+    * routing until the session restarts — mode choice only, never values.
     */
   private val cumsumProbeMemo =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean]()
 
   private[ops] def shardedCumsum(
       df: DataFrame,
@@ -110,10 +121,13 @@ object Corpus {
     }
     val small = maxRows > 0 && {
       val key = (df.queryExecution.logical.semanticHash(), maxRows)
-      cumsumProbeMemo.contains(key) || {
+      val memo = cumsumProbeMemo.get(key)
+      if (memo != null) memo.booleanValue()
+      else {
         val probe = math.min(maxRows, Int.MaxValue.toLong - 1L).toInt
         val fits = df.limit(probe + 1).count() <= maxRows
-        if (fits) cumsumProbeMemo.add(key)
+        if (cumsumProbeMemo.size > 4096) cumsumProbeMemo.clear()
+        cumsumProbeMemo.put(key, java.lang.Boolean.valueOf(fits))
         fits
       }
     }
@@ -375,9 +389,14 @@ object Corpus {
     * present in all S sources contributes S² self-join rows, and at web
     * scale near-universal boilerplate shingles make that the dominant term.
     * Past `graft.corpus.overlapShingleLimit` inverted-index rows (default
-    * 2M; bounded `limit(k+1).count` probe, memoized by semantic plan hash)
-    * the exact form fails fast with a pointer at the `maxDf` cut — the
-    * scale path, oracle-checked by `q_source_overlap_cut`.
+    * 2M) the exact form fails fast with a pointer at the `maxDf` cut — the
+    * scale path, oracle-checked by `q_source_overlap_cut`. The probe counts
+    * the PRE-distinct exploded rows — an upper bound on the index size
+    * through which `limit` genuinely short-circuits (map-only, no shuffle
+    * barrier), so the guard never costs a full corpus pass; it is
+    * conservative on heavily-repetitive corpora whose distinct index would
+    * have fit (raise the conf there). Passes are memoized by semantic plan
+    * hash.
     */
   val OverlapShingleLimit = 2000000L
 
@@ -385,22 +404,24 @@ object Corpus {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
 
   def sourceOverlap(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh0 = docs
+    val sh0pre = docs
       .select(col("source"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
-      .distinct()
+    val sh0 = sh0pre.distinct()
     if (maxDf == Int.MaxValue) {
       val limit = docs.sparkSession.conf
         .get("graft.corpus.overlapShingleLimit", OverlapShingleLimit.toString).toLong
-      val key = (sh0.queryExecution.logical.semanticHash(), limit)
+      val key = (sh0pre.queryExecution.logical.semanticHash(), limit)
       if (limit < Int.MaxValue && !overlapGuardMemo.contains(key)) {
-        val n = sh0.limit(limit.toInt + 1).count()
+        val n = sh0pre.limit(limit.toInt + 1).count()
         require(n <= limit,
           s"sourceOverlap without a df bound is the exact diagnostic form and the " +
-            s"inverted index exceeds $limit rows (conf graft.corpus.overlapShingleLimit): " +
-            s"a near-universal shingle contributes nSources^2 self-join rows. Pass a " +
-            s"finite maxDf (the hot-key cut, e.g. maxDf = nSources) or raise the limit.")
+            s"inverted index may exceed $limit rows (conf graft.corpus.overlapShingleLimit; " +
+            s"the bound counts pre-distinct shingle rows): a near-universal shingle " +
+            s"contributes nSources^2 self-join rows. Pass a finite maxDf (the hot-key " +
+            s"cut, e.g. maxDf = nSources) or raise the limit.")
+        if (overlapGuardMemo.size > 4096) overlapGuardMemo.clear()
         overlapGuardMemo.add(key)
       }
     }

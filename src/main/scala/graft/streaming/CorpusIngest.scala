@@ -90,33 +90,6 @@ object CorpusIngest {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** Near-dup monitoring for the ingest chain: quality gate (same cut as
-    * `pipeline`), then the banded-MinHash pair stream (`NearDupStream.pairs`
-    * — one flatMapGroupsWithState), then per-tumbling-window pair counts —
-    * the "how duplicated is the feed right now" gauge a continuously-
-    * ingesting corpus needs next to the admission stats. TWO chained
-    * stateful operators in ONE append-mode plan; the pair stream is
-    * re-watermarked on the emitted event time (the later doc's ts), so a
-    * window closes once pair emission moves `watermarkDelay` past it
-    * (append-mode gauge semantics: a quiet feed reports late, but bucket
-    * STATE is bounded by the doc-side watermark regardless of pair
-    * frequency). The gate rides through `pairs`' `admitCol` — junk rows
-    * advance event time above the watermark node but never enter near-dup
-    * state, the same no-stall pin as `pipeline`'s gate.
-    *
-    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
-    * = false`: Spark's static checker rejects any flatMapGroupsWithState
-    * followed by a stateful op because it cannot bound what the custom
-    * operator emits. THIS chain is provably safe — each emitted pair's ts is
-    * the LATER doc's event time, which passed the upstream watermark filter,
-    * so pair_ts >= doc-side watermark at emission; and since every pair ts
-    * is <= the max doc ts seen, the pair-side watermark (same delay) is
-    * always <= the doc-side watermark. Hence every pair arrives at the
-    * window agg at-or-ahead of its watermark — nothing is ever late-dropped.
-    * The proof holds only while the downstream delay >= the upstream delay,
-    * which this method enforces by using ONE `watermarkDelay` for both.
-    * Returns (win_start, n_pairs, avg_jaccard).
-    */
   /** The ADMITTED document stream — the full ingest admission chain ending
     * in the thing a production corpus actually writes, ONE append-mode
     * plan: quality gate → exact dedup within the watermark
@@ -138,6 +111,19 @@ object CorpusIngest {
     * rows carry each doc's own event time (NearDupStream.admitted
     * scaladoc), so every stage's input is at-or-ahead of its watermark
     * while all stages share one delay.
+    *
+    * FINALIZATION LATENCY under the default `multipleWatermarkPolicy =
+    * min`: the verdict-side watermark advances only when verdict rows flow,
+    * so a stretch of all-gated/short input delays finalization (and agg
+    * state eviction) until the next long admitted-path doc — results are
+    * never wrong, only late (the same property as `nearDupStats`' gauge).
+    * Set `spark.sql.streaming.multipleWatermarkPolicy = max` to finalize on
+    * the RAW feed's time instead: it is safe for exactly this plan because
+    * every verdict's ts is at-or-ahead of the doc-side watermark (the max)
+    * when the aggregation consumes it in the same micro-batch — proof
+    * above — so nothing becomes late under the max policy either.
+    * StreamingNearDupSpec "junk-only stretch finalizes admissions under
+    * max policy" pins this.
     */
   def admittedDocs(
       docs: DataFrame,
@@ -169,6 +155,13 @@ object CorpusIngest {
     * effectively exactly-once at the sink, the same guarantee the
     * reference's sinks approximate with retry + batch flush
     * (sp/output/MysqlOutputTable.java:58-84). Returns the started query.
+    *
+    * The raw-store read is TS-BOUNDED, not a full scan: admitted ids carry
+    * their docs' own event times and the raw store holds identical ts
+    * values, so filtering raw rows to the batch's [min ts, max ts] loses
+    * nothing while letting a time-partitioned raw store prune to the
+    * watermark-wide window a batch can span — without the bound, per-batch
+    * cost would grow with the store's lifetime.
     */
   def writeAdmittedCorpus(
       docs: DataFrame,
@@ -183,16 +176,47 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.read.parquet(rawStorePath)
-          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(outPath)
+        val bounds = batch.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
+        if (!bounds.isNullAt(0)) { // empty batch: nothing to land
+          batch.sparkSession.read.parquet(rawStorePath)
+            .filter(col("ts").between(bounds.getTimestamp(0), bounds.getTimestamp(1)))
+            .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(outPath)
+        }
       }
       .start()
 
+  /** Near-dup monitoring for the ingest chain: quality gate (same cut as
+    * `pipeline`), then the banded-MinHash pair stream (`NearDupStream.pairs`
+    * — one flatMapGroupsWithState), then per-tumbling-window pair counts —
+    * the "how duplicated is the feed right now" gauge a continuously-
+    * ingesting corpus needs next to the admission stats. TWO chained
+    * stateful operators in ONE append-mode plan; the pair stream is
+    * re-watermarked on the emitted event time (the later doc's ts), so a
+    * window closes once pair emission moves `watermarkDelay` past it
+    * (append-mode gauge semantics: a quiet feed reports late, but bucket
+    * STATE is bounded by the doc-side watermark regardless of pair
+    * frequency). The gate rides through `pairs`' `admitCol` — junk rows
+    * advance event time above the watermark node but never enter near-dup
+    * state, the same no-stall pin as `pipeline`'s gate.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+    * = false`: Spark's static checker rejects any flatMapGroupsWithState
+    * followed by a stateful op because it cannot bound what the custom
+    * operator emits. THIS chain is provably safe — each emitted pair's ts is
+    * the LATER doc's event time, which passed the upstream watermark filter,
+    * so pair_ts >= doc-side watermark at emission; and since every pair ts
+    * is <= the max doc ts seen, the pair-side watermark (same delay) is
+    * always <= the doc-side watermark. Hence every pair arrives at the
+    * window agg at-or-ahead of its watermark — nothing is ever late-dropped.
+    * The proof holds only while the downstream delay >= the upstream delay,
+    * which this method enforces by using ONE `watermarkDelay` for both.
+    * Returns (win_start, n_pairs, avg_jaccard).
+    */
   def nearDupStats(
       docs: DataFrame,
       watermarkDelay: String = "10 seconds",

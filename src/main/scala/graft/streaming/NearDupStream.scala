@@ -53,11 +53,16 @@ import org.apache.spark.sql.types._
   * cap is enforced INSIDE the batch, not just across batches: the incoming
   * group is reduced to its `maxBucket` newest rows by a bounded min-heap
   * (O(batch·log maxBucket) time, O(maxBucket) memory) before any compare,
-  * and the buffer evicts its oldest entry in-loop whenever an insert would
-  * exceed the cap — so a single micro-batch flooding one bucket does at
-  * most batch×maxBucket compares and never materializes an unbounded
-  * buffer. Graceful recall degradation instead of an executor OOM; the
-  * batch path pays the same pathology as join fan-out.
+  * and the buffer keeps exactly its newest `maxBucket` entries in-loop
+  * (oldest evicted on insert; an incoming row older than everything
+  * buffered is compared but not retained) — so a single micro-batch
+  * flooding one bucket does at most batch×maxBucket compares and never
+  * materializes an unbounded buffer. For `pairs` the degradation is recall
+  * loss; for `admitted` no doc ever vanishes silently — capped-out rows
+  * are REJECTED conservatively (false rejection during a degenerate flood
+  * beats false admission of flood duplicates), leaving exactly the flood's
+  * newest-window representative admitted. The batch path pays the same
+  * pathology as join fan-out.
   */
 object NearDupStream {
 
@@ -306,19 +311,28 @@ object NearDupStream {
       val buf = state.getOption.map(decode).getOrElse(new ArrayBuffer[Entry]())
         .filter(_._1 >= wm)
       val byTime = Ordering.by[Entry, (Long, Long)](e => (e._1, e._2))
+      val out = new ArrayBuffer[Row]()
       // Deterministic processing order regardless of shuffle arrival order,
       // with the hot-bucket cap applied to the BATCH itself: a bounded
       // min-heap keeps the `maxBucket` newest rows by (t, doc) — the same
       // survivors the across-batch cap elects — so a one-batch degenerate
       // flood is bounded in memory before any compare (round-7 advice).
+      // In verdict mode a capped-out doc must not vanish silently (it would
+      // be neither admitted nor rejected): it is REJECTED conservatively —
+      // in a bucket hot enough to overflow the cap, the discarded doc is
+      // near-certainly one more copy of the flood, and false rejection
+      // under a degenerate flood is the safe direction for a dedup gate,
+      // where false ADMISSION would let duplicates into the corpus.
       val heap = scala.collection.mutable.PriorityQueue.empty[Entry](byTime.reverse)
       it.foreach { r =>
         heap.enqueue((r.getLong(1), r.getLong(2),
           r.getSeq[Long](3).toArray, r.getSeq[Long](4).toArray))
-        if (heap.size > maxBucket) heap.dequeue() // drop the oldest overflow
+        if (heap.size > maxBucket) {
+          val dropped = heap.dequeue() // the oldest overflow
+          if (verdicts) out += Row(dropped._1, dropped._2, true)
+        }
       }
       val incoming = heap.dequeueAll.toArray // dequeue order = ascending (t, doc)
-      val out = new ArrayBuffer[Row]()
       incoming.foreach { e =>
         if (!buf.exists(_._2 == e._2)) { // replayed doc_id: already counted
           if (verdicts) {
@@ -353,15 +367,18 @@ object NearDupStream {
             i += 1
           }
           }
-          // in-loop cap: evict the oldest buffered entry BEFORE the insert
-          // would exceed maxBucket, so the buffer (and with it the per-row
-          // compare cost above) stays bounded even mid-batch
+          // in-loop cap: keep the NEWEST maxBucket entries exactly — evict
+          // the oldest buffered entry before inserting, UNLESS the incoming
+          // row is itself older than everything buffered (a late arrival at
+          // a full bucket is the one that would have been capped out), so
+          // the buffer and the per-row compare cost stay bounded mid-batch
+          // and the retained set matches the documented newest-wins contract
           if (buf.length >= maxBucket) {
             var m = 0; var s = 1
             while (s < buf.length) { if (byTime.lt(buf(s), buf(m))) m = s; s += 1 }
-            buf.remove(m)
-          }
-          buf += e
+            if (byTime.lt(e, buf(m))) () // e is the oldest: do not retain it
+            else { buf.remove(m); buf += e }
+          } else buf += e
         }
       }
       if (buf.isEmpty) { if (state.exists) state.remove() }

@@ -386,6 +386,59 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flood cap in admitted mode: one representative admitted, none silently lost") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val src = Sources.memoryStream[NDoc](spark)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = NearDupStream.admitted(src.toDS().toDF(),
+        watermarkDelay = "10 seconds", maxBucket = 2)
+      .writeStream.format("memory").queryName("ndfladm").outputMode("append").start()
+    try {
+      // 5 identical docs in ONE batch with maxBucket = 2: docs 1-3 are
+      // capped out of every band heap (conservatively REJECTED, not lost),
+      // doc 4 is the first retained survivor (admitted), doc 5 matches it
+      src.addData((1L to 5L).map(i => NDoc(ts(1000 * i), i, text)))
+      q.processAllAvailable()
+      src.addData(Seq(NDoc(ts(100000000L), 999999L,
+        "zyx wvu tsr qpo nml kji hgf edc ba flusher sentinel words only")))
+      q.processAllAvailable()
+      val got = spark.table("ndfladm").collect().map(_.getLong(1)).toSet - 999999L
+      assert(got == Set(4L),
+        s"flood must admit exactly the newest-window representative: $got")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
+  test("junk-only stretch finalizes admissions under multipleWatermarkPolicy=max") {
+    import spark.implicits._
+    val goodA = "the quick brown fox jumps over the lazy dog and the cat sleeps " +
+      "in the warm sun while the dog watches the yard and is in a good mood"
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val src = Sources.memoryStream[SDoc](spark)
+    val q = CorpusIngest.admittedDocs(src.toDS().toDF(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("ndmaxwm").outputMode("append").start()
+    try {
+      src.addData(Seq(SDoc(ts(1000), 1L, "s", goodA)))
+      q.processAllAvailable()
+      // junk only: gated out above the watermark node, produces NO verdict
+      // rows — under the default min policy doc 1 would stay unfinalized
+      // forever, but under max the RAW feed's time finalizes it
+      src.addData(Seq(SDoc(ts(100000000L), 2L, "s", "zz qq xx")))
+      q.processAllAvailable()
+      val got = spark.table("ndmaxwm").collect().map(_.getLong(1)).toSet
+      assert(got == Set(1L),
+        s"max policy must finalize admissions on the raw feed's time: $got")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("transitive matching: a doc matching an already-rejected buffered doc is rejected too") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
