@@ -280,9 +280,57 @@ object Text {
       .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
 
+  private def hashSql(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+
+  /** Corpus-self bigram language-model score — the perplexity-proxy quality
+    * signal (the CCNet-style filter: docs whose token transitions are
+    * improbable under the corpus's own statistics are noise, boilerplate or
+    * the wrong language). avg_ll = mean over a doc's bigram instances of
+    * ln((c(w1 w2) + 1) / (c(w1·) + V)) — Laplace-smoothed conditional
+    * log-likelihood under the corpus bigram distribution, with V = the
+    * corpus's distinct-unigram count and c(w1·) the bigram-HEAD occurrence
+    * count (so the conditional normalizes exactly). Always negative; closer
+    * to 0 = more predictable text. Docs with < 2 tokens have no bigrams and
+    * are excluded.
+    *
+    * Plan shape at 100 TB: one map-only explode to (doc, head-hash,
+    * bigram-hash) instances pre-aggregated per (doc, bigram) — the shuffle
+    * carries 8-byte hashes, never n-gram text — then the model tables
+    * c(bigram) and c(head) are partial+final aggregates OF that compact
+    * table, joined back by hash; the vocabulary size joins in as a
+    * broadcast 1-row aggregate. Nothing touches the driver; the doc-side
+    * sum is rounded at 6dp so cross-engine double summation order cannot
+    * flip the oracle hash (the embed-drift precedent).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val inst = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(" +
+          s"${hashSql("element_at(toks, i)")} as u, " +
+          s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
+    val perDoc = inst.groupBy(col("doc_id"), col("u"), col("bg"))
+      .agg(count(lit(1)).as("nd"))
+    val cBg = perDoc.groupBy(col("bg")).agg(sum(col("nd")).as("c_bg"))
+    val cU = perDoc.groupBy(col("u")).agg(sum(col("nd")).as("c_u"))
+    val vocab = t.select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    perDoc.join(cBg, Seq("bg")).join(cU, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", col("nd").cast("double") *
+        (log((col("c_bg") + 1).cast("double")) - log((col("c_u") + col("v")).cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nd")).as("n_bigrams"),
+        round(sum(col("lp")) / sum(col("nd")), 6).as("avg_ll"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => stats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -301,6 +349,25 @@ object Text {
   private val toksSql = s"string_split($normSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_lmscore" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |inst AS (SELECT doc_id,
+         |           unnest([{'u': ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT,
+         |                    'bg': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT}
+         |                   for i in range(1, len(toks))]) AS p
+         |         FROM t WHERE len(toks) >= 2),
+         |pd AS (SELECT doc_id, p.u AS u, p.bg AS bg, count(*) AS nd
+         |       FROM inst GROUP BY 1, 2, 3),
+         |cbg AS (SELECT bg, sum(nd) AS c_bg FROM pd GROUP BY 1),
+         |cu AS (SELECT u, sum(nd) AS c_u FROM pd GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(toks) AS w FROM t))
+         |SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_bigrams,
+         |  round(sum(CAST(nd AS DOUBLE) * (ln(CAST(c_bg + 1 AS DOUBLE)) - ln(CAST(c_u + v AS DOUBLE))))
+         |        / sum(nd), 6) AS avg_ll
+         |FROM pd JOIN cbg USING (bg) JOIN cu USING (u) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin,
+
     "q_text_scrub" ->
       s"""SELECT event_id,
          |  regexp_replace(props, '\\d+', '<NUM>', 'g') AS scrubbed,

@@ -114,6 +114,22 @@ class TextSpec extends SparkSpec {
     assert(out(2) == "drop")
   }
 
+  test("lm score: negative conditional log-likelihoods; repeated text outscores one-off") {
+    val d = docs(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (3L, "unique words that appear once only here today"),
+      (4L, "x")) // single token: no bigrams, excluded
+    val out = Text.lmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(4L), "a 1-token doc has no bigrams")
+    out.values.foreach { case (n, ll) => assert(n > 0 && ll < 0.0) }
+    // identical docs score identically; well-predicted transitions beat one-offs
+    assert(out(1L) == out(2L))
+    assert(out(1L)._2 > out(3L)._2,
+      s"repeated bigrams must be more likely: ${out(1L)._2} vs ${out(3L)._2}")
+  }
+
   test("PII scrub redacts emails, IPv4s and long digit runs, counting matches") {
     val d = docs(
       (1L, "contact alice.smith+news@example.co.uk or bob@host.org today"),
