@@ -90,6 +90,43 @@ object Curation {
         org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
 
+  /** C4-style boilerplate removal at the SEGMENT level: sentences (period-
+    * delimited segments of the normalized text) that recur across at least
+    * `minDf` distinct documents are boilerplate — cookie banners, nav bars,
+    * license footers — and are cut from every document, which doc-level
+    * dedup cannot do (each host page is unique; only its chrome repeats).
+    * Returns (doc_id, n_segs, n_dropped, clean_text) with the surviving
+    * segments rejoined in original order.
+    *
+    * Plan shape at 100 TB: one map-only segment explode (hash per segment),
+    * document frequency = a distinct + count aggregate over (doc, hash) —
+    * the shuffle carries 8-byte hashes, never sentence text beyond the
+    * final per-doc regroup — and the hot-segment set joins back by hash.
+    * Reassembly is one per-doc aggregate whose collect_list is
+    * order-insensitive (array_sort on (idx, seg) restores document order),
+    * so the result is partitioning-independent.
+    */
+  def boilerplate(docs: DataFrame, minDf: Long = BoilerplateMinDf): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(Text.normalized(col("text")), "\\.").as("parts"))
+      .select(col("doc_id"),
+        posexplode(expr("filter(transform(parts, s -> trim(s)), s -> s != '')"))
+          .as(Seq("idx", "seg")))
+      .withColumn("h", expr(hashSql("seg")))
+    val hot = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(1).as("hot"))
+    segs.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(col("hot")).as("n_dropped"),
+        concat_ws(". ", expr(
+          "transform(array_sort(collect_list(CASE WHEN hot IS NULL THEN struct(idx, seg) END)), x -> x.seg)"))
+          .as("clean_text"))
+  }
+
   /** Registrable host of a URL — the grouping key for domain-level curation.
     * regexp (not a UDF): strips scheme, userinfo, port, path; lowercases.
     * Spec-tested on literal URLs (the shared testdata has no URL column —
@@ -161,8 +198,11 @@ object Curation {
   val ChunkStride = 24
   val MaxPerDomain = 15L
   val UrlMaxPerDomain = 10L
+  val BoilerplateMinDf = 3L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_boilerplate" -> ((s, d) =>
+      boilerplate(Tables.documents(s, d), BoilerplateMinDf)),
     "q_contamination" -> ((s, d) =>
       contamination(Tables.documents(s, d), BenchmarkFilter)),
     "q_text_chunks" -> ((s, d) =>
@@ -179,6 +219,26 @@ object Curation {
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_boilerplate" ->
+      s"""WITH f AS (SELECT doc_id,
+         |             list_filter([trim(s) for s in string_split($normSql, '.')],
+         |                         s -> s != '') AS fs
+         |           FROM documents),
+         |segs AS (SELECT doc_id, p.idx AS idx, p.seg AS seg,
+         |           ${duckHash("p.seg")} AS h
+         |         FROM (SELECT doc_id,
+         |                 unnest([{'idx': i, 'seg': fs[i]} for i in range(1, len(fs) + 1)]) AS p
+         |               FROM f)),
+         |hot AS (SELECT h FROM (SELECT h, count(*) AS df
+         |                       FROM (SELECT DISTINCT doc_id, h FROM segs) GROUP BY 1)
+         |        WHERE df >= $BoilerplateMinDf)
+         |SELECT s.doc_id, count(*) AS n_segs,
+         |  CAST(count(hot.h) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN hot.h IS NULL THEN s.seg END, '. ' ORDER BY s.idx), '')
+         |    AS clean_text
+         |FROM segs s LEFT JOIN hot ON s.h = hot.h
+         |GROUP BY 1""".stripMargin,
+
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest([${duckHash("s")} for s in $duckShingles]) AS sh

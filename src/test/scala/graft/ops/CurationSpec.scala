@@ -70,6 +70,29 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("boilerplate: segments recurring across >= minDf docs are cut, order preserved") {
+    val s = spark
+    import s.implicits._
+    val banner = "accept all cookies to continue"
+    val d = Seq(
+      (1L, s"alpha sentence one. $banner. closing words here"),
+      (2L, s"$banner. beta thoughts two"),
+      (3L, s"gamma note three. $banner"),
+      (4L, banner),
+      (5L, "entirely unique text with no repeats")).toDF("doc_id", "text")
+    val out = Curation.boilerplate(d, minDf = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "alpha sentence one. closing words here")))
+    assert(out(2L) == ((2L, 1L, "beta thoughts two")))
+    assert(out(3L) == ((2L, 1L, "gamma note three")))
+    assert(out(4L) == ((1L, 1L, "")), "an all-boilerplate doc survives as empty")
+    assert(out(5L) == ((1L, 0L, "entirely unique text with no repeats")))
+    // partitioning-independent reassembly
+    val again = Curation.boilerplate(d.repartition(5), minDf = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again == out)
+  }
+
   test("url fixture: messy spellings of one host collapse to one cap group") {
     val out = Curation.domainCapUrls(
       Curation.urlFixture(docs), Curation.UrlMaxPerDomain).collect()
