@@ -176,17 +176,24 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bounds = batch.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
-        if (!bounds.isNullAt(0)) { // empty batch: nothing to land
-          batch.sparkSession.read.parquet(rawStorePath)
-            .filter(col("ts").between(bounds.getTimestamp(0), bounds.getTimestamp(1)))
-            .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(outPath)
-        }
+        // persist before the two actions (bounds agg, then join+write):
+        // the batch plan is the whole three-stateful-operator chain, and
+        // un-persisted it would re-execute — state-store loads included —
+        // twice per trigger
+        batch.persist()
+        try {
+          val bounds = batch.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
+          if (!bounds.isNullAt(0)) { // empty batch: nothing to land
+            batch.sparkSession.read.parquet(rawStorePath)
+              .filter(col("ts").between(bounds.getTimestamp(0), bounds.getTimestamp(1)))
+              .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(outPath)
+          }
+        } finally batch.unpersist()
       }
       .start()
 
