@@ -176,6 +176,13 @@ object Corpus {
     * concatenation. Map-only except the two-level per-shard prefix sum
     * (`shardedCumsum` — scales with partitions, not shards; the order
     * column must be a total order per shard).
+    *
+    * NOTE: plan CONSTRUCTION is not side-effect free — the adaptive cumsum
+    * runs a small eager size probe (a bounded limit+count, memoized per
+    * plan+session) to pick between the plain-window and range-exchange
+    * paths, so building this plan (also via `shuffleShards` /
+    * `Pipelines.shuffledTrainLayout`) may trigger a short Spark job before
+    * any caller action.
     */
   def packSequences(
       docs: DataFrame,
@@ -395,13 +402,11 @@ object Corpus {
     * through which `limit` genuinely short-circuits (map-only, no shuffle
     * barrier), so the guard never costs a full corpus pass; it is
     * conservative on heavily-repetitive corpora whose distinct index would
-    * have fit (raise the conf there). Passes are memoized by semantic plan
-    * hash.
+    * have fit (raise the conf there). The probe runs on EVERY call —
+    * deliberately un-memoized, so growth past the limit mid-session still
+    * trips it.
     */
   val OverlapShingleLimit = 2000000L
-
-  private val overlapGuardMemo =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
 
   def sourceOverlap(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
     val sh0pre = docs
@@ -410,10 +415,13 @@ object Corpus {
       .select(col("source"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
     val sh0 = sh0pre.distinct()
     if (maxDf == Int.MaxValue) {
+      // NOT memoized (unlike cumsumProbeMemo): a stale PASS here would
+      // disable a safety guard — a same-path dataset growing past the limit
+      // mid-session must re-trip it. The probe is one bounded map-only
+      // limit+count per call; a mode memo can be stale, a guard cannot.
       val limit = docs.sparkSession.conf
         .get("graft.corpus.overlapShingleLimit", OverlapShingleLimit.toString).toLong
-      val key = (sh0pre.queryExecution.logical.semanticHash(), limit)
-      if (limit < Int.MaxValue && !overlapGuardMemo.contains(key)) {
+      if (limit < Int.MaxValue) {
         val n = sh0pre.limit(limit.toInt + 1).count()
         require(n <= limit,
           s"sourceOverlap without a df bound is the exact diagnostic form and the " +
@@ -421,8 +429,6 @@ object Corpus {
             s"the bound counts pre-distinct shingle rows): a near-universal shingle " +
             s"contributes nSources^2 self-join rows. Pass a finite maxDf (the hot-key " +
             s"cut, e.g. maxDf = nSources) or raise the limit.")
-        if (overlapGuardMemo.size > 4096) overlapGuardMemo.clear()
-        overlapGuardMemo.add(key)
       }
     }
     // document-frequency cut: a shingle present in more than `maxDf` sources
@@ -509,15 +515,37 @@ object Corpus {
       keepE6: Long,
       buckets: Int = 1000,
       shardCol: String = "source"): DataFrame = {
-    require(keepE6 > 0 && keepE6 <= 1000000L, s"keepE6 must be in (0, 1e6], got $keepE6")
     require(buckets > 0 && 1000000L % buckets == 0,
       s"buckets must divide 1e6 evenly, got $buckets")
-    val w = 1000000L / buckets
     val scored = Text.qualityScoredFromToks(
       docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
       keep = Seq(shardCol))
+      .select(col(shardCol), col("quality_e6").as("score_e6"))
+    thresholdsBucketedFromScores(scored, keepE6, 1000000L / buckets, shardCol)
+  }
+
+  /** The bucketed cutoff walker behind `qualityThresholdsBucketed` and
+    * `lmThresholdsBucketed`, generic over ANY integral score (negative
+    * scores included — LM log-likelihoods are): `scored` holds one
+    * (shardCol, score_e6) row per document. Bucket = floor(score/w) via an
+    * explicit pmod (NOT `div`, which truncates toward zero and would put a
+    * negative bucket's boundary at its top instead of its bottom, breaking
+    * the keep-at-least-k guarantee), so `score_e6 >= cutoff_e6` always
+    * keeps the whole cut bucket and everything above it. One aggregate over
+    * the scores is the only full-data pass; the cumulative walk runs over
+    * the tiny (shard, bucket) table.
+    */
+  def thresholdsBucketedFromScores(
+      scored: DataFrame,
+      keepE6: Long,
+      bucketWidth: Long,
+      shardCol: String = "source"): DataFrame = {
+    require(keepE6 > 0 && keepE6 <= 1000000L, s"keepE6 must be in (0, 1e6], got $keepE6")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val w = bucketWidth
     val h = scored
-      .groupBy(col(shardCol), expr(s"quality_e6 div ${w}L").as("b"))
+      .groupBy(col(shardCol),
+        expr(s"(score_e6 - pmod(score_e6, ${w}L)) div ${w}L").as("b"))
       .agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col(shardCol)).orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -533,12 +561,41 @@ object Corpus {
       .select(col(shardCol), col("n_docs"), col("cutoff_e6"), col("n_kept"))
   }
 
+  /** Per-source LM-score cutoff calibrated to a target keep rate — CCNet's
+    * actual filter: where `qualityThresholds*` calibrate on the heuristic
+    * `quality_e6`, this calibrates on the corpus-self bigram log-likelihood
+    * (`Text.lmScore`'s avg_ll, the perplexity proxy), in micro-nats
+    * (score_e6 = round(avg_ll·1e6), always negative). Same bucketed
+    * machinery, same guarantee: `round(avg_ll*1e6) >= cutoff_e6` keeps at
+    * least the best keepE6/1e6 of each source's SCORED docs (docs with < 2
+    * tokens carry no bigrams and sit outside the calibration, as in CCNet).
+    * The LM scoring dominates the cost; the calibration adds one aggregate
+    * + a tiny-table walk. Returns (source, n_docs, cutoff_e6, n_kept).
+    */
+  def lmThresholdsBucketed(
+      docs: DataFrame,
+      keepE6: Long,
+      bucketWidth: Long = LmBucketWidth,
+      shardCol: String = "source"): DataFrame = {
+    val scored = Text.lmScore(docs)
+      .join(docs.select(col("doc_id"), col(shardCol)), Seq("doc_id"))
+      .select(col(shardCol),
+        expr("cast(round(avg_ll * 1000000.0) as bigint)").as("score_e6"))
+    thresholdsBucketedFromScores(scored, keepE6, bucketWidth, shardCol)
+  }
+
   /** The SCALE path for mixture rebalancing: `mixSources` pays one rank
     * window per source for integer-EXACT quotas; here each source keeps
     * docs whose md5 hash falls under a per-source acceptance rate
     * (rate_e6 = quota·1e6 div n_docs) — a shuffle-free hash-gated scan,
     * the same mechanism as `Sampling.stratified`. Quota attainment is
-    * binomial (±√quota), the selection itself is deterministic, rerun- and
+    * binomial (±√quota) AROUND THE FLOORED RATE: because rate_e6 is an
+    * integer div, the expected kept count undershoots the quota by up to
+    * n_docs/1e6 docs on top of the binomial band (negligible until a
+    * source holds many millions of docs against a tiny quota — at which
+    * point the exact form is the right tool anyway). A rate that floors all
+    * the way to 0 (quota·1e6 < n_docs) raises in-plan rather than silently
+    * dropping the source. The selection itself is deterministic, rerun- and
     * partitioning-stable, and integral throughout, so the output is
     * hash-checkable against the DuckDB oracle (`q_mix_sources_approx`).
     * Use the exact form when quotas must be met to the document; this form
@@ -560,9 +617,19 @@ object Corpus {
         expr("n_docs * 1000000L div w_e6")).otherwise(raise_error(
         concat(lit("mixSourcesApprox: weight source absent from corpus: "),
           col(shardCol).cast("string"))))).as("t_total"))
+    // A floored rate of 0 would silently drop the source entirely despite a
+    // positive weight (quota·1e6 < n_docs), breaking both the exact form's
+    // and this operator's loud-error contract — fail in-plan instead and
+    // point at the exact form, which handles arbitrarily small quotas.
     val rates = weights.join(counts, Seq(shardCol)).crossJoin(broadcast(t))
+      .withColumn("rate_e6",
+        expr("(w_e6 * t_total div 1000000L) * 1000000L div n_docs"))
       .select(col(shardCol),
-        expr("(w_e6 * t_total div 1000000L) * 1000000L div n_docs").as("rate_e6"))
+        when(col("rate_e6") > 0, col("rate_e6")).otherwise(raise_error(
+          concat(lit("mixSourcesApprox: acceptance rate floored to 0 for source "),
+            col(shardCol).cast("string"),
+            lit(" (quota*1e6 < n_docs); use mixSources (exact) for quotas this small"))))
+          .as("rate_e6"))
     docs
       .select(col("doc_id"), col(shardCol),
         expr(hashSql("concat('mix:', cast(doc_id as string))")).as("h"))
@@ -586,7 +653,8 @@ object Corpus {
     * advice; small inputs take the adaptive plain-window path, where the
     * per-shard window is harmless). Shards are hash-balanced regardless of
     * how the corpus was previously laid out. Changing `seed` reshuffles
-    * everything.
+    * everything. Building this plan may run the adaptive cumsum's small
+    * eager size probe (see `packSequences`).
     */
   def shuffleShards(
       docs: DataFrame,
@@ -607,6 +675,7 @@ object Corpus {
   val BudgetTokens = 600L
   val KeepTargetE6 = 600000L // q_quality_thresholds: keep the best 60% per source
   val ThresholdBuckets = 1000 // q_quality_thresholds_bkt: 1e3 micro-unit bins
+  val LmBucketWidth = 10000L // q_quality_thresholds_lm: 0.01-nat bins over avg_ll
   val ShuffleShards = 8
   val ShuffleSeed = 42L
 
@@ -631,6 +700,8 @@ object Corpus {
     "q_quality_thresholds" -> ((s, d) => qualityThresholds(Tables.documents(s, d), KeepTargetE6)),
     "q_quality_thresholds_bkt" -> ((s, d) =>
       qualityThresholdsBucketed(Tables.documents(s, d), KeepTargetE6, ThresholdBuckets)),
+    "q_quality_thresholds_lm" -> ((s, d) =>
+      lmThresholdsBucketed(Tables.documents(s, d), KeepTargetE6)),
     "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
@@ -790,6 +861,42 @@ object Corpus {
          |              + 0.2 * uniq_ratio) * 1000000.0) AS BIGINT) AS quality_e6
          |FROM s),
          |h AS (SELECT source, quality_e6 // $w AS b, count(*) AS n FROM q GROUP BY 1, 2),
+         |c AS (SELECT source, b, n,
+         |        sum(n) OVER (PARTITION BY source ORDER BY b DESC
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM h),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+         |SELECT c.source, tot.n_docs,
+         |  CAST(max(b) * $w AS BIGINT) AS cutoff_e6,
+         |  CAST(min(cum) AS BIGINT) AS n_kept
+         |FROM c JOIN tot USING (source)
+         |WHERE cum >= greatest(1, n_docs * $KeepTargetE6 // 1000000)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_quality_thresholds_lm" -> {
+      val w = LmBucketWidth
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |inst AS (SELECT doc_id,
+         |           unnest([{'u': ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT,
+         |                    'bg': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT}
+         |                   for i in range(1, len(toks))]) AS p
+         |         FROM t WHERE len(toks) >= 2),
+         |pd AS (SELECT doc_id, p.u AS u, p.bg AS bg, count(*) AS nd
+         |       FROM inst GROUP BY 1, 2, 3),
+         |cbg AS (SELECT bg, sum(nd) AS c_bg FROM pd GROUP BY 1),
+         |cu AS (SELECT u, sum(nd) AS c_u FROM pd GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(toks) AS w FROM t)),
+         |ll AS (SELECT doc_id,
+         |         round(sum(CAST(nd AS DOUBLE) * (ln(CAST(c_bg + 1 AS DOUBLE)) - ln(CAST(c_u + v AS DOUBLE))))
+         |               / sum(nd), 6) AS avg_ll
+         |       FROM pd JOIN cbg USING (bg) JOIN cu USING (u) CROSS JOIN v
+         |       GROUP BY doc_id),
+         |sc AS (SELECT d.source, CAST(round(avg_ll * 1000000.0) AS BIGINT) AS s
+         |       FROM ll JOIN documents d USING (doc_id)),
+         |h AS (SELECT source, (s - ((s % $w) + $w) % $w) // $w AS b, count(*) AS n
+         |      FROM sc GROUP BY 1, 2),
          |c AS (SELECT source, b, n,
          |        sum(n) OVER (PARTITION BY source ORDER BY b DESC
          |                     ROWS UNBOUNDED PRECEDING) AS cum

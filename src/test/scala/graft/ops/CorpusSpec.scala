@@ -261,6 +261,33 @@ class CorpusSpec extends SparkSpec {
       s"bucketed calibration must not rank the corpus:\n${plan.take(800)}")
   }
 
+  test("lm thresholds calibrate on NEGATIVE scores with the keep-at-least-k guarantee") {
+    val target = Corpus.KeepTargetE6
+    val out = Corpus.lmThresholdsBucketed(docs, target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // recompute scored docs independently: (source, score_e6)
+    val scored = Text.lmScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), expr("cast(round(avg_ll * 1000000.0) as bigint)").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(scored.forall(_._2 < 0), "lm scores are negative micro-nats")
+    val bySrc = scored.groupBy(_._1)
+    assert(out.length == bySrc.size, "one calibration row per source holding scored docs")
+    out.foreach { case (src, n, cutoff, kept) =>
+      val ss = bySrc(src).map(_._2)
+      assert(n == ss.length, s"$src n_docs must count SCORED docs only")
+      val k = math.max(1L, n * target / 1000000L)
+      assert(kept >= k, s"$src keeps $kept < target rank $k")
+      // cutoff really is a floor-div bucket lower bound (sign-safe) and the
+      // filter it defines keeps exactly n_kept docs
+      assert(cutoff % Corpus.LmBucketWidth == 0 || cutoff < 0,
+        s"$src cutoff $cutoff must sit on a bucket boundary")
+      assert(math.floorMod(cutoff, Corpus.LmBucketWidth) == 0)
+      assert(ss.count(_ >= cutoff) == kept, s"$src: score_e6 >= cutoff must keep n_kept")
+    }
+  }
+
   test("approx mixture hits quotas within binomial noise, shuffle-free and deterministic") {
     val s = spark
     import s.implicits._
