@@ -104,15 +104,25 @@ object Curation {
     * final per-doc regroup — and the hot-segment set joins back by hash.
     * Reassembly is one per-doc aggregate whose collect_list is
     * order-insensitive (array_sort on (idx, seg) restores document order),
-    * so the result is partitioning-independent.
+    * so the result is partitioning-independent. The segment projection is
+    * checkpoint-pinned: its two consumers (the df aggregate and the
+    * regroup) would otherwise each re-scan and re-segment the raw text —
+    * the same shared-scan idiom as the pipelines' tokenized projection.
     */
-  def boilerplate(docs: DataFrame, minDf: Long = BoilerplateMinDf): DataFrame = {
-    val segs = docs
+  /** The un-checkpointed (doc_id, idx, seg, h) segment projection feeding
+    * `boilerplate` — separated so the spec can assert the raw text is
+    * scanned exactly once.
+    */
+  private[ops] def segments(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(Text.normalized(col("text")), "\\.").as("parts"))
       .select(col("doc_id"),
         posexplode(expr("filter(transform(parts, s -> trim(s)), s -> s != '')"))
           .as(Seq("idx", "seg")))
       .withColumn("h", expr(hashSql("seg")))
+
+  def boilerplate(docs: DataFrame, minDf: Long = BoilerplateMinDf): DataFrame = {
+    val segs = segments(docs).localCheckpoint(false)
     val hot = segs.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

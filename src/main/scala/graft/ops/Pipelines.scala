@@ -130,6 +130,50 @@ object Pipelines {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** The corpus build with BOILERPLATE REMOVAL FIRST — the production C4
+    * ordering: cut segments recurring across documents (cookie banners, nav
+    * chrome, license footers) BEFORE quality scoring, dedup and
+    * decontamination, because a page whose chrome dominates otherwise
+    * scores, fingerprints and contaminates on its chrome, not its content.
+    * `Curation.boilerplate`'s segment pass is the ONE scan of the raw text
+    * (plus a column-pruned (doc_id, lang) read — no text); the cleaned text
+    * is then tokenized ONCE into a checkpoint-pinned projection that feeds
+    * quality / exact dedup / contamination / the final join, exactly
+    * `corpusPipeline`'s shared-scan discipline shifted onto clean text. A
+    * doc whose every segment is boilerplate survives to the quality gate
+    * with empty text and is dropped there, not silently lost.
+    */
+  def corpusPipelineBoilerplate(docs: DataFrame): DataFrame = {
+    val t = cleanTokenized(docs)
+    val kept = Text.qualityFromToks(t).filter(col("verdict") === "keep").select(col("doc_id"))
+    val reps = Dedup.exactFromToks(t.join(kept, Seq("doc_id")))
+      .select(col("keep_id").as("doc_id"))
+    val contaminated = Curation.contaminationFromToks(t, Curation.BenchmarkFilter)
+      .select(col("doc_id"))
+    val clean = t.select(col("doc_id"), col("lang")).join(reps, Seq("doc_id"))
+      .filter(not(expr(Curation.BenchmarkFilter)))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.stratified(clean, "doc_id", "lang", CorpusRates)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** The boilerplate-cleaned tokenized projection (doc_id, lang, toks):
+    * segment-level boilerplate cut, then ONE tokenize of the cleaned text,
+    * checkpoint-pinned for every downstream branch. Package-private so the
+    * spec can assert its scan shape (raw text read once).
+    */
+  private[ops] def cleanTokenized(docs: DataFrame): DataFrame =
+    cleanTokenizedPlan(docs).localCheckpoint(false)
+
+  /** The un-checkpointed plan of `cleanTokenized`, separated so the spec can
+    * assert its scan shape (the checkpoint would otherwise hide it behind an
+    * ExistingRDD).
+    */
+  private[ops] def cleanTokenizedPlan(docs: DataFrame): DataFrame =
+    Curation.boilerplate(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), Text.tokens(col("clean_text")).as("toks"))
+
   /** The corpus build with NEAR-dedup: quality filter → exact dedup →
     * near-dup clustering (LSH-verified pairs → connected components, keep
     * the min-id representative per cluster) → decontamination → stratified
@@ -192,7 +236,8 @@ object Pipelines {
     * plan whose only corpus-wide work is the budget scan — the shuffle and
     * packing run over the already-budgeted set (adaptive cumsum: window
     * locally, two-level at scale). Returns (doc_id, shard_id, shard_pos,
-    * n_tokens, pack_id, pack_offset).
+    * n_tokens, pack_id, pack_offset). Building this plan may run the
+    * adaptive cumsum's small eager size probe (see `Corpus.packSequences`).
     */
   def shuffledTrainLayout(docs: DataFrame): DataFrame = {
     val budgeted = Corpus.tokenBudget(docs, Corpus.BudgetTokens)
@@ -213,7 +258,8 @@ object Pipelines {
     "q_agg_salted" -> ((s, d) => saltedAgg(Tables.events(s, d))),
     "q_pipeline_clean" -> ((s, d) => cleaningPipeline(Tables.documents(s, d))),
     "q_pipeline_corpus" -> ((s, d) => corpusPipeline(Tables.documents(s, d))),
-    "q_pipeline_corpus_near" -> ((s, d) => corpusPipelineNear(Tables.documents(s, d))))
+    "q_pipeline_corpus_near" -> ((s, d) => corpusPipelineNear(Tables.documents(s, d))),
+    "q_pipeline_boilerplate" -> ((s, d) => corpusPipelineBoilerplate(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -368,6 +414,56 @@ object Pipelines {
          |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
          |                  WHEN 'zh' THEN 500000 WHEN 'fr' THEN 1000000
          |                  WHEN 'es' THEN 250000 ELSE 0 END""".stripMargin,
+
+    "q_pipeline_boilerplate" -> {
+      val stop = Text.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (SELECT doc_id,
+         |             list_filter([trim(s) for s in string_split($normSql, '.')],
+         |                         s -> s != '') AS fs
+         |           FROM documents),
+         |segs AS (SELECT doc_id, p.idx AS idx, p.seg AS seg,
+         |           ('0x' || substr(md5(p.seg), 1, 15))::BIGINT AS h
+         |         FROM (SELECT doc_id,
+         |                 unnest([{'idx': i, 'seg': fs[i]} for i in range(1, len(fs) + 1)]) AS p
+         |               FROM f)),
+         |hot AS (SELECT h FROM (SELECT h, count(*) AS df
+         |                       FROM (SELECT DISTINCT doc_id, h FROM segs) GROUP BY 1)
+         |        WHERE df >= ${Curation.BoilerplateMinDf}),
+         |cleaned AS (SELECT s.doc_id,
+         |              coalesce(string_agg(CASE WHEN hot.h IS NULL THEN s.seg END, '. '
+         |                                  ORDER BY s.idx), '') AS ctext
+         |            FROM segs s LEFT JOIN hot ON s.h = hot.h GROUP BY 1),
+         |ct AS (SELECT c.doc_id, d.lang,
+         |         lower(trim(regexp_replace(ctext, '\\s+', ' ', 'g'))) AS ntext
+         |       FROM cleaned c JOIN documents d USING (doc_id)),
+         |tk AS (SELECT doc_id, lang, ntext, string_split(ntext, ' ') AS t FROM ct),
+         |s AS (SELECT doc_id, lang, ntext,
+         |        len(t) AS n_tokens,
+         |        round(CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+         |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio
+         |      FROM tk),
+         |kept AS (SELECT doc_id, lang, ntext FROM s
+         |         WHERE 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0)
+         |             + 0.3 * least(1.0, stop_ratio * 5.0)
+         |             + 0.2 * uniq_ratio >= 0.5),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(ntext)),
+         |sh AS (SELECT doc_id,
+         |         unnest([('0x' || substr(md5(g), 1, 15))::BIGINT
+         |                 for g in list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                                         for i in range(1, len(t) - 1)])]) AS sh
+         |       FROM tk WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (sh)
+         |                 WHERE NOT (doc_id < 20))
+         |SELECT k.doc_id, k.lang
+         |FROM kept k JOIN reps USING (doc_id)
+         |WHERE NOT (doc_id < 20)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND ('0x' || substr(md5('strat' || cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+         |                  WHEN 'zh' THEN 500000 WHEN 'fr' THEN 1000000
+         |                  WHEN 'es' THEN 250000 ELSE 0 END""".stripMargin
+    },
 
     "q_pipeline_clean" ->
       s"""WITH toks AS (SELECT doc_id, text, string_split($normSql, ' ') AS t FROM documents),

@@ -56,6 +56,47 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate pipeline: clean-text discipline — raw text scanned once, " +
+      "downstream reads only the checkpointed projection") {
+    val docs = Tables.documents(spark, sf())
+    // downstream: every branch feeds from the checkpointed clean-tokenized
+    // projection, no direct parquet read
+    val plan = Pipelines.corpusPipelineBoilerplate(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "pipeline branches must feed from the shared clean-tokenized projection")
+    assert(plan.contains("Scan ExistingRDD"))
+    // the segment pass is the ONE scan of the raw text: boilerplate's df
+    // aggregate and regroup both read the checkpointed segment projection,
+    // whose own plan reads `text` from parquet exactly once
+    val segPlan = Curation.segments(docs).queryExecution.executedPlan.toString
+    val segScans = segPlan.split("\n").filter(_.contains("FileScan"))
+    assert(segScans.length == 1 && segScans.head.contains("text#"),
+      s"segment pass must be one raw-text scan:\n$segPlan")
+    // the clean-tokenized projection: no raw-text re-read (only the pruned
+    // (doc_id, lang) scan touches parquet) and ONE tokenize of the cleaned
+    // text — text is normalized at most twice end-to-end (segment pass +
+    // clean-text pass)
+    val projPlan = Pipelines.cleanTokenizedPlan(docs).queryExecution.executedPlan.toString
+    val scanLines = projPlan.split("\n").filter(_.contains("FileScan"))
+    assert(scanLines.length == 1 && !scanLines.head.contains("text#"),
+      s"only the pruned (doc_id, lang) read may touch parquet:\n${scanLines.mkString("\n")}")
+    assert(projPlan.split("\n").count(_.contains("regexp_replace")) == 1,
+      s"cleaned text must be tokenized exactly once:\n$projPlan")
+  }
+
+  test("boilerplate pipeline semantics: chrome-only docs dropped, clean docs sampled") {
+    val docs = Tables.documents(spark, sf())
+    val out = Pipelines.corpusPipelineBoilerplate(docs).collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty)
+    // no benchmark docs survive
+    assert(out.forall(_ >= 20))
+    // every output doc passed the CLEANED-text quality gate
+    val cleanKept = Text.qualityFromToks(Pipelines.cleanTokenized(docs))
+      .filter(col("verdict") === "keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(cleanKept))
+  }
+
   test("near corpus pipeline == exact pipeline minus near-dup cluster members") {
     val docs = Tables.documents(spark, sf())
     val exactOut = Pipelines.corpusPipeline(docs)
