@@ -77,6 +77,27 @@ class GTableSpec extends SparkSpec {
     assert(renamed.df.columns.contains("location"))
   }
 
+  test("theta join: arbitrary non-equi condition (JoinCriteria)") {
+    import spark.implicits._
+    // score bands: a non-equi [lo, hi) containment join
+    val bands = GTable(Seq(
+      ("low", 0, 80), ("mid", 80, 95), ("high", 95, 1000)).toDF("band", "lo", "hi"))
+    val p = people
+    val out = p.thetaJoin(bands,
+      p.df("score") >= bands.df("lo") && p.df("score") < bands.df("hi"))
+    val got = out.df.collect().map(r => (r.getAs[String]("name"), r.getAs[String]("band"))).toSet
+    assert(got == Set(
+      ("alice", "high"), ("erin", "high"),
+      ("bob", "mid"), ("carol", "mid"),
+      ("dave", "low")))
+    // left theta join null-pads a row no condition matches
+    val none = GTable(Seq(("never", 2000, 3000)).toDF("band", "lo", "hi"))
+    val left = p.thetaJoin(none,
+      p.df("score") >= none.df("lo") && p.df("score") < none.df("hi"), "left")
+    assert(left.size == 5)
+    assert(left.df.filter("band IS NULL").count() == 5)
+  }
+
   test("project / projectNegative / addColumn / union") {
     import org.apache.spark.sql.functions.lit
     assert(people.project("name", "score").df.columns.toSeq == Seq("name", "score"))
