@@ -142,6 +142,78 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  // --- incremental index maintenance (increment vs built index) ------------
+
+  /** Cell assignment against a GIVEN centroid table — the `FromSigs`
+    * convention (Dedup.incrementalNearDupPairsFromSigs) applied to the
+    * vector index: `ivfTopK`/`ivfTopKTrained` derive their quantizer from
+    * the corpus per call, which re-indexes history on every refresh of a
+    * growing corpus; here the quantizer is an INPUT, so an increment is
+    * assigned against the frozen centroids and history's assignment rows
+    * are never recomputed. Assignment is per-row (broadcast argmax-cosine
+    * compare, ties → lowest cell), so indexing the union == union of the
+    * indexes — the cross-split equality SimilaritySpec asserts. Returns
+    * (cell, vec_id, nv, crk) with crk <= `probes`: probes=1 builds the
+    * stored index (each vector in its nearest cell), probes=IvfProbes
+    * computes a query set's probe fan-out.
+    */
+  def ivfAssign(e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("nv"), col("cell"),
+        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= probes)
+      .select(col("cell"), col("vec_id"), col("nv"), col("crk"))
+  }
+
+  /** IVF probe over a PRECOMPUTED index table (`ivfAssign(_, cents)` rows,
+    * possibly unioned across increments): only the query set is assigned at
+    * query time — the corpus-wide assignment pass that `ivfTopK` pays per
+    * call is gone, which is the point of maintaining the index
+    * incrementally. Same ranked-top-k contract as every other ANN path.
+    */
+  def ivfTopKFromIndex(index: DataFrame, qe: DataFrame, cents: DataFrame): DataFrame = {
+    val queryProbes = ivfAssign(qe.filter(col("vec_id") < QueryCount), cents, IvfProbes)
+      .select(col("cell"), col("vec_id").as("q_id"), col("nv").as("qv"))
+    val corpusCells = index.select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), GraftFunctions.dot(col("qv"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  // Split fixture: increment = every 5th vec_id (the q_dedup_incr_* split
+  // convention); frozen centroids = the IvfCells lowest-id HISTORY vectors —
+  // among vec_id < 20 exactly the 16 non-multiples of 5, so the quantizer is
+  // derived from the already-indexed corpus, as a real refresh would have it.
+  val IncrSplit = 5
+  val IncrCentMax = 20
+
+  def incrCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < IncrCentMax && col("vec_id") % IncrSplit =!= 0)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+
+  /** The incremental-maintenance composition on the split fixture: history
+    * and the increment are indexed SEPARATELY against the frozen
+    * history-derived centroids and the stored index is their union — at
+    * scale the history half is the persisted index table and only the
+    * increment's `ivfAssign` ever runs. Identical top-k to a full rebuild
+    * against the same centroids (per-row assignment commutes with union;
+    * SimilaritySpec asserts both equalities), hash-checked by the oracle.
+    */
+  def ivfTopKIncr(embs: DataFrame): DataFrame = {
+    val e = normalized(embs).localCheckpoint(false)
+    val cents = incrCentroids(e)
+    val index = ivfAssign(e.filter(col("vec_id") % IncrSplit =!= 0), cents)
+      .unionByName(ivfAssign(e.filter(col("vec_id") % IncrSplit === 0), cents))
+    ivfTopKFromIndex(index, e, cents)
+  }
+
   val TrainIters = 2 // Lloyd iterations for the trained quantizer
 
   /** One spherical-k-means step: assign every vector to its max-cosine
@@ -244,6 +316,7 @@ object Similarity {
     "q_knn_brute" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "q_knn_ivf_incr" -> ((s, d) => ivfTopKIncr(Tables.embeddings(s, d))),
     "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))))
 
   // DuckDB mirrors — identical literal hyperplanes, identical fold order
@@ -334,6 +407,31 @@ object Similarity {
     "q_knn_ivf" ->
       s"""WITH $duckNormCte,
          |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT e.vec_id, e.nv, c.cell,
+         |    list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c),
+         |corpus AS (SELECT cell, vec_id AS n_id, nv AS nvec FROM assigned WHERE crk = 1),
+         |probes AS (SELECT cell, vec_id AS q_id, nv AS qv FROM assigned
+         |           WHERE vec_id < $QueryCount AND crk <= $IvfProbes),
+         |s AS (SELECT q_id, n_id, list_sum([qv[i] * nvec[i] for i in range(1, 65)]) AS cos
+         |      FROM probes q JOIN corpus c ON q.cell = c.cell AND c.n_id != q.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // Split-agnostic on purpose: per-row assignment makes index(history) ∪
+    // index(increment) == index(full) against the same frozen centroids, so
+    // the oracle assigns everything in one pass — the Scala side's union of
+    // two ivfAssign halves must hash-match it exactly.
+    "q_knn_ivf_incr" ->
+      s"""WITH $duckNormCte,
+         |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv
+         |          WHERE vec_id < $IncrCentMax AND vec_id % $IncrSplit <> 0),
          |assigned AS (
          |  SELECT e.vec_id, e.nv, c.cell,
          |    list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) AS ccos,

@@ -48,6 +48,29 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean IVF recall@5 = $mean")
   }
 
+  test("incremental IVF: split-indexed union == full rebuild against the same centroids") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.normalized(embs).localCheckpoint(false)
+    val cents = Similarity.incrCentroids(e)
+    // the maintained index — history and increment assigned separately —
+    // must equal one full assignment pass row-for-row
+    def rowsOf(ix: org.apache.spark.sql.DataFrame) = ix.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // (cell, vec_id)
+    val full = rowsOf(Similarity.ivfAssign(e, cents))
+    val split = rowsOf(
+      Similarity.ivfAssign(e.filter(col("vec_id") % Similarity.IncrSplit =!= 0), cents)
+        .unionByName(Similarity.ivfAssign(e.filter(col("vec_id") % Similarity.IncrSplit === 0), cents)))
+    assert(full == split, "per-row assignment must commute with the corpus split")
+    assert(full.map(_._2).size == e.count(), "every vector indexed exactly once")
+    // and the query path over the unioned index == the full-rebuild top-k
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val incrTopK = topk(Similarity.ivfTopKIncr(embs))
+    val rebuild = topk(Similarity.ivfTopKFromIndex(Similarity.ivfAssign(e, cents), e, cents))
+    assert(incrTopK == rebuild)
+    assert(incrTopK.nonEmpty && incrTopK.map(_._1) == (0L until Similarity.QueryCount).toSet)
+  }
+
   test("k-means-trained IVF keeps recall and balances cells") {
     def recallOf(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
