@@ -576,12 +576,42 @@ object Corpus {
       docs: DataFrame,
       keepE6: Long,
       bucketWidth: Long = LmBucketWidth,
-      shardCol: String = "source"): DataFrame = {
-    val scored = Text.lmScore(docs)
+      shardCol: String = "source"): DataFrame =
+    thresholdsBucketedFromScores(lmScored(docs, shardCol), keepE6, bucketWidth, shardCol)
+
+  /** (doc_id, shardCol, score_e6 = round(avg_ll·1e6)) — the integral LM
+    * score projection both the calibration and the filter consume.
+    */
+  private def lmScored(docs: DataFrame, shardCol: String): DataFrame =
+    Text.lmScore(docs)
       .join(docs.select(col("doc_id"), col(shardCol)), Seq("doc_id"))
-      .select(col(shardCol),
+      .select(col("doc_id"), col(shardCol),
         expr("cast(round(avg_ll * 1000000.0) as bigint)").as("score_e6"))
-    thresholdsBucketedFromScores(scored, keepE6, bucketWidth, shardCol)
+
+  /** The CCNet filter APPLIED, end-to-end: score every doc under the
+    * corpus-self bigram LM, calibrate a per-source cutoff to the target
+    * keep rate, and keep the docs at or above their source's cutoff.
+    * `lmThresholdsBucketed` tells you where the knife falls; this cuts.
+    * The expensive part (LM scoring) runs ONCE — the scored projection is
+    * checkpoint-pinned because both the calibration aggregate and the
+    * filter consume it — and the cutoff table (one row per source) joins
+    * back as a broadcast, so the filter itself is a map-side gate. Keeps
+    * at least keepE6/1e6 of each source's scored docs (bucket-resolution
+    * overshoot only, same guarantee as the calibrator); unscored docs
+    * (< 2 tokens, no bigrams) are dropped — under a perplexity filter,
+    * no evidence means no pass. Returns (doc_id, source, score_e6).
+    */
+  def lmFilter(
+      docs: DataFrame,
+      keepE6: Long,
+      bucketWidth: Long = LmBucketWidth,
+      shardCol: String = "source"): DataFrame = {
+    val scored = lmScored(docs, shardCol).localCheckpoint(false)
+    val cut = thresholdsBucketedFromScores(scored, keepE6, bucketWidth, shardCol)
+      .select(col(shardCol), col("cutoff_e6"))
+    scored.join(broadcast(cut), Seq(shardCol))
+      .filter(col("score_e6") >= col("cutoff_e6"))
+      .select(col("doc_id"), col(shardCol), col("score_e6"))
   }
 
   /** The SCALE path for mixture rebalancing: `mixSources` pays one rank
@@ -702,6 +732,7 @@ object Corpus {
       qualityThresholdsBucketed(Tables.documents(s, d), KeepTargetE6, ThresholdBuckets)),
     "q_quality_thresholds_lm" -> ((s, d) =>
       lmThresholdsBucketed(Tables.documents(s, d), KeepTargetE6)),
+    "q_quality_lm_filter" -> ((s, d) => lmFilter(Tables.documents(s, d), KeepTargetE6)),
     "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
@@ -719,6 +750,41 @@ object Corpus {
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
+
+  /** Shared LM-cutoff CTE chain (mirrors Text.lmScore then the bucketed
+    * walker): ends at `sc` (doc_id, source, s = score_e6), `h`/`c` (bucket
+    * histogram + desc-cumulative walk) and `tot` — the thresholds query
+    * reads the walk, the filter additionally joins `sc` against the cut.
+    */
+  private val duckLmCutoffCtes: String = {
+    val w = LmBucketWidth
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |inst AS (SELECT doc_id,
+       |           unnest([{'u': ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT,
+       |                    'bg': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT}
+       |                   for i in range(1, len(toks))]) AS p
+       |         FROM t WHERE len(toks) >= 2),
+       |pd AS (SELECT doc_id, p.u AS u, p.bg AS bg, count(*) AS nd
+       |       FROM inst GROUP BY 1, 2, 3),
+       |cbg AS (SELECT bg, sum(nd) AS c_bg FROM pd GROUP BY 1),
+       |cu AS (SELECT u, sum(nd) AS c_u FROM pd GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT unnest(toks) AS w FROM t)),
+       |ll AS (SELECT doc_id,
+       |         round(sum(CAST(nd AS DOUBLE) * (ln(CAST(c_bg + 1 AS DOUBLE)) - ln(CAST(c_u + v AS DOUBLE))))
+       |               / sum(nd), 6) AS avg_ll
+       |       FROM pd JOIN cbg USING (bg) JOIN cu USING (u) CROSS JOIN v
+       |       GROUP BY doc_id),
+       |sc AS (SELECT ll.doc_id, d.source, CAST(round(avg_ll * 1000000.0) AS BIGINT) AS s
+       |       FROM ll JOIN documents d USING (doc_id)),
+       |h AS (SELECT source, (s - ((s % $w) + $w) % $w) // $w AS b, count(*) AS n
+       |      FROM sc GROUP BY 1, 2),
+       |c AS (SELECT source, b, n,
+       |        sum(n) OVER (PARTITION BY source ORDER BY b DESC
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM h),
+       |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM h GROUP BY 1)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_pack_sequences" ->
@@ -874,41 +940,24 @@ object Corpus {
          |GROUP BY 1, 2""".stripMargin
     },
 
-    "q_quality_thresholds_lm" -> {
-      val w = LmBucketWidth
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |inst AS (SELECT doc_id,
-         |           unnest([{'u': ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT,
-         |                    'bg': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT}
-         |                   for i in range(1, len(toks))]) AS p
-         |         FROM t WHERE len(toks) >= 2),
-         |pd AS (SELECT doc_id, p.u AS u, p.bg AS bg, count(*) AS nd
-         |       FROM inst GROUP BY 1, 2, 3),
-         |cbg AS (SELECT bg, sum(nd) AS c_bg FROM pd GROUP BY 1),
-         |cu AS (SELECT u, sum(nd) AS c_u FROM pd GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w) AS v
-         |      FROM (SELECT unnest(toks) AS w FROM t)),
-         |ll AS (SELECT doc_id,
-         |         round(sum(CAST(nd AS DOUBLE) * (ln(CAST(c_bg + 1 AS DOUBLE)) - ln(CAST(c_u + v AS DOUBLE))))
-         |               / sum(nd), 6) AS avg_ll
-         |       FROM pd JOIN cbg USING (bg) JOIN cu USING (u) CROSS JOIN v
-         |       GROUP BY doc_id),
-         |sc AS (SELECT d.source, CAST(round(avg_ll * 1000000.0) AS BIGINT) AS s
-         |       FROM ll JOIN documents d USING (doc_id)),
-         |h AS (SELECT source, (s - ((s % $w) + $w) % $w) // $w AS b, count(*) AS n
-         |      FROM sc GROUP BY 1, 2),
-         |c AS (SELECT source, b, n,
-         |        sum(n) OVER (PARTITION BY source ORDER BY b DESC
-         |                     ROWS UNBOUNDED PRECEDING) AS cum
-         |      FROM h),
-         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+    "q_quality_thresholds_lm" ->
+      s"""WITH $duckLmCutoffCtes
          |SELECT c.source, tot.n_docs,
-         |  CAST(max(b) * $w AS BIGINT) AS cutoff_e6,
+         |  CAST(max(b) * $LmBucketWidth AS BIGINT) AS cutoff_e6,
          |  CAST(min(cum) AS BIGINT) AS n_kept
          |FROM c JOIN tot USING (source)
          |WHERE cum >= greatest(1, n_docs * $KeepTargetE6 // 1000000)
-         |GROUP BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_quality_lm_filter" ->
+      s"""WITH $duckLmCutoffCtes,
+         |cut AS (SELECT c.source, CAST(max(b) * $LmBucketWidth AS BIGINT) AS cutoff_e6
+         |        FROM c JOIN tot USING (source)
+         |        WHERE cum >= greatest(1, n_docs * $KeepTargetE6 // 1000000)
+         |        GROUP BY 1)
+         |SELECT sc.doc_id, sc.source, sc.s AS score_e6
+         |FROM sc JOIN cut USING (source)
+         |WHERE sc.s >= cut.cutoff_e6""".stripMargin,
 
     "q_mix_sources_approx" -> {
       val values = MixTargetsE6.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")

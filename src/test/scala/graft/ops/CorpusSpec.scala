@@ -288,6 +288,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lm filter keeps exactly the calibrator's n_kept per source, at or above the cutoff") {
+    val target = Corpus.KeepTargetE6
+    val cal = Corpus.lmThresholdsBucketed(docs, target).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    val kept = Corpus.lmFilter(docs, target).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    val bySrc = kept.groupBy(_._2)
+    assert(bySrc.keySet == cal.keySet, "filter covers every calibrated source")
+    bySrc.foreach { case (src, rows) =>
+      val (cutoff, nKept) = cal(src)
+      assert(rows.length == nKept, s"$src keeps ${rows.length}, calibrator said $nKept")
+      assert(rows.forall(_._3 >= cutoff), s"$src kept a doc below its cutoff")
+    }
+    // the cutoff table joins back as a broadcast: the filter is a map-side
+    // gate over the checkpointed scored projection, no score re-derivation
+    val plan = Corpus.lmFilter(docs, target).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cutoff join must broadcast:\n${plan.take(600)}")
+  }
+
   test("approx mixture hits quotas within binomial noise, shuffle-free and deterministic") {
     val s = spark
     import s.implicits._
