@@ -280,6 +280,55 @@ object Text {
       .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
 
+  /** The Gopher rule battery (Rae et al. 2021, "Scaling Language Models" —
+    * the public web-text filter rules, the standard cheap gate run before
+    * any model-based scoring): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-/ellipsis-line fractions, alpha-word
+    * fraction, and required stop-word presence. Emits one boolean per rule
+    * plus the conjunction, so calibration can read WHICH rule kills a
+    * source's docs, not just how many die.
+    *
+    * Engine-portability: every threshold compare is CROSS-MULTIPLIED
+    * integer arithmetic (10·n_sym < n_words, 5·n_alpha ≥ 4·n_words, …) —
+    * no doubles anywhere, so the oracle hash cannot wobble. Map-only
+    * codegen'd regex/array expressions; at 100 TB this is a pure scan.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+        normalized(col("text")).as("norm"), split(col("text"), "\n").as("lines"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        length(regexp_replace(col("norm"), " ", "")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_sym"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr("size(filter(lines, l -> trim(l) rlike '^[-*•]'))").cast("long").as("n_bullet"),
+        expr("size(filter(lines, l -> trim(l) like '%...'))").cast("long").as("n_ellipsis"),
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long").as("n_alpha"),
+        expr(s"size(filter(array_distinct(toks), t -> t IN (${sqlList(GopherStopwords)})))")
+          .cast("long").as("n_gstop"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords).as("r_word_count"),
+        // 3 <= mean word length <= 10, as 3·n_words <= n_chars <= 10·n_words
+        (col("n_chars") >= col("n_words") * 3 && col("n_chars") <= col("n_words") * 10)
+          .as("r_word_length"),
+        (col("n_sym") * 10 < col("n_words")).as("r_symbol_ratio"), // < 0.1 #/… per word
+        (col("n_bullet") * 10 < col("n_lines") * 9).as("r_bullet_lines"), // < 90% bulleted
+        (col("n_ellipsis") * 10 < col("n_lines") * 3).as("r_ellipsis_lines"), // < 30% trail off
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("r_alpha_words"), // >= 80% contain a-z
+        (col("n_gstop") >= 2).as("r_stop_words")) // >= 2 distinct required stopwords
+      .withColumn("pass",
+        col("r_word_count") && col("r_word_length") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stop_words"))
+
   private def hashSql(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
 
@@ -337,6 +386,7 @@ object Text {
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "q_text_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
     // the documents text is digit- and @-free, so the oracle-checked scrub
     // runs a digit rule over events.props (the digit-rich column); the
@@ -399,6 +449,35 @@ object Text {
          |  round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 6) AS dup_2gram_frac,
          |  CAST(len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS BIGINT) AS n_immediate_repeats
          |FROM b""".stripMargin,
+
+    "q_text_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks, $normSql AS norm,
+         |             string_split(text, chr(10)) AS lines
+         |           FROM documents),
+         |c AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+         |        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |        CAST(len(lines) AS BIGINT) AS n_lines,
+         |        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+         |        CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis,
+         |        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(toks), t -> t IN (${sqlList(GopherStopwords)}))) AS BIGINT) AS n_gstop
+         |      FROM t)
+         |SELECT doc_id, n_words,
+         |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS r_word_count,
+         |  n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS r_word_length,
+         |  n_sym * 10 < n_words AS r_symbol_ratio,
+         |  n_bullet * 10 < n_lines * 9 AS r_bullet_lines,
+         |  n_ellipsis * 10 < n_lines * 3 AS r_ellipsis_lines,
+         |  n_alpha * 5 >= n_words * 4 AS r_alpha_words,
+         |  n_gstop >= 2 AS r_stop_words,
+         |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+         |    AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+         |    AND n_sym * 10 < n_words AND n_bullet * 10 < n_lines * 9
+         |    AND n_ellipsis * 10 < n_lines * 3 AND n_alpha * 5 >= n_words * 4
+         |    AND n_gstop >= 2 AS pass
+         |FROM c""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)

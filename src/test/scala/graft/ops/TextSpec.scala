@@ -114,6 +114,35 @@ class TextSpec extends SparkSpec {
     assert(out(2) == "drop")
   }
 
+  test("gopher rules: each rule trips on its own fixture, clean prose passes") {
+    val good = (("the quick brown fox jumps over that lazy dog with " * 6) +
+      "words have been plentiful here today friends").trim // 64 words, sane lengths
+    val d = docs(
+      (1, good),
+      (2, "the of and"), // too short: r_word_count
+      (3, ("aa " * 60 + "the of that have").trim), // mean word length < 3: r_word_length
+      (4, (("the fox # of # dog # " * 10) + "that have").trim), // #-heavy: r_symbol_ratio
+      (5, (1 to 10).map(i => s"- the item $i of that list have").mkString("\n")), // all bullets
+      (6, (1 to 10).map(i => s"the story $i of that have trails off...").mkString("\n")), // all ellipses
+      (7, (("1 2 3 4 5 6 7 8 9 10 " * 6) + "the of that have").trim), // digits: r_alpha_words
+      (8, ("lorem ipsum dolor sit amet " * 12).trim)) // no required stopwords: r_stop_words
+    val out = Text.gopherRules(d).collect().map { r =>
+      r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))
+    }.toMap
+    assert(out(1) == (true, true, true, true, true, true, true, true), s"clean prose: ${out(1)}")
+    assert(!out(2)._1, "word-count rule trips on a 3-word doc")
+    assert(!out(3)._2, "word-length rule trips on 2-char tokens")
+    assert(!out(4)._3, "symbol-ratio rule trips on #-heavy text")
+    assert(!out(5)._4, "bullet-lines rule trips when 100% of lines are bulleted")
+    assert(!out(6)._5, "ellipsis-lines rule trips when 100% of lines trail off")
+    assert(!out(7)._6, "alpha-words rule trips on digit-dominated text")
+    assert(!out(8)._7, "stop-words rule trips without the required stopwords")
+    out.filterNot(_._1 == 1L).foreach { case (id, flags) =>
+      assert(!flags._8, s"doc $id must fail overall")
+    }
+  }
+
   test("lm score: negative conditional log-likelihoods; repeated text outscores one-off") {
     val d = docs(
       (1L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
