@@ -341,6 +341,47 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** `incrementalExact` with a BLOOM-FILTER pre-gate — the 100 TB refresh
+    * shape: the admitted corpus's fingerprint set folds into a compact
+    * Bloom bitset (built DISTRIBUTED via the public `stat.bloomFilter`
+    * tree-aggregate; the driver holds only the ~expectedItems·10-bit
+    * array, the same class of driver value as any broadcast hash table),
+    * and the increment is gated map-side by Spark's own
+    * `BloomFilterMightContain` over a literal bitset. Docs the filter
+    * definitely rules out of the corpus skip the anti-join entirely; only
+    * might-contain candidates (true duplicates + the fpp false-positive
+    * sliver) shuffle against the corpus fingerprint table. Bloom filters
+    * have no false negatives, so
+    * definitely-new ∪ (candidates ANTI corpus) == the exact anti-join —
+    * the result is IDENTICAL to `incrementalExact` (DedupSpec asserts it,
+    * including under a forced-high fpp), it just moves ~all of the
+    * increment off the shuffle. Size `expectedItems` at the corpus's
+    * distinct-fingerprint count; oversizing only costs bits.
+    */
+  def incrementalExactBloom(
+      newDocs: DataFrame, corpus: DataFrame,
+      fpp: Double = 0.01, expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val corpusFps = corpus
+      .select(md5(Text.normalized(col("text"))).as("fp")).distinct()
+    val bf = corpusFps.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bytes), GraftBridge.expression(xxhash64(col("fp")))))
+    val newFps = newDocs
+      .select(md5(Text.normalized(col("text"))).as("fp"), col("doc_id"))
+    newFps.filter(!might)
+      .unionByName(newFps.filter(might).join(corpusFps, Seq("fp"), "left_anti"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Near-dup pairs of a NEW increment AGAINST the admitted corpus: banded
     * minhash equi-join BETWEEN the two tables (new×4 band rows meet
     * corpus×4 band rows on (band, sig) — never |new|·|corpus| pairs), then
@@ -521,6 +562,9 @@ object Dedup {
       Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))),
     "q_dedup_incr_near" -> ((s, d) => incrementalNearDupPairs(
       Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))),
+    "q_dedup_incr_bloom" -> ((s, d) => incrementalExactBloom(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
       Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))))
 
   // DuckDB mirrors. Shared fragments:
@@ -636,6 +680,17 @@ object Dedup {
          |SELECT doc_id, cluster_id FROM cc_d""".stripMargin,
 
     "q_dedup_incr_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM f
+         |WHERE doc_id % 5 = 0
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+         |GROUP BY fp""".stripMargin,
+
+    // the bloom pre-gate is an exact-result optimization (no false
+    // negatives; false positives fall to the anti-join), so its oracle is
+    // the exact form's SQL verbatim
+    "q_dedup_incr_bloom" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM f

@@ -156,4 +156,21 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSet == incGroups.filterNot(g => corpusFps.contains(g._1)))
     assert(kept.nonEmpty)
   }
+
+  test("bloom-gated incremental exact == plain incremental exact, even at forced-high fpp") {
+    import org.apache.spark.sql.functions._
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = setOf(Dedup.incrementalExact(inc, corpus))
+    assert(setOf(Dedup.incrementalExactBloom(inc, corpus)) == exact)
+    // a deliberately saturated filter (tiny capacity, fpp ~ 1) floods the
+    // candidate path with false positives — the anti-join must absorb them
+    assert(setOf(Dedup.incrementalExactBloom(inc, corpus, fpp = 0.5, expectedItems = 8)) == exact)
+    // the gate really is Spark's bloom expression over a literal bitset
+    val plan = Dedup.incrementalExactBloom(inc, corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom gate missing from plan:\n${plan.take(600)}")
+  }
 }
