@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.{Determinism, GraftFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -424,6 +425,88 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // --- substring-level (span) dedup ----------------------------------------
+
+  val SpanWindow = 10 // tokens per duplicate-detection window (~50 at web scale)
+
+  /** SUBSTRING-level exact dedup — the third dedup granularity after
+    * whole-document exact and near-dup: find every >= `w`-token span whose
+    * content also occurs EARLIER in the corpus (earlier = smaller (doc_id,
+    * position), so exactly one copy of each duplicated run survives,
+    * keep-first), per Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — repeated spans (license blocks, quoted
+    * passages, mirrored articles) inflate memorization even when the
+    * containing documents are unique.
+    *
+    * Distributed shape standing in for their suffix array: hash every
+    * w-token window at stride 1 (map-only explode; the shuffle carries
+    * (hash, doc_id, pos) — ~24 bytes per token, the honest price of
+    * substring-level dedup and the same order as a suffix array), find
+    * hashes with > 1 occurrence via one partial+final aggregate whose
+    * min(struct(doc_id, pos)) IS the keep-first election, then merge each
+    * doc's flagged window positions into maximal spans with a
+    * gaps-and-islands window — which runs only over FLAGGED positions, a
+    * tiny fraction of the corpus. Integer arithmetic throughout; the
+    * oracle replays it exactly. Returns (doc_id, span_start, span_end,
+    * n_tokens): token ranges [start, end) (1-based, end exclusive) whose
+    * content survives elsewhere — cut them, keep the rest.
+    */
+  def duplicateSpans(docs: DataFrame, w: Int = SpanWindow): DataFrame =
+    duplicateSpansFromToks(tokenize(docs), w)
+
+  def duplicateSpansFromToks(t: DataFrame, w: Int = SpanWindow): DataFrame = {
+    val wins = t.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${w - 1}), i -> struct(i as pos, " +
+          s"${hashSql(s"concat_ws(' ', slice(toks, i, $w))")} as h))")).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
+    val dupHashes = wins
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val flagged = wins.join(dupHashes, Seq("h"))
+      .filter(not(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("prev_end",
+        max(col("pos") + w).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + w).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("n_tokens"))
+  }
+
+  /** `duplicateSpans` APPLIED: cut every duplicated span from its document
+    * and reassemble the survivors — the dedup that Lee et al. actually run
+    * (drop the repeated run, keep the containing documents). Per-doc spans
+    * collapse to a tiny array (spans are maximal and disjoint, so a doc
+    * carries at most len/w of them) that joins back against the one shared
+    * tokenized projection (checkpoint-pinned — both the window hashing and
+    * the reassembly read it); the cut itself is a map-side indexed-lambda
+    * filter, no explode. Docs with nothing duplicated pass through intact;
+    * a wholesale-duplicate doc comes back EMPTY (drop empties downstream,
+    * or pre-filter with whole-doc `exact` which this subsumes). Returns
+    * (doc_id, clean_text, n_cut_tokens) over the normalized text.
+    */
+  def cutSpans(docs: DataFrame, w: Int = SpanWindow): DataFrame = {
+    val t = tokenize(docs).localCheckpoint(false)
+    val spans = duplicateSpansFromToks(t, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    t.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", expr(
+          "filter(toks, (tk, i) -> spans IS NULL OR " +
+            "NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 < sp.e))")).as("clean_text"),
+        coalesce(expr("aggregate(spans, 0L, (acc, sp) -> acc + (sp.e - sp.s))"), lit(0L))
+          .as("n_cut_tokens"))
+  }
+
   // --- near-dup clustering → survivor set ----------------------------------
 
   /** Connected components over an undirected pair list, via the alternating
@@ -565,7 +648,9 @@ object Dedup {
       Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))),
     "q_dedup_incr_bloom" -> ((s, d) => incrementalExactBloom(
       Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
-      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))))
+      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))),
+    "q_dedup_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
+    "q_dedup_spans_cut" -> ((s, d) => cutSpans(Tables.documents(s, d))))
 
   // DuckDB mirrors. Shared fragments:
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -576,6 +661,38 @@ object Dedup {
   private[ops] val duckPerms = permCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
     .mkString("SELECT * FROM (VALUES ", ", ", ") AS v(i, a, b)")
+
+  /** Shared duplicate-span CTE chain (mirrors `duplicateSpansFromToks`):
+    * `t` (doc_id, toks) through `sp` (doc_id, span_start, span_end) — the
+    * spans query reads `sp` directly, the cut query additionally
+    * reassembles the unflagged tokens.
+    */
+  private lazy val duckSpanCtes: String = {
+    val w = SpanWindow
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |wins AS (SELECT doc_id, p.pos AS pos, p.h AS h
+       |         FROM (SELECT doc_id,
+       |                 unnest([{'pos': i,
+       |                          'h': ('0x' || substr(md5(array_to_string(toks[i:i+${w - 1}], ' ')), 1, 15))::BIGINT}
+       |                         for i in range(1, len(toks) - ${w - 2})]) AS p
+       |               FROM t WHERE len(toks) >= $w)),
+       |dup AS (SELECT h, count(*) AS n_occ, min({'d': doc_id, 'p': pos}) AS f
+       |        FROM wins GROUP BY h),
+       |flagged AS (SELECT w.doc_id, w.pos
+       |            FROM wins w JOIN dup USING (h)
+       |            WHERE n_occ > 1 AND NOT (f.d = w.doc_id AND f.p = w.pos)),
+       |g AS (SELECT doc_id, pos,
+       |        max(pos + $w) OVER (PARTITION BY doc_id ORDER BY pos
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM flagged),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |      FROM g),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + $w AS BIGINT) AS span_end
+       |       FROM i GROUP BY doc_id, island)""".stripMargin
+  }
 
   /** CTE chain (DuckDB) computing near-dup clusters over `src(doc_id, text)`:
     * minhash → banded candidates → exact-Jaccard verify → recursive
@@ -697,6 +814,30 @@ object Dedup {
          |WHERE doc_id % 5 = 0
          |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
          |GROUP BY fp""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH $duckSpanCtes
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS n_tokens
+         |FROM sp""".stripMargin,
+
+    "q_dedup_spans_cut" ->
+      s"""WITH $duckSpanCtes,
+         |tok AS (SELECT doc_id, p.idx AS idx, p.tk AS tk
+         |        FROM (SELECT doc_id,
+         |                unnest([{'idx': i, 'tk': toks[i]} for i in range(1, len(toks) + 1)]) AS p
+         |              FROM t)),
+         |kept AS (SELECT tok.doc_id, idx, tk
+         |         FROM tok LEFT JOIN sp ON tok.doc_id = sp.doc_id
+         |           AND idx >= sp.span_start AND idx < sp.span_end
+         |         WHERE sp.doc_id IS NULL),
+         |kagg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS ct
+         |         FROM kept GROUP BY 1),
+         |cut AS (SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS n_cut
+         |        FROM sp GROUP BY 1)
+         |SELECT t.doc_id, coalesce(ct, '') AS clean_text,
+         |  coalesce(n_cut, 0)::BIGINT AS n_cut_tokens
+         |FROM t LEFT JOIN kagg USING (doc_id) LEFT JOIN cut USING (doc_id)""".stripMargin,
 
     "q_dedup_incr_near" ->
       s"""WITH perms AS ($duckPerms),

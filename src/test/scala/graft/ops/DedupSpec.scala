@@ -157,6 +157,72 @@ class DedupSpec extends SparkSpec {
     assert(kept.nonEmpty)
   }
 
+  test("duplicate spans: keep-first across docs, self-repeat within a doc, islands merge") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight nine ten eleven twelve" // 12 toks
+    val d = Seq(
+      (1L, s"alpha beta $run gamma delta"), // first occurrence: keeps its copy
+      (2L, s"zeta eta theta $run iota"), // later copy: run occupies tokens 4..15
+      (3L, "p q r s t u v w x y p q r s t u v w x y"), // 10-token self-repeat at 11
+      (4L, "totally unrelated words appear in this rather distinctive final document"),
+      (5L, s"alpha beta $run gamma delta")) // exact copy of doc 1: wall-to-wall span
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.duplicateSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 2: windows 4,5,6 flag (content matches doc 1's windows 3,4,5) and
+    // merge into ONE span covering exactly the duplicated run [4, 16);
+    // doc 3: the second copy of the run flags at window 11 -> [11, 21);
+    // doc 5 duplicates doc 1 wholesale -> every window flags -> [1, 17);
+    // docs 1 (first occurrence) and 4 (unique) emit nothing
+    assert(out == Set((2L, 4L, 16L, 12L), (3L, 11L, 21L, 10L), (5L, 1L, 17L, 16L)), s"got $out")
+    // and the cut: spans removed, survivors rejoined in order, counts match
+    val cut = Dedup.cutSpans(d).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(cut(1L) == (s"alpha beta $run gamma delta", 0L), "first occurrence intact")
+    assert(cut(2L) == ("zeta eta theta iota", 12L), "doc 2 loses exactly the run")
+    assert(cut(3L) == ("p q r s t u v w x y", 10L), "doc 3 keeps one copy of its repeat")
+    assert(cut(5L) == ("", 16L), "wholesale duplicate comes back empty")
+    assert(cut(4L)._2 == 0L, "unique doc uncut")
+  }
+
+  test("duplicate spans on the corpus: spans sane, non-overlapping, brute-force-confirmed") {
+    import org.apache.spark.sql.functions._
+    val spans = Dedup.duplicateSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "corpus plants exact dupes, so spans must exist")
+    spans.foreach { case (_, s, e, n) =>
+      assert(s >= 1 && s < e && n == e - s)
+    }
+    // per doc, islands never overlap (they merged if they touched)
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, _, e1, _), (_, s2, _, _)) =>
+        assert(s2 > e1, s"doc $id has touching spans that should have merged")
+      }
+    }
+    // flagged docs really do share their spans: every spanned doc holds a
+    // window content some OTHER (doc, pos) also holds — cross-check one doc
+    // against a brute-force window scan
+    val someDoc = spans.head._1
+    val w = Dedup.SpanWindow
+    val allWins = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .collect().flatMap { r =>
+        val toks = r.getSeq[String](1)
+        toks.sliding(w).zipWithIndex.collect {
+          case (win, i) if win.length == w => (win.mkString(" "), r.getLong(0), i + 1)
+        }
+      }
+    val byContent = allWins.groupBy(_._1)
+    val docSpans = spans.filter(_._1 == someDoc)
+    val toks = allWins.filter(_._2 == someDoc)
+    docSpans.foreach { case (_, s, _, _) =>
+      val win = toks.find(_._3 == s).map(_._1)
+      assert(win.exists(c => byContent(c).exists(o => (o._2, o._3) != (someDoc, s))),
+        s"doc $someDoc span at $s has no other occurrence in the corpus")
+    }
+  }
+
   test("bloom-gated incremental exact == plain incremental exact, even at forced-high fpp") {
     import org.apache.spark.sql.functions._
     val inc = docs.filter(col("doc_id") % 5 === 0)
