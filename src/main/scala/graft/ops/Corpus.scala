@@ -668,6 +668,41 @@ object Corpus {
       .select(col("doc_id"), col(shardCol))
   }
 
+  /** The REPETITION schedule a mixture implies under a total token budget —
+    * the planning step run before `mixSources`/`tokenBudget`: given each
+    * source's availability and its target weight, how many PASSES (epochs)
+    * over the source does the budget demand? epochs_e6 > 1e6 means the
+    * source must repeat — the data-constrained regime (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models": once the best
+    * sources are smaller than their mixture share, repetition is the norm
+    * and the epoch count is the knob that trades against it). One
+    * tokenize + per-source aggregate is the only corpus pass; the weights
+    * join is LOUD on absent sources, like every mixture operator. All
+    * integer arithmetic: target_tokens = budget·w_e6 div 1e6, epochs_e6 =
+    * target·1e6 div avail. Returns (source, n_docs, avail_tokens,
+    * target_tokens, epochs_e6).
+    */
+  def epochPlan(
+      docs: DataFrame,
+      weightsE6: DataFrame,
+      budgetTokens: Long,
+      shardCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val avail = docs
+      .select(col(shardCol), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("avail_tokens"))
+    weightsE6.join(avail, Seq(shardCol), "left")
+      .select(col(shardCol),
+        when(col("n_docs").isNotNull, col("n_docs")).otherwise(raise_error(
+          concat(lit("epochPlan: weight source absent from corpus: "),
+            col(shardCol).cast("string")))).as("n_docs"),
+        col("avail_tokens"),
+        expr(s"${budgetTokens}L * w_e6 div 1000000L").as("target_tokens"))
+      .withColumn("epochs_e6",
+        expr("target_tokens * 1000000L div avail_tokens"))
+  }
+
   /** Deterministic global shuffle into `nShards` training shards — the
     * layout step after packing: training wants documents in a fixed
     * pseudo-random order, reproducible across reruns and independent of
@@ -706,6 +741,7 @@ object Corpus {
   val KeepTargetE6 = 600000L // q_quality_thresholds: keep the best 60% per source
   val ThresholdBuckets = 1000 // q_quality_thresholds_bkt: 1e3 micro-unit bins
   val LmBucketWidth = 10000L // q_quality_thresholds_lm: 0.01-nat bins over avg_ll
+  val EpochBudgetTokens = 1000000L // q_mix_epochs: 1M-token demo budget
   val ShuffleShards = 8
   val ShuffleSeed = 42L
 
@@ -734,6 +770,8 @@ object Corpus {
       lmThresholdsBucketed(Tables.documents(s, d), KeepTargetE6)),
     "q_quality_lm_filter" -> ((s, d) => lmFilter(Tables.documents(s, d), KeepTargetE6)),
     "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
+    "q_mix_epochs" -> ((s, d) =>
+      epochPlan(Tables.documents(s, d), mixWeightsDf(s), EpochBudgetTokens)),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => vocabulary(Tables.documents(s, d))),
     "q_shuffle_shards" -> ((s, d) =>
@@ -971,6 +1009,18 @@ object Corpus {
          |        ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
          |      FROM documents) JOIN r USING (source)
          |WHERE h % 1000000 < rate_e6""".stripMargin
+    },
+
+    "q_mix_epochs" -> {
+      val values = MixTargetsE6.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS v(source, w_e6)),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(len($duckToks)) AS BIGINT) AS avail_tokens
+         |      FROM documents GROUP BY 1)
+         |SELECT source, n_docs, avail_tokens,
+         |  CAST(${EpochBudgetTokens}::BIGINT * w_e6 // 1000000 AS BIGINT) AS target_tokens,
+         |  CAST((${EpochBudgetTokens}::BIGINT * w_e6 // 1000000) * 1000000::BIGINT // avail_tokens AS BIGINT) AS epochs_e6
+         |FROM w JOIN a USING (source)""".stripMargin
     },
 
     "q_vocab" ->

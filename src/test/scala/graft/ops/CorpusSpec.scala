@@ -288,6 +288,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("epoch plan: budget-implied passes per source, loud on absent sources") {
+    val s = spark
+    import s.implicits._
+    val out = Corpus.epochPlan(docs, Corpus.MixTargetsE6.toDF("source", "w_e6"),
+      Corpus.EpochBudgetTokens).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == Corpus.MixTargetsE6.length, "one plan row per weighted source")
+    val budget = Corpus.EpochBudgetTokens
+    out.foreach { case (src, nDocs, avail, target, epochs) =>
+      val w = Corpus.MixTargetsE6.toMap.apply(src)
+      assert(nDocs > 0 && avail >= nDocs, s"$src: availability must cover 1+ token per doc")
+      assert(target == budget * w / 1000000L, s"$src target mismatch")
+      assert(epochs == target * 1000000L / avail, s"$src epochs mismatch")
+    }
+    // demo budget deliberately exceeds per-source availability: repetition
+    // (epochs > 1) must appear, the data-constrained regime the op plans for
+    assert(out.exists(_._5 > 1000000L), "expected at least one repeating source")
+    // absent weighted source raises in-plan
+    val bad = (Corpus.MixTargetsE6 :+ ("src_missing" -> 10000L)).toDF("source", "w_e6")
+    val e = intercept[Exception] {
+      Corpus.epochPlan(docs, bad, budget).collect()
+    }
+    assert(e.getMessage.contains("absent from corpus") ||
+      e.getCause != null && e.getCause.getMessage.contains("absent from corpus"))
+  }
+
   test("lm filter keeps exactly the calibrator's n_kept per source, at or above the cutoff") {
     val target = Corpus.KeepTargetE6
     val cal = Corpus.lmThresholdsBucketed(docs, target).collect()
