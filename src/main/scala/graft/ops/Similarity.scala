@@ -214,6 +214,78 @@ object Similarity {
     ivfTopKFromIndex(index, e, cents)
   }
 
+  // --- product quantization ------------------------------------------------
+
+  val PqSubspaces = 8 // 64 dims -> 8 subvectors of 8 dims
+  val PqSubDim = 8
+  val PqCodes = 16 // centroids per subspace codebook -> 4-bit codes
+
+  /** PQ-ADC approximate search — the MEMORY-COMPRESSED scale path: every
+    * corpus vector is encoded as `PqSubspaces` small codes (here 8×4 bits
+    * = 4 bytes standing in for 256 bytes of floats — at 100 TB the
+    * difference between an index that fits in executor memory and one
+    * that doesn't), and each query scores candidates by Asymmetric
+    * Distance Computation: approx <q, x> = Σ_j <q_j, c_{j, code_j(x)}>
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"). Codebooks are training-free (subvectors of the first
+    * `PqCodes` vectors — the `ivfTopK` convention; a k-means-trained
+    * codebook would slot in exactly like `trainedCentroids`); encoding
+    * picks each subspace's min-L2 centroid (ties → lowest code).
+    *
+    * Plan shape: encoding is a map-side broadcast compare per subspace
+    * (the codebook is PqSubspaces×PqCodes tiny rows); scoring joins the
+    * tiny query table against the (vec_id, codes) table and folds the
+    * per-subspace lookup — nothing ever shuffles a full vector except
+    * the broadcast query side. Scores are rounded at 6 dp per subspace
+    * term so cross-engine double order cannot flip the oracle hash.
+    * Returns (q_id, rank, n_id, adc_ip): rank by ADC estimate desc.
+    */
+  def pqTopK(embs: DataFrame): DataFrame = {
+    val e = normalized(embs).localCheckpoint(false)
+    // codebook: (j, code, cv) — subvector j of seed vector `code`
+    val cents = e.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"),
+        explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
+          s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as cv))")).as("s"))
+      .select(col("s.j").as("j"), col("code"), col("s.cv").as("cv"))
+    // encode: per (vector, subspace), the min-L2 centroid. ||x_j - c||² =
+    // ||x_j||² - 2<x_j,c> + ||c||²; rank by (-2<x_j,c> + ||c||²), the
+    // ||x_j||² term is constant per (vector, subspace).
+    val sub = e.select(col("vec_id"),
+      explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
+        s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as xv))")).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.xv").as("xv"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("code"))
+    val codes = sub.join(broadcast(cents), Seq("j"))
+      .select(col("vec_id"), col("j"), col("code"),
+        round(GraftFunctions.dot(col("cv"), col("cv"))
+          - lit(2.0) * GraftFunctions.dot(col("xv"), col("cv")), 6).as("d2"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("n_id"), col("j"), col("code"))
+    // ADC: per (query, subspace) lookup table <q_j, c_{j,code}>, folded per
+    // (query, candidate). The join keys are (j, code) against the tiny
+    // broadcast table of query-side lookups.
+    val lut = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"),
+        explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
+          s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as qv))")).as("s"))
+      .select(col("q_id"), col("s.j").as("j"), col("s.qv").as("qv"))
+      .join(cents, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        round(GraftFunctions.dot(col("qv"), col("cv")), 6).as("ip"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_ip").desc, col("n_id"))
+    codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("ip")), 6).as("adc_ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        col("adc_ip"))
+  }
+
   val TrainIters = 2 // Lloyd iterations for the trained quantizer
 
   /** One spherical-k-means step: assign every vector to its max-cosine
@@ -317,7 +389,8 @@ object Similarity {
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q_knn_ivf_incr" -> ((s, d) => ivfTopKIncr(Tables.embeddings(s, d))),
-    "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))))
+    "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))),
+    "q_knn_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))))
 
   // DuckDB mirrors — identical literal hyperplanes, identical fold order
   // (expanded left-associated sum == sequential loop).
@@ -448,6 +521,35 @@ object Similarity {
          |      FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    "q_knn_pq" -> {
+      val sd = PqSubDim
+      s"""WITH $duckNormCte,
+         |cb AS (SELECT t.j AS j, vec_id AS code, nv[t.j*$sd+1 : t.j*$sd+$sd] AS cv
+         |       FROM nv, generate_series(0, ${PqSubspaces - 1}) t(j)
+         |       WHERE vec_id < $PqCodes),
+         |sub AS (SELECT vec_id, t.j AS j, nv[t.j*$sd+1 : t.j*$sd+$sd] AS xv
+         |        FROM nv, generate_series(0, ${PqSubspaces - 1}) t(j)),
+         |enc AS (SELECT vec_id AS n_id, j, code FROM (
+         |  SELECT s.vec_id, s.j, c.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY round(list_sum([c.cv[i] * c.cv[i] for i in range(1, ${sd + 1})])
+         |                     - 2 * list_sum([s.xv[i] * c.cv[i] for i in range(1, ${sd + 1})]), 6),
+         |               c.code) AS rk
+         |  FROM sub s JOIN cb c USING (j)) WHERE rk = 1),
+         |lut AS (SELECT s.vec_id AS q_id, s.j, c.code,
+         |          round(list_sum([s.xv[i] * c.cv[i] for i in range(1, ${sd + 1})]), 6) AS ip
+         |        FROM sub s JOIN cb c USING (j) WHERE s.vec_id < $QueryCount),
+         |sc AS (SELECT q_id, n_id, round(sum(ip), 6) AS adc_ip
+         |       FROM enc JOIN lut USING (j, code)
+         |       WHERE n_id != q_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, n_id, adc_ip,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, n_id) AS rank
+         |      FROM sc)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc_ip
+         |FROM r WHERE rank <= $TopK""".stripMargin
+    },
 
     "q_knn_lsh" -> {
       val codes = (0 until LshTables)

@@ -48,6 +48,29 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean IVF recall@5 = $mean")
   }
 
+  test("PQ-ADC: codes compress, estimates track true cosine, recall beats chance") {
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Similarity.pqTopK(embs).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.QueryCount).toSet)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq == (1L to Similarity.TopK))
+      // ADC estimates an inner product of unit vectors: sane range (the
+      // quantization error can push it slightly past ±1, never far)
+      rs.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.5))
+    }
+    val pq = rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8x4-bit codes on random gaussian vectors: coarse, but the estimate
+    // correlates with the true IP — well above the ~1% chance floor
+    assert(mean >= 0.1, s"mean PQ recall@5 = $mean")
+  }
+
   test("incremental IVF: split-indexed union == full rebuild against the same centroids") {
     import org.apache.spark.sql.functions.col
     val e = Similarity.normalized(embs).localCheckpoint(false)
