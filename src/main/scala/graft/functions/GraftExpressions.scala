@@ -205,6 +205,63 @@ case class MinHashes(
   override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
 }
 
+/** Unicode text canonicalization in one native pass: NFC-compose, then
+  * collapse every maximal run of space-ish code points (categories Z, Cc,
+  * Cf — spaces, separators, controls, zero-widths/BOM) into a single ASCII
+  * space, trimming the ends. The canonical first step of a web-corpus
+  * pipeline: fingerprints, shingles, and quality scores all shift when the
+  * same text arrives NFD-decomposed or NBSP-padded, so normalization must
+  * run BEFORE dedup/scoring (`Text.fingerprints`, `Dedup.*`). Spark has no
+  * normalizer built-in; a codegen expression keeps the pass inside
+  * whole-stage codegen (one static call per row, no boxing).
+  *
+  * Category set (Z∪Cc∪Cf, not `Character.isWhitespace`) is chosen for
+  * cross-engine parity: it equals the RE2 class `[\p{Z}\p{Cc}\p{Cf}]` that
+  * the DuckDB oracle replays.
+  */
+case class NormalizeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NormalizeText.normalize(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.NormalizeText.normalize($a)")
+
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
+object NormalizeText {
+  /** Static entry shared by interpreted eval and generated code. */
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      val t = Character.getType(cp)
+      val spaceish = t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+        t == Character.PARAGRAPH_SEPARATOR || t == Character.CONTROL || t == Character.FORMAT
+      if (spaceish) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(cp)
+        started = true
+      }
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
 
@@ -221,10 +278,14 @@ object GraftFunctions {
   def minhashes(a: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
     GraftBridge.column(MinHashes(GraftBridge.expression(a), coeffs, prime))
 
+  def normalizeText(a: Column): Column =
+    GraftBridge.column(NormalizeText(GraftBridge.expression(a)))
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
-    "graft_simhash60" -> (es => SimHash60(es(0))))
+    "graft_simhash60" -> (es => SimHash60(es(0))),
+    "graft_normalize_text" -> (es => NormalizeText(es(0))))
 
   /** Register by name on an existing session so `expr("graft_dot(a, b)")` /
     * pure-SQL users resolve them.

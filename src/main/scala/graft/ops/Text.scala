@@ -26,6 +26,13 @@ object Text {
     */
   def normalized(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
+  /** Unicode canonicalization pass (NFC + space-ish collapse) over a text
+    * column — see `functions.NormalizeText` for the exact semantics and why
+    * it must run before fingerprinting/dedup. Map-only, codegen, no shuffle.
+    */
+  def normalizeDocs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("norm_text", graft.functions.GraftFunctions.normalizeText(col(textCol)))
+
   def tokens(c: Column): Column = split(normalized(c), " ")
 
   /** Stopword list shared verbatim with the oracle SQL. */
@@ -388,6 +395,16 @@ object Text {
     "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_text_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
+    // the documents text is clean ASCII, so the NFC/collapse oracle wraps it
+    // in a deterministic messy fixture (decomposed accents, TAB, ZWSP, NBSP)
+    // built identically on both engines — the q_domain_url convention
+    "q_text_normalize" -> ((s, d) =>
+      normalizeDocs(
+        Tables.documents(s, d).withColumn("text",
+          concat(lit("e\u0301\tA\u030A: "), col("text"),
+            lit("  \u200Bzero\u00A0width  "))))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("norm_text")).as("n_norm"))),
     // the documents text is digit- and @-free, so the oracle-checked scrub
     // runs a digit rule over events.props (the digit-rich column); the
     // PII rule set itself is spec-tested on literal fixtures (TextSpec)
@@ -478,6 +495,20 @@ object Text {
          |    AND n_ellipsis * 10 < n_lines * 3 AND n_alpha * 5 >= n_words * 4
          |    AND n_gstop >= 2 AS pass
          |FROM c""".stripMargin,
+
+    // the messy fixture is rebuilt with chr() codes: e+U+0301, TAB, A+U+030A,
+    // ZWSP (8203, Cf), NBSP (160, Zs) — nfc_normalize (utf8proc) must agree
+    // with java.text.Normalizer, and the RE2 class [\p{Z}\p{Cc}\p{Cf}]
+    // replays NormalizeText's category set exactly
+    "q_text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  'e' || chr(769) || chr(9) || 'A' || chr(778) || ': ' || text ||
+        |  '  ' || chr(8203) || 'zero' || chr(160) || 'width  ' AS messy
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(messy), '[\p{Z}\p{Cc}\p{Cf}]+', ' ', 'g')) AS norm_text
+        |  FROM m)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS n_norm FROM n""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)

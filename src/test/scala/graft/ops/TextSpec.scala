@@ -178,4 +178,25 @@ class TextSpec extends SparkSpec {
     assert(out(4)._2 == "reach <EMAIL> asap" && out(4)._3 == 1L,
       s"overlapping rules must not double-count one redacted span: ${out(4)}")
   }
+  test("normalizeText: NFC composes, space-ish runs collapse, combining marks survive") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "e\u0301clair"),                       // decomposed -> composed U+00E9
+      (2L, "a\tb\u00A0c\u200Bd"),                 // TAB/NBSP collapse; ZWSP removed between non-spaces -> space
+      (3L, "  \u200B leading and trailing \r\n"), // trimmed
+      (4L, "x\u200B\u030Ay"),                      // Cf removed; combining ring (Mn) kept
+      (5L, "already clean")
+    ).toDF("id", "text")
+    val out = Text.normalizeDocs(in).select("id", "norm_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "\u00E9clair")
+    assert(out(2L) == "a b c d")
+    assert(out(3L) == "leading and trailing")
+    assert(out(4L) == "x \u030Ay")
+    assert(out(5L) == "already clean")
+    // interpreted path (eval) agrees with codegen
+    val e = graft.functions.NormalizeText.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301\t x "))
+    assert(e.toString == "\u00E9 x")
+  }
 }
