@@ -40,12 +40,14 @@ object SparkEntry {
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
       ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
-      ops.RangeJoin.queries ++ ops.Corpus.queries
+      ops.RangeJoin.queries ++ ops.Corpus.queries ++ ops.Skew.queries ++
+      ops.Cdc.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++
       ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++
-      ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql
+      ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql ++ ops.Skew.oracleSql ++
+      ops.Cdc.oracleSql
 }

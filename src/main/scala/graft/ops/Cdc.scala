@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog compaction — turning an append-only stream of per-entity change
+  * records into (a) the latest-state snapshot and (b) the full SCD-2 version
+  * history. The standard shapes between a CDC feed (Debezium, binlog) and an
+  * analytics-ready table; the reference's closest capability is the pinned
+  * dimension snapshot + refresh (sp/dimension/RdsDimensionTable.java:41-108),
+  * which consumes exactly the snapshot this operator produces.
+  *
+  * Scale notes (100 TB changelog):
+  *   - `latestSnapshot` is a `max_by(payload, ord)` aggregate, not a
+  *     row_number window: PARTIAL aggregation folds each map task's rows to
+  *     one row per key BEFORE the shuffle, so a hot entity with 10^9 updates
+  *     ships one row per upstream partition, not 10^9 rows to one reducer —
+  *     the window spelling would shuffle and sort the full log. (Struct
+  *     buffers make it a SortAggregate — the map-side sort is by the
+  *     grouping key only; the partial-before-exchange property is the one
+  *     that matters and is locked by CdcSpec.) Deterministic because `ord`
+  *     is a struct containing a unique tie-break column.
+  *   - `scd2` genuinely needs per-key ordering (each version's end is the
+  *     next version's start), so it is the honest one-shuffle sort window;
+  *     version counts per entity are bounded by the entity's own change
+  *     rate, not corpus size, so skew is structural, not adversarial.
+  */
+object Cdc {
+
+  /** Latest row per key group, ordered by `ordering` (last element must make
+    * the struct unique). Tombstone rows (`isDelete` true on the WINNING row)
+    * delete the entity from the snapshot — matching changelog semantics where
+    * a delete beats every earlier update but can itself be superseded.
+    */
+  def latestSnapshot(
+      changes: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      isDelete: Option[Column] = None): DataFrame = {
+    val payload = struct(changes.columns.map(col).toSeq: _*)
+    val ord = struct(ordering.map(col): _*)
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("__latest"))
+      .select(col("__latest.*"))
+    isDelete.map(d => latest.filter(!d)).getOrElse(latest)
+  }
+
+  /** SCD-2 interval table: every change becomes a version effective
+    * [`tsCol`, next change's `tsCol`), the open-ended latest version flagged
+    * `is_current`. `tiebreak` orders simultaneous changes (and must be
+    * unique within (keys, tsCol)).
+    */
+  def scd2(
+      changes: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+    changes
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  // value is an arbitrary double: floor of the bit-identical scaled double
+  // (the quality_e6 convention), never round(), which half-rounds
+  // differently across engines.
+  private val valC = "CAST(floor(value * 100) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // events as a user-state changelog: 'error' rows are tombstones
+    "q_cdc_latest" -> ((s, d) =>
+      latestSnapshot(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("__time__")),
+        keys = Seq("user_id"),
+        ordering = Seq("__time__", "event_id"),
+        isDelete = Some(col("event_type") === "error"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr(valC).as("value_c"), col("__time__"))),
+
+    "q_cdc_scd2" -> ((s, d) =>
+      scd2(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("__time__")),
+        keys = Seq("user_id"),
+        tsCol = "__time__",
+        tiebreak = "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr(valC).as("value_c"),
+          col("effective_from"), col("effective_to"), col("is_current"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cdc_latest" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+         |             epoch_ms(ts) AS __time__ FROM events),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY __time__ DESC, event_id DESC) AS rn FROM e)
+         |SELECT user_id, event_id, event_type, $valC AS value_c, __time__
+         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_cdc_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+         |             epoch_ms(ts) AS __time__ FROM events)
+         |SELECT user_id, event_id, event_type, $valC AS value_c,
+         |  __time__ AS effective_from,
+         |  lead(__time__) OVER (PARTITION BY user_id
+         |    ORDER BY __time__, event_id) AS effective_to,
+         |  lead(__time__) OVER (PARTITION BY user_id
+         |    ORDER BY __time__, event_id) IS NULL AS is_current
+         |FROM e""".stripMargin)
+}

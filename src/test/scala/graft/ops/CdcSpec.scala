@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+
+  private def log = {
+    import spark.implicits._
+    Seq(
+      // (user, event, type, value, t)
+      (1L, 10L, "upsert", 1.0, 100L),
+      (1L, 11L, "upsert", 2.0, 200L),
+      (1L, 12L, "upsert", 3.0, 300L), // user 1 latest: value 3.0
+      (2L, 20L, "upsert", 5.0, 100L),
+      (2L, 21L, "delete", 0.0, 200L), // user 2 deleted last -> absent
+      (3L, 30L, "delete", 0.0, 100L),
+      (3L, 31L, "upsert", 7.0, 200L), // delete superseded -> present
+      (4L, 40L, "upsert", 8.0, 100L),
+      (4L, 41L, "upsert", 9.0, 100L) // same ts: event_id 41 wins
+    ).toDF("user_id", "event_id", "event_type", "value", "__time__")
+  }
+
+  test("latestSnapshot: last writer wins, tombstones delete, ties break on event_id") {
+    val snap = Cdc.latestSnapshot(log, Seq("user_id"), Seq("__time__", "event_id"),
+      isDelete = Some(col("event_type") === "delete"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(snap.keySet == Set(1L, 3L, 4L))
+    assert(snap(1L) == ((12L, 3.0)))
+    assert(snap(3L) == ((31L, 7.0)))
+    assert(snap(4L) == ((41L, 9.0)))
+  }
+
+  test("latestSnapshot partially aggregates before the shuffle, and plans no window") {
+    val plan = Cdc.latestSnapshot(log, Seq("user_id"), Seq("__time__", "event_id"))
+      .queryExecution.executedPlan.toString
+    // one row per key leaves each map task BEFORE the exchange
+    val partialAt = plan.indexOf("partial_max_by")
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      s"partial_max_by must sit below the exchange:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("scd2: versions chain, ends meet starts, exactly one current per key") {
+    val v = Cdc.scd2(log, Seq("user_id"), "__time__", "event_id")
+      .select("user_id", "event_id", "effective_from", "effective_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(v.count(x => x._5) == 4) // one open version per user
+    val u1 = v.filter(_._1 == 1L).sortBy(_._3)
+    assert(u1.map(_._2).toSeq == Seq(10L, 11L, 12L))
+    assert(u1(0)._4 == u1(1)._3 && u1(1)._4 == u1(2)._3) // intervals tile
+    assert(u1(2)._4 == -1L && u1(2)._5)
+    // same-ts versions order by the tie-break: 40 closed by 41's start
+    val u4 = v.filter(_._1 == 4L).sortBy(_._2)
+    assert(u4(0)._4 == 100L && !u4(0)._5 && u4(1)._4 == -1L && u4(1)._5)
+  }
+}
