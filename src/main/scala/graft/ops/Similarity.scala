@@ -240,44 +240,94 @@ object Similarity {
     * term so cross-engine double order cannot flip the oracle hash.
     * Returns (q_id, rank, n_id, adc_ip): rank by ADC estimate desc.
     */
-  def pqTopK(embs: DataFrame): DataFrame = {
-    val e = normalized(embs).localCheckpoint(false)
-    // codebook: (j, code, cv) — subvector j of seed vector `code`
-    val cents = e.filter(col("vec_id") < PqCodes)
+  /** PQ codebook (j, code, cv): subvector j of seed vector `code` —
+    * training-free seeds, the `ivfTopK` convention.
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("code"),
         explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
           s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as cv))")).as("s"))
       .select(col("s.j").as("j"), col("code"), col("s.cv").as("cv"))
-    // encode: per (vector, subspace), the min-L2 centroid. ||x_j - c||² =
-    // ||x_j||² - 2<x_j,c> + ||c||²; rank by (-2<x_j,c> + ||c||²), the
-    // ||x_j||² term is constant per (vector, subspace).
+
+  /** (n_id, j, code) encodings: per (vector, subspace), the min-L2 centroid.
+    * ||x_j - c||² = ||x_j||² - 2<x_j,c> + ||c||²; rank by
+    * (-2<x_j,c> + ||c||²), the ||x_j||² term is constant per (vector,
+    * subspace). Map-side broadcast compare; ties → lowest code.
+    */
+  private def pqEncode(e: DataFrame, cents: DataFrame): DataFrame = {
     val sub = e.select(col("vec_id"),
       explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
         s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as xv))")).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.xv").as("xv"))
     val wEnc = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d2"), col("code"))
-    val codes = sub.join(broadcast(cents), Seq("j"))
+    sub.join(broadcast(cents), Seq("j"))
       .select(col("vec_id"), col("j"), col("code"),
         round(GraftFunctions.dot(col("cv"), col("cv"))
           - lit(2.0) * GraftFunctions.dot(col("xv"), col("cv")), 6).as("d2"))
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id").as("n_id"), col("j"), col("code"))
-    // ADC: per (query, subspace) lookup table <q_j, c_{j,code}>, folded per
-    // (query, candidate). The join keys are (j, code) against the tiny
-    // broadcast table of query-side lookups.
-    val lut = e.filter(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("q_id"),
-        explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
-          s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as qv))")).as("s"))
+  }
+
+  /** (q_id, j, code, ip) query-side ADC lookup tables: <q_j, c_{j,code}>,
+    * 6-dp-rounded per subspace term so cross-engine double order cannot
+    * flip the oracle hash.
+    */
+  private def pqLut(qe: DataFrame, cents: DataFrame): DataFrame =
+    qe.select(col("vec_id").as("q_id"),
+      explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
+        s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as qv))")).as("s"))
       .select(col("q_id"), col("s.j").as("j"), col("s.qv").as("qv"))
       .join(cents, Seq("j"))
       .select(col("q_id"), col("j"), col("code"),
         round(GraftFunctions.dot(col("qv"), col("cv")), 6).as("ip"))
+
+  def pqTopK(embs: DataFrame): DataFrame = {
+    val e = normalized(embs).localCheckpoint(false)
+    val cents = pqCodebook(e)
+    val codes = pqEncode(e, cents)
+    val lut = pqLut(e.filter(col("vec_id") < QueryCount), cents)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_ip").desc, col("n_id"))
     codes.join(broadcast(lut), Seq("j", "code"))
       .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("ip")), 6).as("adc_ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        col("adc_ip"))
+  }
+
+  /** IVF-PQ — the composition production vector stores actually run
+    * (Jégou et al. 2011 §IV, IVFADC; here without the residual refinement:
+    * codes are global rather than per-cell residual — a straightforward
+    * extension, same plan shape): the IVF coarse quantizer prunes the
+    * candidate set to the `IvfProbes` probed cells (at 100 TB: partition
+    * pruning — a probe touches nprobe/cells of the corpus), and PQ-ADC
+    * scores the survivors from 4-byte codes instead of 256-byte vectors —
+    * so the scoring join carries (cell, id, code) rows only: the index
+    * that fits in memory AND the scan that skips 13/16ths of it. Both
+    * quantizers seed from the same first-16 vectors (deterministic,
+    * training-free).
+    */
+  def ivfPqTopK(embs: DataFrame): DataFrame = {
+    val e = normalized(embs).localCheckpoint(false)
+    val ivfCents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val corpusCells = ivfAssign(e, ivfCents).select(col("cell"), col("vec_id").as("n_id"))
+    val queryProbes = ivfAssign(e.filter(col("vec_id") < QueryCount), ivfCents, IvfProbes)
+      .select(col("cell"), col("vec_id").as("q_id"))
+    val cents = pqCodebook(e)
+    val codes = pqEncode(e, cents)
+    val lut = pqLut(e.filter(col("vec_id") < QueryCount), cents)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_ip").desc, col("n_id"))
+    queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+      .join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(round(sum(col("ip")), 6).as("adc_ip"))
       .withColumn("rank", row_number().over(w))
@@ -390,7 +440,8 @@ object Similarity {
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q_knn_ivf_incr" -> ((s, d) => ivfTopKIncr(Tables.embeddings(s, d))),
     "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))),
-    "q_knn_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))))
+    "q_knn_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
+    "q_knn_ivfpq" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))))
 
   // DuckDB mirrors — identical literal hyperplanes, identical fold order
   // (expanded left-associated sum == sequential loop).
@@ -543,6 +594,48 @@ object Similarity {
          |sc AS (SELECT q_id, n_id, round(sum(ip), 6) AS adc_ip
          |       FROM enc JOIN lut USING (j, code)
          |       WHERE n_id != q_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, n_id, adc_ip,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, n_id) AS rank
+         |      FROM sc)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc_ip
+         |FROM r WHERE rank <= $TopK""".stripMargin
+    },
+
+    // IVF cell CTEs (as in q_knn_ivf, minus the carried vectors) composed
+    // with the PQ code/lut CTEs (as in q_knn_pq): candidates from probed
+    // cells, scored by ADC fold.
+    "q_knn_ivfpq" -> {
+      val sd = PqSubDim
+      s"""WITH $duckNormCte,
+         |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c),
+         |corpus AS (SELECT cell, vec_id AS n_id FROM assigned WHERE crk = 1),
+         |probes AS (SELECT cell, vec_id AS q_id FROM assigned
+         |           WHERE vec_id < $QueryCount AND crk <= $IvfProbes),
+         |cb AS (SELECT t.j AS j, vec_id AS code, nv[t.j*$sd+1 : t.j*$sd+$sd] AS cv
+         |       FROM nv, generate_series(0, ${PqSubspaces - 1}) t(j)
+         |       WHERE vec_id < $PqCodes),
+         |sub AS (SELECT vec_id, t.j AS j, nv[t.j*$sd+1 : t.j*$sd+$sd] AS xv
+         |        FROM nv, generate_series(0, ${PqSubspaces - 1}) t(j)),
+         |enc AS (SELECT vec_id AS n_id, j, code FROM (
+         |  SELECT s.vec_id, s.j, c.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY round(list_sum([c.cv[i] * c.cv[i] for i in range(1, ${sd + 1})])
+         |                     - 2 * list_sum([s.xv[i] * c.cv[i] for i in range(1, ${sd + 1})]), 6),
+         |               c.code) AS rk
+         |  FROM sub s JOIN cb c USING (j)) WHERE rk = 1),
+         |lut AS (SELECT s.vec_id AS q_id, s.j, c.code,
+         |          round(list_sum([s.xv[i] * c.cv[i] for i in range(1, ${sd + 1})]), 6) AS ip
+         |        FROM sub s JOIN cb c USING (j) WHERE s.vec_id < $QueryCount),
+         |cand AS (SELECT q_id, n_id FROM probes q JOIN corpus c ON q.cell = c.cell
+         |         WHERE c.n_id != q.q_id),
+         |sc AS (SELECT q_id, n_id, round(sum(ip), 6) AS adc_ip
+         |       FROM cand JOIN enc USING (n_id) JOIN lut USING (q_id, j, code)
          |       GROUP BY 1, 2),
          |r AS (SELECT q_id, n_id, adc_ip,
          |        row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, n_id) AS rank

@@ -71,6 +71,36 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.1, s"mean PQ recall@5 = $mean")
   }
 
+  test("IVF-PQ: candidates confined to probed cells, ADC ranking, recall beats chance") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.ivfPqTopK(embs).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq == (1L to rs.length))
+    }
+    // every returned neighbor lives in a cell its query probed
+    val e = Similarity.normalized(embs).localCheckpoint(false)
+    val cents = e.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val cellOf = Similarity.ivfAssign(e, cents).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val probed = Similarity.ivfAssign(e.filter(col("vec_id") < Similarity.QueryCount),
+      cents, Similarity.IvfProbes).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    rows.foreach(r =>
+      assert(probed(r.getLong(0)).contains(cellOf(r.getLong(2))),
+        s"q=${r.getLong(0)} n=${r.getLong(2)} outside probed cells"))
+    // compressed + pruned: coarse, but still far above the ~1% chance floor
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    assert(recalls.sum / recalls.size >= 0.05, s"mean IVF-PQ recall@5 = ${recalls.sum / recalls.size}")
+  }
+
   test("incremental IVF: split-indexed union == full rebuild against the same centroids") {
     import org.apache.spark.sql.functions.col
     val e = Similarity.normalized(embs).localCheckpoint(false)
