@@ -668,6 +668,47 @@ object Corpus {
       .select(col("doc_id"), col(shardCol))
   }
 
+  /** Temperature (α) mixture sampling — the multilingual/multi-source
+    * reweighting of mBERT/XLM-R: sample source s with probability
+    * ∝ n_s^α, flattening the natural distribution so small sources are not
+    * drowned (α=1 keeps it, α→0 goes uniform). Here α = 0.5 FIXED, because
+    * √ is the one fractional power both engines compute bit-identically
+    * (IEEE-correctly-rounded sqrt; a general pow() differs in ULPs and
+    * could flip the floor) — the α knob at other values belongs to the
+    * exact `mixSources` with caller-computed weights. Weights are
+    * engine-exact integers from there on: w_e6 = floor(√n_s · 1e6),
+    * quota_s = totalDocs·w_e6 div Σw_e6, acceptance rate_e6 = quota·1e6
+    * div n_s, capped at 1e6 — an α<1 UPweights small sources, and a rate
+    * above 1e6 means the quota wants repetition, which is `epochPlan`'s
+    * job, not a sampler's. Selection is the same shuffle-free hash-gated
+    * scan as `mixSourcesApprox`; loud on rate-0 underflow, same contract.
+    */
+  def mixTemperature(
+      docs: DataFrame,
+      totalDocs: Long,
+      shardCol: String = "source"): DataFrame = {
+    require(totalDocs > 0, s"totalDocs must be positive, got $totalDocs")
+    val counts = docs.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
+    val w = counts.withColumn("w_e6",
+      expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000.0) as bigint)"))
+    val tot = w.agg(sum(col("w_e6")).as("tw"))
+    val rates = w.crossJoin(broadcast(tot))
+      .withColumn("rate_e6",
+        least(lit(1000000L), expr(s"($totalDocs * w_e6 div tw) * 1000000L div n_docs")))
+      .select(col(shardCol),
+        when(col("rate_e6") > 0, col("rate_e6")).otherwise(raise_error(
+          concat(lit("mixTemperature: acceptance rate floored to 0 for source "),
+            col(shardCol).cast("string"),
+            lit(" (quota*1e6 < n_docs); use mixSources (exact) for budgets this small"))))
+          .as("rate_e6"))
+    docs
+      .select(col("doc_id"), col(shardCol),
+        expr(hashSql("concat('mixt:', cast(doc_id as string))")).as("h"))
+      .join(broadcast(rates), Seq(shardCol))
+      .filter(pmod(col("h"), lit(1000000L)) < col("rate_e6"))
+      .select(col("doc_id"), col(shardCol))
+  }
+
   /** The REPETITION schedule a mixture implies under a total token budget —
     * the planning step run before `mixSources`/`tokenBudget`: given each
     * source's availability and its target weight, how many PASSES (epochs)
@@ -770,6 +811,7 @@ object Corpus {
       lmThresholdsBucketed(Tables.documents(s, d), KeepTargetE6)),
     "q_quality_lm_filter" -> ((s, d) => lmFilter(Tables.documents(s, d), KeepTargetE6)),
     "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
+    "q_mix_temperature" -> ((s, d) => mixTemperature(Tables.documents(s, d), 200L)),
     "q_mix_epochs" -> ((s, d) =>
       epochPlan(Tables.documents(s, d), mixWeightsDf(s), EpochBudgetTokens)),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
@@ -1010,6 +1052,21 @@ object Corpus {
          |      FROM documents) JOIN r USING (source)
          |WHERE h % 1000000 < rate_e6""".stripMargin
     },
+
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+        |      FROM c),
+        |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tw FROM w),
+        |r AS (SELECT source,
+        |        least(1000000, ((200 * w_e6) // tw) * 1000000 // n_docs) AS rate_e6
+        |      FROM w CROSS JOIN t)
+        |SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM documents) JOIN r USING (source)
+        |WHERE h % 1000000 < rate_e6""".stripMargin,
 
     "q_mix_epochs" -> {
       val values = MixTargetsE6.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")

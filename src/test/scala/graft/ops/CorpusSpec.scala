@@ -364,6 +364,27 @@ class CorpusSpec extends SparkSpec {
       s"approx mixture must not rank per source:\n${plan.take(800)}")
   }
 
+  test("temperature mixture flattens a skewed corpus toward sqrt proportions") {
+    val s = spark
+    import s.implicits._
+    // 900 vs 100 docs: natural ratio 9:1, sqrt-temperature targets 3:1
+    val skewed = ((0 until 900).map(i => (i.toLong, s"doc $i text", "A")) ++
+      (900 until 1000).map(i => (i.toLong, s"doc $i text", "B")))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.mixTemperature(skewed, 400L).collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // quotas: wA=30e6, wB=10e6, tw=40e6 -> qA=300, qB=100 (rates 1/3, 1)
+    assert(kept("B") == 100L, s"small source must be fully included: $kept")
+    val tol = math.ceil(4 * math.sqrt(300.0)).toLong
+    assert(math.abs(kept("A") - 300L) <= tol, s"A kept ${kept("A")} vs quota 300")
+    // deterministic and partitioning-invariant, like every hash-gated sampler
+    val again = Corpus.mixTemperature(skewed.repartition(7), 400L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val first = Corpus.mixTemperature(skewed, 400L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first == again)
+  }
+
   test("shuffle shards: balanced, dense positions, seed-reproducible") {
     val n = Corpus.ShuffleShards
     val out = Corpus.shuffleShards(docs, n, Corpus.ShuffleSeed).collect()
