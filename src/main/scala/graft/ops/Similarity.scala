@@ -336,6 +336,72 @@ object Similarity {
         col("adc_ip"))
   }
 
+  /** Residual IVF-PQ — full IVFADC (Jégou et al. 2011 §IV): PQ encodes the
+    * RESIDUAL r = x − c(cell) instead of x, so the codebook spends its 16
+    * codes per subspace on the (much smaller) within-cell spread:
+    * approx <q, x> = <q, c_cell> + Σ_j <q_j, cb_{j, code_j(r)}> — the cell
+    * term is exact (a tiny (query, cell) join), only the residual is
+    * quantized. Residual codebooks seed from vectors
+    * `IvfCells..IvfCells+PqCodes−1` — the first `IvfCells` ARE the coarse
+    * centroids, so their own residuals are zero vectors and would make a
+    * useless codebook. Same index size as `ivfPqTopK` (cell id + 4 bytes
+    * of codes per vector); the extra cost is one subtraction during
+    * encode — map-side, scan-local.
+    *
+    * When it wins: residuals shrink only when the coarse cells are TIGHT —
+    * ||x − c||² = 2 − 2·cos(x,c) for unit vectors, smaller than ||x||²
+    * only at cos(x,c) > 0.5. Real clustered embedding corpora live there
+    * and IVFADC beats plain IVF-PQ; this testbed's weakly-clustered random
+    * gaussians (cell affinities ~0.3–0.4) do not, so the plain form scores
+    * slightly better here — SimilaritySpec asserts structural invariants
+    * and records the data-dependence rather than a false superiority
+    * claim.
+    */
+  def ivfPqResidualTopK(embs: DataFrame): DataFrame = {
+    val e = normalized(embs).localCheckpoint(false)
+    val ivfCents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    // residual vectors against the assigned cell, rounded per component so
+    // both engines quantize identical doubles
+    val resid = ivfAssign(e, ivfCents)
+      .join(broadcast(ivfCents), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        expr("transform(sequence(1, size(nv)), i -> round(nv[i-1] - cv[i-1], 6))").as("nv"))
+      .localCheckpoint(false)
+    // seed the residual codebook from vectors IvfCells..IvfCells+PqCodes−1:
+    // the first IvfCells vectors ARE the coarse centroids, so their own
+    // residuals are (rounded) zero vectors — a codebook of zeros encodes
+    // nothing. The id shift re-keys the seeds to codes 0..PqCodes−1.
+    val cb = pqCodebook(resid
+      .filter(col("vec_id") >= IvfCells && col("vec_id") < IvfCells + PqCodes)
+      .select((col("vec_id") - IvfCells).as("vec_id"), col("nv")))
+    val codes = pqEncode(resid.select(col("vec_id"), col("nv")), cb)
+    val corpusCells = resid.select(col("cell"), col("vec_id").as("n_id"))
+    val queryProbes = ivfAssign(e.filter(col("vec_id") < QueryCount), ivfCents, IvfProbes)
+      .select(col("cell"), col("vec_id").as("q_id"))
+    // exact cell term <q, c_cell> per probed (query, cell)
+    val cellTerm = queryProbes
+      .join(broadcast(ivfCents), Seq("cell"))
+      .join(e.select(col("vec_id").as("q_id"), col("nv").as("qv")), Seq("q_id"))
+      .select(col("q_id"), col("cell"),
+        round(GraftFunctions.dot(col("qv"), col("cv")), 6).as("t0"))
+    // residual ADC lut uses the FULL query subvectors (the residual estimate
+    // lives in the original space)
+    val lut = pqLut(e.filter(col("vec_id") < QueryCount), cb)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_ip").desc, col("n_id"))
+    cellTerm.join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("t0"), col("n_id"))
+      .join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("n_id"), col("t0"))
+      .agg(round(col("t0") + round(sum(col("ip")), 6), 6).as("adc_ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        col("adc_ip"))
+  }
+
   val TrainIters = 2 // Lloyd iterations for the trained quantizer
 
   /** One spherical-k-means step: assign every vector to its max-cosine
@@ -441,7 +507,8 @@ object Similarity {
     "q_knn_ivf_incr" -> ((s, d) => ivfTopKIncr(Tables.embeddings(s, d))),
     "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))),
     "q_knn_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
-    "q_knn_ivfpq" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))))
+    "q_knn_ivfpq" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
+    "q_knn_ivfpq_resid" -> ((s, d) => ivfPqResidualTopK(Tables.embeddings(s, d))))
 
   // DuckDB mirrors — identical literal hyperplanes, identical fold order
   // (expanded left-associated sum == sequential loop).
@@ -637,6 +704,56 @@ object Similarity {
          |sc AS (SELECT q_id, n_id, round(sum(ip), 6) AS adc_ip
          |       FROM cand JOIN enc USING (n_id) JOIN lut USING (q_id, j, code)
          |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, n_id, adc_ip,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, n_id) AS rank
+         |      FROM sc)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc_ip
+         |FROM r WHERE rank <= $TopK""".stripMargin
+    },
+
+    // residual IVFADC: resid CTE quantizes x − c(cell) (6-dp per component,
+    // like the Spark side), cb/enc run on residuals, lut on the ORIGINAL
+    // query subvectors, and the exact cell term adds back <q, c_cell>.
+    "q_knn_ivfpq_resid" -> {
+      val sd = PqSubDim
+      s"""WITH $duckNormCte,
+         |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT e.vec_id, e.nv, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c),
+         |resid AS (SELECT a.cell, a.vec_id,
+         |            [round(a.nv[i] - c.cv[i], 6) for i in range(1, 65)] AS rv
+         |          FROM assigned a JOIN cents c USING (cell) WHERE a.crk = 1),
+         |cb AS (SELECT t.j AS j, vec_id - $IvfCells AS code, rv[t.j*$sd+1 : t.j*$sd+$sd] AS cv
+         |       FROM resid, generate_series(0, ${PqSubspaces - 1}) t(j)
+         |       WHERE vec_id >= $IvfCells AND vec_id < ${IvfCells + PqCodes}),
+         |sub AS (SELECT vec_id, t.j AS j, rv[t.j*$sd+1 : t.j*$sd+$sd] AS xv
+         |        FROM resid, generate_series(0, ${PqSubspaces - 1}) t(j)),
+         |enc AS (SELECT vec_id AS n_id, j, code FROM (
+         |  SELECT s.vec_id, s.j, c.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY round(list_sum([c.cv[i] * c.cv[i] for i in range(1, ${sd + 1})])
+         |                     - 2 * list_sum([s.xv[i] * c.cv[i] for i in range(1, ${sd + 1})]), 6),
+         |               c.code) AS rk
+         |  FROM sub s JOIN cb c USING (j)) WHERE rk = 1),
+         |qsub AS (SELECT vec_id, t.j AS j, nv[t.j*$sd+1 : t.j*$sd+$sd] AS xv
+         |         FROM nv, generate_series(0, ${PqSubspaces - 1}) t(j)
+         |         WHERE vec_id < $QueryCount),
+         |lut AS (SELECT s.vec_id AS q_id, s.j, c.code,
+         |          round(list_sum([s.xv[i] * c.cv[i] for i in range(1, ${sd + 1})]), 6) AS ip
+         |        FROM qsub s JOIN cb c USING (j)),
+         |probes AS (SELECT a.cell, a.vec_id AS q_id,
+         |             round(list_sum([a.nv[i] * c.cv[i] for i in range(1, 65)]), 6) AS t0
+         |           FROM assigned a JOIN cents c USING (cell)
+         |           WHERE a.vec_id < $QueryCount AND a.crk <= $IvfProbes),
+         |cand AS (SELECT q_id, t0, n_id
+         |         FROM probes q JOIN (SELECT cell, vec_id AS n_id FROM resid) c USING (cell)
+         |         WHERE c.n_id != q.q_id),
+         |sc AS (SELECT q_id, n_id, round(t0 + round(sum(ip), 6), 6) AS adc_ip
+         |       FROM cand JOIN enc USING (n_id) JOIN lut USING (q_id, j, code)
+         |       GROUP BY q_id, n_id, t0),
          |r AS (SELECT q_id, n_id, adc_ip,
          |        row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC, n_id) AS rank
          |      FROM sc)
