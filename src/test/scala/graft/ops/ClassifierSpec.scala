@@ -30,6 +30,10 @@ class ClassifierSpec extends SparkSpec {
       .select(col("y"),
         (lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") + lit(w3) * col("x3")).as("z"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // and the composed filter's kept flag agrees with the sign of z
+    val kept = Classifier.classifierFilter(corpus, Seq("good")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept.size == 20)
     val minGood = scored.filter(_._1 == 1.0).map(_._2).min
     val maxJunk = scored.filter(_._1 == 0.0).map(_._2).max
     assert(minGood > maxJunk, s"minGood=$minGood maxJunk=$maxJunk")
@@ -39,7 +43,7 @@ class ClassifierSpec extends SparkSpec {
     // from w=0, p=0.5 for every row: g_j = avg((0.5 - y) * x_j)
     // = 0.5 * (mean_neg(x_j) - mean_pos(x_j)) / 1 (balanced classes)
     val f = Classifier.featurize(corpus, Seq("good")).collect()
-      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     def g(x: ((Double, Double, Double, Double)) => Double): Double =
       f.map(t => (0.5 - t._1) * x(t)).sum / f.length
     val w = Classifier.train(corpus, positives = Seq("good"), rounds = 1)
