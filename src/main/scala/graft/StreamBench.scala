@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Streaming throughput micro-benchmark. Prints one JSON line with rows/sec.
   * Not part of the driver's Bench contract — run manually:
   *
-  *   tools/run_verify.sh graft.StreamBench [memory|file|ingest|admit] [nRows] [batchRows]
+  *   tools/run_verify.sh graft.StreamBench [memory|file|ingest|admit|cdc] [nRows] [batchRows]
   *
   * Two ingest shapes for the same query (hopping 1h/30m window sum — the
   * reference's flagship load, README.md:59-131):
@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * chain to the full NEAR-dedup admission (CorpusIngest.admittedDocs:
   * banded minhash stateful op + per-doc verdict agg on top of gate+exact
   * dedup) — the per-doc signature compute and third state store price the
-  * near-dup capability against the `ingest` row.
+  * near-dup capability against the `ingest` row. `cdc` drives the
+  * changelog-compaction stream (CdcStream.latestSnapshotStream, update-mode
+  * max_by state over 50k entities) with a foreachBatch count sink, measuring
+  * the engine-side snapshot throughput; the JDBC upsert half is spec'd
+  * end-to-end in CdcStreamSpec and bounded by the target DB, not the engine.
   *
   * Env: SPARK_GRAFT_CPUS (default 8) cores + shuffle partitions;
   * SPARK_GRAFT_ROCKSDB=1 swaps HDFS-backed state for RocksDB, measuring the
@@ -67,11 +71,46 @@ object StreamBench {
       case "file"   => runFile(spark, total, batchSize, cpus.toInt)
       case "ingest" => runIngest(spark, total, batchSize, cpus.toInt)
       case "admit"  => runAdmit(spark, total, batchSize, cpus.toInt)
+      case "cdc"    => runCdc(spark, total, batchSize)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
     println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","mode":"$mode","stateStore":"${if (rocksdb) "rocksdb" else "hdfs"}","rows":$rows,"secs":$secs%.3f}""")
     spark.stop()
+  }
+
+  case class C(key: Long, event_id: Long, value: Double, ts_ms: Long)
+
+  /** Changelog-compaction throughput: update-mode max_by snapshot over 50k
+    * entities; per micro-batch the sink counts the updated-key rows (a cheap
+    * full execution of the stateful plan, no external system).
+    */
+  private def runCdc(spark: SparkSession, total: Int, batchSize: Int): (Long, Double) = {
+    import spark.implicits._
+    val src = Sources.memoryStream[C](spark)
+    val snap = graft.streaming.CdcStream.latestSnapshotStream(
+      src.toDS().toDF(), Seq("key"), Seq("ts_ms", "event_id"))
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = snap.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sb-cdc").toString)
+      .start()
+
+    def batch(from: Int, n: Int): Seq[C] =
+      (from until from + n).map(i =>
+        C((i % 50000).toLong, i.toLong, (i % 997) * 0.5, Epoch + i.toLong))
+
+    src.addData(batch(0, batchSize)); q.processAllAvailable() // warm-up
+    val chunks = Iterator.iterate(batchSize)(_ + batchSize).takeWhile(_ < total)
+      .map(from => batch(from, math.min(batchSize, total - from))).toVector
+    val t0 = System.nanoTime()
+    chunks.foreach { c => src.addData(c); q.processAllAvailable() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (chunks.map(_.size.toLong).sum, secs)
   }
 
   private def windowedSum(events: DataFrame): DataFrame =
