@@ -668,6 +668,49 @@ object Corpus {
       .select(col("doc_id"), col(shardCol))
   }
 
+  val ZBits = 10 // per-dimension bits; z fits in 20 bits
+
+  /** Morton/Z-value of two bounded non-negative ints: bit i of x lands at
+    * z-bit 2i, bit i of y at 2i+1 — pure div/mod/multiply integer
+    * arithmetic, unrolled so BOTH engines evaluate the identical formula
+    * (no engine shift operators). Inputs must be clamped to [0, 2^bits).
+    */
+  def zvalueSql(xCol: String, yCol: String, divOp: String, bits: Int = ZBits): String =
+    (0 until bits).flatMap { i =>
+      val d = 1L << i
+      val z = 1L << (2 * i)
+      Seq(s"(($xCol $divOp $d) % 2) * $z", s"(($yCol $divOp $d) % 2) * ${z * 2}")
+    }.mkString(" + ")
+
+  /** Z-order layout — multi-dimensional data-skipping for the written
+    * corpus (the Delta/Iceberg `OPTIMIZE ZORDER BY` technique, available
+    * here as a plain DataFrame op): documents range-partitioned and
+    * locally sorted by the Morton interleave of two query dimensions, so
+    * each output file covers a small rectangle of the (x, y) space and a
+    * reader filtering on EITHER dimension skips most files via parquet
+    * min/max stats — a single-column sort gives skipping on that column
+    * only. The right layout when queries slice by (source, length),
+    * (quality, date), etc. Plan: one range exchange on z (sampled range
+    * bounds, the same mechanics as any global sort) + local sort — no
+    * global sort, no driver involvement; at 100 TB this is the standard
+    * write-side compaction pass.
+    */
+  def zorderLayout(
+      docs: DataFrame,
+      xExpr: String,
+      yExpr: String,
+      nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val lim = (1L << ZBits) - 1
+    docs
+      .withColumn("__zx", expr(s"least($lim, greatest(0L, $xExpr))"))
+      .withColumn("__zy", expr(s"least($lim, greatest(0L, $yExpr))"))
+      .withColumn("zv", expr(zvalueSql("__zx", "__zy", "div")))
+      .drop("__zx", "__zy")
+      .repartitionByRange(nFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+  }
+
   /** Temperature (α) mixture sampling — the multilingual/multi-source
     * reweighting of mBERT/XLM-R: sample source s with probability
     * ∝ n_s^α, flattening the natural distribution so small sources are not
@@ -812,6 +855,13 @@ object Corpus {
     "q_quality_lm_filter" -> ((s, d) => lmFilter(Tables.documents(s, d), KeepTargetE6)),
     "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
     "q_mix_temperature" -> ((s, d) => mixTemperature(Tables.documents(s, d), 200L)),
+    // z over (source ordinal, length bucket) — the "slice by source range
+    // AND length range" layout; the oracle checks the interleave arithmetic,
+    // CorpusSpec locks the range-exchange + local-sort layout plan
+    "q_layout_zorder" -> ((s, d) =>
+      zorderLayout(Tables.documents(s, d),
+        "cast(substr(source, 4) as bigint)", "n_chars div 8", 8)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("zv"))),
     "q_mix_epochs" -> ((s, d) =>
       epochPlan(Tables.documents(s, d), mixWeightsDf(s), EpochBudgetTokens)),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
@@ -1051,6 +1101,16 @@ object Corpus {
          |        ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
          |      FROM documents) JOIN r USING (source)
          |WHERE h % 1000000 < rate_e6""".stripMargin
+    },
+
+    "q_layout_zorder" -> {
+      val lim = (1L << ZBits) - 1
+      s"""WITH b AS (SELECT doc_id, source, n_chars,
+         |  least($lim, greatest(0, CAST(substr(source, 4) AS BIGINT))) AS zx,
+         |  least($lim, greatest(0, n_chars // 8)) AS zy
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars, ${zvalueSql("zx", "zy", "//")} AS zv
+         |FROM b""".stripMargin
     },
 
     "q_mix_temperature" ->

@@ -385,6 +385,39 @@ class CorpusSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("zorder: interleave decodes back to its inputs; layout is range exchange + local sort") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L), (512L, 7L))
+      .toDF("x", "y")
+    val zs = pts.withColumn("zv",
+      org.apache.spark.sql.functions.expr(Corpus.zvalueSql("x", "y", "div")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def decode(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until Corpus.ZBits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    zs.foreach { case (x, y, z) => assert(decode(z) == ((x, y)), s"($x,$y) -> $z") }
+    // the layout plan: one range exchange on zv + partition-local sort,
+    // no global Sort above the exchange
+    val laid = Corpus.zorderLayout(docs, "n_chars div 8", "n_chars div 64", 4)
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(zv"), plan.take(1200))
+    assert(plan.contains("Sort [zv"), plan.take(1200))
+    // rows within each partition are locally sorted by zv
+    val parts = laid.select(org.apache.spark.sql.functions.spark_partition_id().as("p"),
+      org.apache.spark.sql.functions.col("zv")).collect()
+      .groupBy(_.getInt(0)).values
+    parts.foreach { rs =>
+      val vs = rs.map(_.getLong(1)).toSeq
+      assert(vs == vs.sorted, "partition not locally sorted by zv")
+    }
+  }
+
   test("shuffle shards: balanced, dense positions, seed-reproducible") {
     val n = Corpus.ShuffleShards
     val out = Corpus.shuffleShards(docs, n, Corpus.ShuffleSeed).collect()
