@@ -68,4 +68,31 @@ class CdcStreamSpec extends SparkSpec {
       assert(batch == snapshot())
     }
   }
+
+  test("snapshot state survives a restart from checkpoint (ordering kept across the stop)") {
+    import spark.implicits._
+    withDerby { url =>
+      val ckp = Files.createTempDirectory("ckp-cdc-rt").toString
+      def run(feed: Seq[(Long, Long, String, Double, Long)]): Unit = {
+        val src = Sources.memoryStream[(Long, Long, String, Double, Long)](spark)
+        val changes = src.toDS().toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+          .withColumn("is_del", col("event_type") === "delete")
+        val q = CdcStream.materializeJdbc(changes, url, "cdc_t",
+          keys = Seq("user_id"), ordering = Seq("ts_ms", "event_id"),
+          tombstoneCol = Some("is_del"))
+          .option("checkpointLocation", ckp).start()
+        try { src.addData(feed); q.processAllAvailable() } finally q.stop()
+      }
+      run(Seq((1L, 10L, "upsert", 1.0, 500L)))
+      // NOTE a restarted MemoryStream restarts its offsets, so the second
+      // run uses a FRESH source against the SAME checkpoint dir and Derby
+      // target: what must survive is the aggregation state (the max_by
+      // buffer holding ts 500), which the late row below must lose to.
+      run(Seq((1L, 11L, "upsert", 9.0, 100L))) // older than stored state
+      val back = spark.read.jdbc(url, "cdc_t", new java.util.Properties).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      assert(back == Map(1L -> ((10L, 1.0))),
+        s"restart must keep the max_by state, got $back")
+    }
+  }
 }
