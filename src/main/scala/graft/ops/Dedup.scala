@@ -356,18 +356,26 @@ object Dedup {
     * definitely-new ∪ (candidates ANTI corpus) == the exact anti-join —
     * the result is IDENTICAL to `incrementalExact` (DedupSpec asserts it,
     * including under a forced-high fpp), it just moves ~all of the
-    * increment off the shuffle. Size `expectedItems` at the corpus's
-    * distinct-fingerprint count; oversizing only costs bits.
+    * increment off the shuffle. `expectedItems <= 0` (the default)
+    * AUTO-SIZES from the corpus's distinct-fingerprint count — one extra
+    * count over the fingerprint projection, free in context because the
+    * operator is already eager (the bloom build is an action); a fixed
+    * oversize costs real memory, not just bits: the bitset rides the plan
+    * as a literal, so a 2^20-item filter is a ~1.2 MB allocation per task
+    * regardless of a 2k-doc corpus (observed as the bench's gc_ms
+    * outlier before auto-sizing).
     */
   def incrementalExactBloom(
       newDocs: DataFrame, corpus: DataFrame,
-      fpp: Double = 0.01, expectedItems: Long = 1L << 20): DataFrame = {
+      fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val corpusFps = corpus
       .select(md5(Text.normalized(col("text"))).as("fp")).distinct()
+    val sized = if (expectedItems > 0) expectedItems
+      else math.max(1024L, corpusFps.count())
     val bf = corpusFps.select(xxhash64(col("fp")).as("h"))
-      .stat.bloomFilter("h", expectedItems, fpp)
+      .stat.bloomFilter("h", sized, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
