@@ -383,10 +383,74 @@ object Text {
         round(sum(col("lp")) / sum(col("nd")), 6).as("avg_ll"))
   }
 
+  /** The bigram model `lmScore` builds, as standalone tables — the
+    * persisted form a production deployment refreshes on its own cadence.
+    */
+  case class LmModel(bigrams: DataFrame, unigrams: DataFrame, vocab: DataFrame)
+
+  /** Build the Laplace-smoothed bigram model tables from a REFERENCE corpus:
+    * (bg → c_bg), (u → c_u), 1-row vocab size. Hash-keyed like `lmScore` —
+    * shuffles carry 8-byte hashes, never text.
+    */
+  def lmModel(docs: DataFrame): LmModel = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val inst = t.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(" +
+          s"${hashSql("element_at(toks, i)")} as u, " +
+          s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.bg").as("bg"))
+    LmModel(
+      inst.groupBy(col("bg")).agg(count(lit(1)).as("c_bg")),
+      inst.groupBy(col("u")).agg(count(lit(1)).as("c_u")),
+      t.select(explode(col("toks")).as("w")).agg(count_distinct(col("w")).as("v")))
+  }
+
+  /** Score documents against a FROZEN model — the incremental convention
+    * (`Dedup.*FromSigs`, `Similarity.ivfTopKFromIndex`) applied to the LM
+    * quality signal: a new crawl increment scores against the admitted
+    * corpus's model without re-counting history. LEFT joins + coalesce(0)
+    * handle increment bigrams the model has never seen (Laplace smoothing
+    * gives them mass (0+1)/(0+V), exactly CCNet's unseen-token behavior).
+    * Scoring the model's own corpus with this function reproduces
+    * `lmScore` (inner == left when every key hits; TextSpec asserts).
+    */
+  def lmScoreFromModel(docs: DataFrame, m: LmModel): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val perDoc = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(" +
+          s"${hashSql("element_at(toks, i)")} as u, " +
+          s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
+      .groupBy(col("doc_id"), col("u"), col("bg"))
+      .agg(count(lit(1)).as("nd"))
+    perDoc
+      .join(m.bigrams, Seq("bg"), "left")
+      .join(m.unigrams, Seq("u"), "left")
+      .crossJoin(broadcast(m.vocab))
+      .withColumn("lp", col("nd").cast("double") *
+        (log((coalesce(col("c_bg"), lit(0L)) + 1).cast("double"))
+          - log((coalesce(col("c_u"), lit(0L)) + col("v")).cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nd")).as("n_bigrams"),
+        round(sum(col("lp")) / sum(col("nd")), 6).as("avg_ll"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
+    // incremental LM scoring: model from even doc_ids (the "admitted
+    // corpus"), odd doc_ids scored as the increment
+    "q_text_lmscore_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      lmScoreFromModel(
+        docs.filter(col("doc_id") % 2 === 1),
+        lmModel(docs.filter(col("doc_id") % 2 === 0)))
+    }),
     "q_text_stats" -> ((s, d) => stats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -433,6 +497,31 @@ object Text {
          |  round(sum(CAST(nd AS DOUBLE) * (ln(CAST(c_bg + 1 AS DOUBLE)) - ln(CAST(c_u + v AS DOUBLE))))
          |        / sum(nd), 6) AS avg_ll
          |FROM pd JOIN cbg USING (bg) JOIN cu USING (u) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_text_lmscore_incr" ->
+      s"""WITH tm AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 2 = 0),
+         |ti AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 2 = 1),
+         |minst AS (SELECT unnest([{'u': ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT,
+         |                   'bg': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT}
+         |                  for i in range(1, len(toks))]) AS p
+         |         FROM tm WHERE len(toks) >= 2),
+         |cbg AS (SELECT p.bg AS bg, count(*) AS c_bg FROM minst GROUP BY 1),
+         |cu AS (SELECT p.u AS u, count(*) AS c_u FROM minst GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(toks) AS w FROM tm)),
+         |pd AS (SELECT doc_id, p.u AS u, p.bg AS bg, count(*) AS nd
+         |       FROM (SELECT doc_id,
+         |               unnest([{'u': ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT,
+         |                        'bg': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT}
+         |                       for i in range(1, len(toks))]) AS p
+         |             FROM ti WHERE len(toks) >= 2)
+         |       GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_bigrams,
+         |  round(sum(CAST(nd AS DOUBLE) * (ln(CAST(coalesce(c_bg, 0) + 1 AS DOUBLE))
+         |                                  - ln(CAST(coalesce(c_u, 0) + v AS DOUBLE))))
+         |        / sum(nd), 6) AS avg_ll
+         |FROM pd LEFT JOIN cbg USING (bg) LEFT JOIN cu USING (u) CROSS JOIN v
          |GROUP BY doc_id""".stripMargin,
 
     "q_text_scrub" ->

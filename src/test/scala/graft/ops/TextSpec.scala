@@ -199,4 +199,22 @@ class TextSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301\t x "))
     assert(e.toString == "\u00E9 x")
   }
+  test("lmScoreFromModel on the model's own corpus == lmScore; unseen bigrams smoothed") {
+    val c = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "a bird flew over the log"))
+    val self = Text.lmScoreFromModel(c, Text.lmModel(c)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val direct = Text.lmScore(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(self == direct)
+    // an increment with bigrams the model never saw still scores (Laplace
+    // mass (0+1)/(0+V)), and scores BELOW an in-model document
+    val inc = docs((9L, "entirely novel words here"))
+    val scored = Text.lmScoreFromModel(inc, Text.lmModel(c)).collect()
+    assert(scored.length == 1)
+    val novel = scored(0).getDouble(2)
+    assert(novel < direct.head._3, s"novel=$novel vs in-model=${direct.head._3}")
+  }
 }
