@@ -128,4 +128,70 @@ class PropertiesSpec extends SparkSpec {
       .collect().head
     assert(r.getAs[Int]("eq") == graft.ops.Dedup.MinhashPerms)
   }
+  test("law: zvalue is a bijection on [0,1024)^2 (random sample + corners)") {
+    import spark.implicits._
+    val pts = (Seq.fill(Cases)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)) ++
+      Seq((0L, 0L), (1023L, 0L), (0L, 1023L), (1023L, 1023L))).distinct
+    val zs = pts.toDF("x", "y")
+      .withColumn("zv", expr(graft.ops.Corpus.zvalueSql("x", "y", "div")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(zs.map(_._3).distinct.length == pts.length, "z collision")
+    zs.foreach { case (x, y, z) =>
+      var dx = 0L; var dy = 0L
+      for (i <- 0 until graft.ops.Corpus.ZBits) {
+        dx |= ((z >> (2 * i)) & 1L) << i; dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((dx, dy) == ((x, y)))
+    }
+  }
+
+  test("law: skewSplitJoin == plain inner join on random skewed data, any hotK") {
+    import spark.implicits._
+    // zipf-ish skew: key 0 is hot
+    val fact = Seq.fill(Cases * 4)({
+      val k = if (rnd.nextInt(3) == 0) 0L else rnd.nextInt(40).toLong
+      (k, rnd.nextInt(1000))
+    }).zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("fid", "fk", "fv")
+    val dim = (0L until 30L).map(k => (k, s"d$k")).toDF("dk", "dname")
+    for (hotK <- Seq(1, 5, 64)) {
+      val split = graft.ops.Skew.skewSplitJoin(fact, dim, "fk", "dk", hotK)
+        .select("fid", "dname").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val plain = fact.join(dim, col("fk") === col("dk"))
+        .select("fid", "dname").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(split == plain, s"hotK=$hotK")
+    }
+  }
+
+  test("law: latestSnapshot == the row_number window spelling on random changelogs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val log = Seq.fill(Cases * 2)(
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100)))
+      .zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+      .toDF("eid", "k", "t", "v")
+    val agg = graft.ops.Cdc.latestSnapshot(log, Seq("k"), Seq("t", "eid"))
+      .select("k", "eid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val w = Window.partitionBy(col("k")).orderBy(col("t").desc, col("eid").desc)
+    val win = log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("k", "eid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(agg == win)
+  }
+
+  test("law: normalizeText is idempotent and ASCII-clean text is a fixed point") {
+    val strs = Seq.fill(Cases) {
+      val pool = "ab c\t\n\u00A0\u200Be\u0301xyz "
+      Seq.fill(rnd.nextInt(24))(pool(rnd.nextInt(pool.length))).mkString
+    }
+    strs.foreach { s0 =>
+      val once = graft.functions.NormalizeText.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0)).toString
+      val twice = graft.functions.NormalizeText.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString
+      assert(once == twice, s"not idempotent on ${s0.map(_.toInt)}")
+    }
+    assert(graft.functions.NormalizeText.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii text")).toString
+      == "plain ascii text")
+  }
 }
