@@ -614,6 +614,32 @@ object Corpus {
       .select(col("doc_id"), col(shardCol), col("score_e6"))
   }
 
+  /** CCNet's head/middle/tail split: every scored doc labeled by which
+    * per-source LM-score tercile it falls in — CCNet shards its corpus into
+    * exactly these three buckets (head = most-fluent third under the
+    * reference LM) and downstream mixtures draw from them at different
+    * rates. Two passes of the same bucketed calibrator (keep ≥ 1/3 and
+    * ≥ 2/3) over ONE checkpoint-pinned scored projection; both one-row-per-
+    * source cut tables broadcast back, so labeling is a map-side CASE.
+    * Cutoffs are bucket-resolution like every calibrated threshold here.
+    * Returns (doc_id, source, score_e6, tercile).
+    */
+  def lmTerciles(
+      docs: DataFrame,
+      bucketWidth: Long = LmBucketWidth,
+      shardCol: String = "source"): DataFrame = {
+    val scored = lmScored(docs, shardCol).localCheckpoint(false)
+    val head = thresholdsBucketedFromScores(scored, 333334L, bucketWidth, shardCol)
+      .select(col(shardCol), col("cutoff_e6").as("cut_head"))
+    val mid = thresholdsBucketedFromScores(scored, 666667L, bucketWidth, shardCol)
+      .select(col(shardCol), col("cutoff_e6").as("cut_mid"))
+    scored.join(broadcast(head), Seq(shardCol)).join(broadcast(mid), Seq(shardCol))
+      .select(col("doc_id"), col(shardCol), col("score_e6"),
+        when(col("score_e6") >= col("cut_head"), "head")
+          .when(col("score_e6") >= col("cut_mid"), "middle")
+          .otherwise("tail").as("tercile"))
+  }
+
   /** The SCALE path for mixture rebalancing: `mixSources` pays one rank
     * window per source for integer-EXACT quotas; here each source keeps
     * docs whose md5 hash falls under a per-source acceptance rate
@@ -853,6 +879,7 @@ object Corpus {
     "q_quality_thresholds_lm" -> ((s, d) =>
       lmThresholdsBucketed(Tables.documents(s, d), KeepTargetE6)),
     "q_quality_lm_filter" -> ((s, d) => lmFilter(Tables.documents(s, d), KeepTargetE6)),
+    "q_quality_terciles" -> ((s, d) => lmTerciles(Tables.documents(s, d))),
     "q_mix_sources_approx" -> ((s, d) => mixSourcesApprox(Tables.documents(s, d), mixWeightsDf(s))),
     "q_mix_temperature" -> ((s, d) => mixTemperature(Tables.documents(s, d), 200L)),
     // z over (source ordinal, length bucket) — the "slice by source range
@@ -1088,6 +1115,22 @@ object Corpus {
          |SELECT sc.doc_id, sc.source, sc.s AS score_e6
          |FROM sc JOIN cut USING (source)
          |WHERE sc.s >= cut.cutoff_e6""".stripMargin,
+
+    "q_quality_terciles" ->
+      s"""WITH $duckLmCutoffCtes,
+         |cut1 AS (SELECT c.source, CAST(max(b) * $LmBucketWidth AS BIGINT) AS cut_head
+         |         FROM c JOIN tot USING (source)
+         |         WHERE cum >= greatest(1, n_docs * 333334 // 1000000)
+         |         GROUP BY 1),
+         |cut2 AS (SELECT c.source, CAST(max(b) * $LmBucketWidth AS BIGINT) AS cut_mid
+         |         FROM c JOIN tot USING (source)
+         |         WHERE cum >= greatest(1, n_docs * 666667 // 1000000)
+         |         GROUP BY 1)
+         |SELECT sc.doc_id, sc.source, sc.s AS score_e6,
+         |  CASE WHEN sc.s >= cut1.cut_head THEN 'head'
+         |       WHEN sc.s >= cut2.cut_mid THEN 'middle'
+         |       ELSE 'tail' END AS tercile
+         |FROM sc JOIN cut1 USING (source) JOIN cut2 USING (source)""".stripMargin,
 
     "q_mix_sources_approx" -> {
       val values = MixTargetsE6.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")

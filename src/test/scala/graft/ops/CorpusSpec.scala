@@ -364,6 +364,26 @@ class CorpusSpec extends SparkSpec {
       s"approx mixture must not rank per source:\n${plan.take(800)}")
   }
 
+  test("lm terciles: labels partition each source, ordered by score, near-thirds") {
+    val out = Corpus.lmTerciles(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val byT = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // every scored doc got a label; scores strictly order the terciles
+      assert(byT.keySet.subsetOf(Set("head", "middle", "tail")))
+      for (h <- byT.get("head"); m <- byT.get("middle")) assert(h.min >= m.max || h.min > m.min)
+      for (m <- byT.get("middle"); t <- byT.get("tail")) assert(m.min > t.max)
+      // head holds at least a third (bucket-resolution overshoot allowed,
+      // never undershoot), and never everything when n >= 3
+      val n = rows.length
+      if (n >= 3) {
+        assert(byT.getOrElse("head", Array.empty[Long]).length >= n / 3)
+        assert(byT.getOrElse("head", Array.empty[Long]).length < n, s"$src all head")
+      }
+    }
+  }
+
   test("temperature mixture flattens a skewed corpus toward sqrt proportions") {
     val s = spark
     import s.implicits._
