@@ -305,6 +305,31 @@ object Text {
   val GopherMinWords = 50L
   val GopherMaxWords = 100000L
 
+  /** Content-type heuristic: code / math / prose, the routing tag every
+    * corpus pipeline wants before mixing (code gets its own quota and
+    * tokenizer behavior; math its own quality rules). Pure counting —
+    * structural-symbol density ({};()=<>[]), operator density, indented-
+    * line fraction — with INTEGER cross-multiplied thresholds (the
+    * `gopherRules` convention: no float compare can wobble the oracle).
+    * Map-only; RE2-compatible patterns replayed verbatim by the oracle.
+    */
+  def contentType(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (regexp_count(col("text"), lit("\n")) + 1).cast("long").as("n_lines"),
+        regexp_count(col("text"), lit("(?m)^[\t ]")).cast("long").as("indent_lines"),
+        regexp_count(col("text"), lit("[{}();<>\\[\\]]")).cast("long").as("sym_hits"),
+        regexp_count(col("text"), lit("[-+*/^=]")).cast("long").as("math_hits"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_lines"), col("indent_lines"),
+        col("sym_hits"), col("math_hits"),
+        expr("""CASE WHEN sym_hits * 40 >= n_chars OR indent_lines * 3 >= n_lines THEN 'code'
+               |     WHEN math_hits * 30 >= n_chars THEN 'math'
+               |     ELSE 'prose' END""".stripMargin).as("ctype"))
+
   def gopherRules(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
@@ -458,6 +483,7 @@ object Text {
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_text_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
+    "q_text_ctype" -> ((s, d) => contentType(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
     // the documents text is clean ASCII, so the NFC/collapse oracle wraps it
     // in a deterministic messy fixture (decomposed accents, TAB, ZWSP, NBSP)
@@ -498,6 +524,20 @@ object Text {
          |        / sum(nd), 6) AS avg_ll
          |FROM pd JOIN cbg USING (bg) JOIN cu USING (u) CROSS JOIN v
          |GROUP BY doc_id""".stripMargin,
+
+    "q_text_ctype" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '\\n')) + 1 AS BIGINT) AS n_lines,
+         |  CAST(len(regexp_extract_all(text, '(?m)^[\\t ]')) AS BIGINT) AS indent_lines,
+         |  CAST(len(regexp_extract_all(text, '[{}();<>\\[\\]]')) AS BIGINT) AS sym_hits,
+         |  CAST(len(regexp_extract_all(text, '[-+*/^=]')) AS BIGINT) AS math_hits
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_lines, indent_lines, sym_hits, math_hits,
+         |  CASE WHEN sym_hits * 40 >= n_chars OR indent_lines * 3 >= n_lines THEN 'code'
+         |       WHEN math_hits * 30 >= n_chars THEN 'math'
+         |       ELSE 'prose' END AS ctype
+         |FROM s""".stripMargin,
 
     "q_text_lmscore_incr" ->
       s"""WITH tm AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 2 = 0),

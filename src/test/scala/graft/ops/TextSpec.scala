@@ -217,4 +217,15 @@ class TextSpec extends SparkSpec {
     val novel = scored(0).getDouble(2)
     assert(novel < direct.head._3, s"novel=$novel vs in-model=${direct.head._3}")
   }
+  test("contentType: code, math and prose fixtures each land in their class") {
+    val c = docs(
+      (1L, "def f(x) {\n  return g(x);\n  }\n  var y = [1, 2];"),  // braces/semis + indent
+      (2L, "1+2=3 4*5=20 6/2=3 7-1=6 2^4=16 9+9=18 3*3=9 8/4=2"),     // operator-dense
+      (3L, "the quick brown fox jumps over the lazy dog in the usual way"))
+    val out = Text.contentType(c).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out(1L) == "code", out.toString)
+    assert(out(2L) == "math", out.toString)
+    assert(out(3L) == "prose", out.toString)
+  }
 }
