@@ -78,9 +78,47 @@ object Multimodal {
       .toDF()
   }
 
+  val EmbedDims = 16
+  val EmbedCells = 8
+
+  /** The media → vector path: per-payload embedding + coarse-cell index
+    * assignment, the composition a multimodal corpus runs between decode
+    * and similarity search. The EMBEDDING MODEL is the deterministic stub
+    * here (components derived from md5 of the content digest — in
+    * production this is the encoder forward pass, exactly like the codec
+    * in `decodePartition`); everything around it is the real shape:
+    * map-only embed over the binary column, unit-normalization, broadcast
+    * argmax-cosine assignment against a centroid set (`Similarity.
+    * ivfAssign`'s flow, self-contained on the first `EmbedCells` media
+    * vectors), ready for `ivfTopKFromIndex`-style probing. Deterministic
+    * end-to-end, so unlike a real encoder it is hash-checkable cross-engine.
+    */
+  def embedAssign(docs: DataFrame): DataFrame = {
+    val hash = (e: String) => s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+    val m = mediaTable(docs).select(col("doc_id"), md5(col("payload")).as("cmd5"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${EmbedDims - 1}), " +
+          s"j -> cast(${hash("concat('emb:', cmd5, ':', j)")} % 1000 as double) / 1000.0)"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+      .select(col("doc_id"), expr("transform(v, x -> x / nrm)").as("nv"))
+      .localCheckpoint(false)
+    val cents = m.filter(col("doc_id") < EmbedCells)
+      .select(col("doc_id").as("cell"), col("nv").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("ccos").desc, col("cell"))
+    m.join(broadcast(cents), lit(true))
+      .select(col("doc_id"), col("cell"),
+        round(graft.functions.GraftFunctions.dot(col("nv"), col("cv")), 6).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("doc_id"), col("cell"), col("ccos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
-    "q_media_decode" -> ((s, d) => decoded(Tables.documents(s, d))))
+    "q_media_decode" -> ((s, d) => decoded(Tables.documents(s, d))),
+    "q_media_embed" -> ((s, d) => embedAssign(Tables.documents(s, d))))
 
   // Oracle: document text is pure ASCII [a-z ] (verified against the data),
   // so octet_length(payload) == length(text) and md5(payload) == md5(text).
@@ -98,5 +136,22 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q_media_embed" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS cmd5 FROM documents),
+         |e AS (SELECT doc_id,
+         |        [CAST(('0x' || substr(md5('emb:' || cmd5 || ':' || j), 1, 15))::BIGINT % 1000
+         |              AS DOUBLE) / 1000.0 for j in range(0, $EmbedDims)] AS v
+         |      FROM m),
+         |n AS (SELECT doc_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+         |nv AS (SELECT doc_id, [x / nrm for x in v] AS nv FROM n),
+         |cents AS (SELECT doc_id AS cell, nv AS cv FROM nv WHERE doc_id < $EmbedCells),
+         |a AS (SELECT d.doc_id, c.cell,
+         |        round(list_sum([d.nv[i] * c.cv[i] for i in range(1, ${EmbedDims + 1})]), 6) AS ccos
+         |      FROM nv d, cents c),
+         |r AS (SELECT doc_id, cell, ccos,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY ccos DESC, cell) AS crk
+         |      FROM a)
+         |SELECT doc_id, cell, ccos FROM r WHERE crk = 1""".stripMargin)
 }

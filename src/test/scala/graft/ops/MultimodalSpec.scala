@@ -32,4 +32,16 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(4) == len / 64L + 1L)
     }
   }
+  test("embedAssign: every doc lands in one cell; centroid docs self-assign") {
+    val docs = graft.Tables.documents(spark, sf())
+    val out = Multimodal.embedAssign(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == docs.count())
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(r => r._2 >= 0 && r._2 < Multimodal.EmbedCells))
+    // a centroid's nearest centroid is itself (cos 1 with itself)
+    out.filter(_._1 < Multimodal.EmbedCells).foreach { case (id, cell, ccos) =>
+      assert(cell == id && math.abs(ccos - 1.0) < 1e-6, s"doc $id -> cell $cell ($ccos)")
+    }
+  }
 }
