@@ -59,9 +59,16 @@ object Multimodal {
     */
   def decodePartition(rows: Iterator[MediaPayload]): Iterator[Decoded] =
     rows.map { m =>
-      // --- codec call would go here; deterministic stand-in: ---
-      val len = m.payload.length.toLong
-      Decoded(m.doc_id, "fake/decoded", len % 640L, len % 480L, len / 64L + 1L)
+      if (m.payload == null)
+        // a null blob is an unreadable asset: emit a visible failed-decode
+        // row rather than NPE-ing the task or silently dropping the id
+        // (found by RobustnessSpec's dirty-corpus sweep)
+        Decoded(m.doc_id, "fake/unreadable", 0L, 0L, 0L)
+      else {
+        // --- codec call would go here; deterministic stand-in: ---
+        val len = m.payload.length.toLong
+        Decoded(m.doc_id, "fake/decoded", len % 640L, len % 480L, len / 64L + 1L)
+      }
     }
 
   /** Typed `Dataset.mapPartitions` keeps the decode inside the Catalyst plan
