@@ -71,15 +71,25 @@ object Bpe {
     // pin the vocab table: every round re-reads it, the corpus is scanned once
     var state = symbolized(wordFreqs(docs)).localCheckpoint(false)
     val merges = Seq.newBuilder[Row]
-    for (rank <- 1 to n) {
+    var rank = 1
+    var exhausted = false
+    while (rank <= n && !exhausted) {
       val top = pairCounts(state)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
-        .collect()(0) // the ONE-row model read, see scaladoc
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += Row(rank.toLong, a, b, a + b, cnt)
-      state = state.withColumn("syms",
-        call_function("replace", col("syms"), lit(s" $a $b "), lit(s" $a$b ")))
+        .collect().headOption // the ONE-row model read, see scaladoc
+      top match {
+        case None =>
+          // empty corpus, or every word fully merged before n rounds: stop
+          // with the merges learned so far instead of indexing into nothing
+          exhausted = true
+        case Some(row) =>
+          val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Row(rank.toLong, a, b, a + b, cnt)
+          state = state.withColumn("syms",
+            call_function("replace", col("syms"), lit(s" $a $b "), lit(s" $a$b ")))
+          rank += 1
+      }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.result(), 1),

@@ -46,14 +46,11 @@ object Classifier {
           .cast("double") / size(col("toks")), 6).as("x2"),
         round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("x3"))
 
-  /** Train `rounds` full-batch GD steps from w = 0; returns one row per
-    * round: (round, w0..w3) — the weight trajectory, i.e. the model and its
-    * training history.
+  /** GD rounds over an already-pinned feature projection; one Row per round:
+    * (round, w0..w3). Shared by `train` and `classifierFilter` so the corpus
+    * is tokenized/featurized exactly once per job.
     */
-  def train(docs: DataFrame, positives: Seq[String] = CuratedSources,
-      rounds: Int = Rounds, lr: Double = LearnRate): DataFrame = {
-    val spark = docs.sparkSession
-    val f = featurize(docs, positives).localCheckpoint(false)
+  private def gdRounds(f: DataFrame, rounds: Int, lr: Double): Seq[Row] = {
     var w = Array(0.0, 0.0, 0.0, 0.0)
     val out = Seq.newBuilder[Row]
     for (r <- 1 to rounds) {
@@ -70,10 +67,23 @@ object Classifier {
       w = Array(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
       out += Row(r.toLong, w(0), w(1), w(2), w(3))
     }
+    out.result()
+  }
+
+  private def trajectoryDf(spark: SparkSession, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out.result(), 1),
+      spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("round", LongType, nullable = false) +:
         (0 to 3).map(j => StructField(s"w$j", DoubleType, nullable = false)): _*)))
+
+  /** Train `rounds` full-batch GD steps from w = 0; returns one row per
+    * round: (round, w0..w3) — the weight trajectory, i.e. the model and its
+    * training history.
+    */
+  def train(docs: DataFrame, positives: Seq[String] = CuratedSources,
+      rounds: Int = Rounds, lr: Double = LearnRate): DataFrame = {
+    val f = featurize(docs, positives).localCheckpoint(false)
+    trajectoryDf(docs.sparkSession, gdRounds(f, rounds, lr))
   }
 
   /** The trained model APPLIED end-to-end (the `q_quality_lm_filter`
@@ -86,12 +96,15 @@ object Classifier {
     * exactly like `quality_e6` feeding `qualityThresholds*`).
     */
   def classifierFilter(docs: DataFrame, positives: Seq[String] = CuratedSources): DataFrame = {
-    val last = train(docs, positives).collect().maxBy(_.getLong(0))
+    // featurize ONCE: the same pinned projection feeds every GD round and the
+    // final scoring pass (round-9 advice: train+score was tokenizing twice)
+    val f = featurize(docs, positives).localCheckpoint(false)
+    val last = gdRounds(f, Rounds, LearnRate).maxBy(_.getLong(0))
     val (w0, w1, w2, w3) =
       (last.getDouble(1), last.getDouble(2), last.getDouble(3), last.getDouble(4))
     val z = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") + lit(w3) * col("x3")
     val p = least(lit(1.0), greatest(lit(0.0), lit(0.5) + z / lit(4.0)))
-    featurize(docs, positives)
+    f
       .select(col("doc_id"), col("source"), p.as("p"))
       .select(col("doc_id"), col("source"),
         expr("cast(floor(p * 1000000.0) as bigint)").as("p_e6"),

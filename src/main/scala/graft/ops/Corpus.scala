@@ -810,7 +810,14 @@ object Corpus {
         col("avail_tokens"),
         expr(s"${budgetTokens}L * w_e6 div 1000000L").as("target_tokens"))
       .withColumn("epochs_e6",
-        expr("target_tokens * 1000000L div avail_tokens"))
+        // the engine/oracle `div` parity holds only on positive operands
+        // (both truncate toward zero there); make the invariant explicit so
+        // a zero/negative-availability edge raises instead of diverging
+        when(col("avail_tokens") > 0,
+          expr("target_tokens * 1000000L div avail_tokens"))
+          .otherwise(raise_error(concat(
+            lit("epochPlan: avail_tokens must be positive for source "),
+            col(shardCol).cast("string")))))
   }
 
   /** Deterministic global shuffle into `nShards` training shards — the

@@ -107,7 +107,9 @@ object Multimodal {
         s"transform(sequence(0, ${EmbedDims - 1}), " +
           s"j -> cast(${hash("concat('emb:', cmd5, ':', j)")} % 1000 as double) / 1000.0)"))
       .withColumn("nrm", expr(
-        "sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+        // a real encoder can emit an all-zero vector; the epsilon floor keeps
+        // the normalize NaN-free (stub values are unchanged: nrm >> 1e-12)
+        "greatest(sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)), 1.0e-12)"))
       .select(col("doc_id"), expr("transform(v, x -> x / nrm)").as("nv"))
       .localCheckpoint(false)
     val cents = m.filter(col("doc_id") < EmbedCells)

@@ -63,6 +63,12 @@ object CdcStream {
       keys: Seq[String],
       tombstoneCol: Option[String]): Unit = {
     val cols = batch.columns.toSeq
+    // identifiers are interpolated into SQL text: reject anything that is not
+    // a plain identifier so a hostile column/table name can't smuggle SQL
+    (table +: cols).foreach { id =>
+      require(id.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"upsertJdbc: '$id' is not a plain SQL identifier ([A-Za-z_][A-Za-z0-9_]*)")
+    }
     val keyIdx = keys.map(cols.indexOf)
     require(keyIdx.forall(_ >= 0), s"keys $keys must be columns of the batch ($cols)")
     val tombIdx = tombstoneCol.map(cols.indexOf)
@@ -78,7 +84,8 @@ object CdcStream {
         rows.foreach { r =>
           keyIdx.zipWithIndex.foreach { case (ci, pi) => del.setObject(pi + 1, r.get(ci)) }
           del.addBatch()
-          if (!tombIdx.exists(r.getBoolean)) {
+          // a null tombstone value is "not a tombstone", not an NPE
+          if (!tombIdx.exists(i => !r.isNullAt(i) && r.getBoolean(i))) {
             cols.indices.foreach(ci => ins.setObject(ci + 1, r.get(ci)))
             ins.addBatch()
           }
