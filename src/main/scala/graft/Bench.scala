@@ -51,6 +51,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Cumulative shuffle bytes WRITTEN by completed tasks — the plan-shape
+    * telemetry (round-9 verdict item 5): a lost ReusedExchange, an AQE
+    * broadcast→sort-merge flip, or a partitioning regression shows up as a
+    * shuffle_mb step change in the artifact even when wall time hides it in
+    * variance. Write side chosen over read: every exchange writes exactly
+    * once, while reads multiply under stage retries and AQE reuse.
+    */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  private var tally = new ShuffleTally
+
+  /** Listener delivery is async; drain the bus before reading the tally so
+    * a query's tail tasks are billed to IT, not its successor.
+    */
+  private def shuffleBytes(spark: SparkSession): Long = {
+    org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+    tally.bytes.get()
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,6 +84,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     spark
   }
 
@@ -111,7 +137,7 @@ object Bench {
 
   private case class QStat(
       times: Seq[Double], gcDeltaMs: Long, cpuDeltaMs: Long, loadMax: Double,
-      storagePeak: Long, storageAfter: Long, rddsPeak: Int)
+      storagePeak: Long, storageAfter: Long, rddsPeak: Int, shuffleMbPerPass: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,6 +177,7 @@ object Bench {
           if (isolate) { fn(spark, sfDir).count(); sweep(spark) } // per-query warm-up
           val gc0 = gcMs()
           val cpu0 = cpuMs()
+          val sh0 = shuffleBytes(spark)
           var stPeak = 0L
           var stAfter = 0L
           var rddPeak = 0
@@ -169,9 +196,10 @@ object Bench {
             stAfter = math.max(stAfter, storageBytes(spark))
             dt
           }
+          val shMb = (shuffleBytes(spark) - sh0) / passes.toDouble / 1e6
           name -> Right(QStat(times.sorted, gcMs() - gc0,
             { val c = cpuMs(); if (c < 0 || cpu0 < 0) -1L else c - cpu0 },
-            loadMax, stPeak, stAfter, rddPeak))
+            loadMax, stPeak, stAfter, rddPeak, math.round(shMb * 1000) / 1000.0))
         } catch {
           case e: Throwable =>
             sweep(spark) // a FAILED query must not leak its blocks into the next timings
@@ -190,7 +218,8 @@ object Bench {
           ",\"load\":" + s.loadMax +
           ",\"storage_bytes\":" + s.storagePeak +
           ",\"storage_after\":" + s.storageAfter +
-          ",\"n_rdds\":" + s.rddsPeak + "}"
+          ",\"n_rdds\":" + s.rddsPeak +
+          ",\"shuffle_mb\":" + s.shuffleMbPerPass + "}"
       case (k, Left(err)) =>
         "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\"}"
     }.mkString("{", ",", "}")
@@ -198,10 +227,12 @@ object Bench {
     val total = results.collect { case (_, Right(s)) => median(s.times) }.sum
     val gcTotal = results.collect { case (_, Right(s)) => s.gcDeltaMs }.sum
     val cpuTotal = results.collect { case (_, Right(s)) => s.cpuDeltaMs }.filter(_ >= 0).sum
+    val shuffleTotal =
+      math.round(results.collect { case (_, Right(s)) => s.shuffleMbPerPass }.sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ncores = Runtime.getRuntime.availableProcessors
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"ncores":$ncores,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver scrapes a bounded stdout tail, which truncated the big line
     // mid-JSON in rounds 5 and 6. Persist the full line to a file as the
     // durable primary artifact, print it, then print a SHORT headline LAST so
@@ -211,7 +242,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"ncores":$ncores,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
