@@ -85,6 +85,124 @@ object Multimodal {
       .toDF()
   }
 
+  // --- real image decode (round-10: the codec is no longer a stub) ---------
+
+  /** Deterministic channel value at (x, y) of doc `docId`'s synthetic image —
+    * shared contract between the synthesizer, the decoder spec, and the
+    * DuckDB oracle (which PREDICTS the decode analytically: it cannot read
+    * PNG bytes, so Spark's decode is checked against arithmetic, meaning a
+    * wrong decode cannot hash-match).
+    */
+  def pixelChannel(docId: Long, x: Int, y: Int, off: Int): Int =
+    ((docId * 31 + x * 7 + y * 13 + off) % 256).toInt
+
+  def synthWidth(docId: Long): Int = 1 + (docId % 7).toInt
+  def synthHeight(docId: Long): Int = 1 + (docId % 5).toInt
+
+  /** A genuine tiny PNG (even ids) / BMP (odd ids) with `pixelChannel`
+    * pixels, encoded by `javax.imageio` — real compressed image bytes, not a
+    * marker. Both codecs ship in the JDK and are lossless for 24-bit RGB.
+    */
+  def synthImageBytes(docId: Long): Array[Byte] = {
+    val (w, h) = (synthWidth(docId), synthHeight(docId))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelChannel(docId, x, y, 0) << 16) |
+            (pixelChannel(docId, x, y, 97) << 8) |
+            pixelChannel(docId, x, y, 193))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (docId % 2 == 0) "png" else "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Simulated IMAGE corpus over the shared testdata ids: real PNG/BMP bytes
+    * per doc, except every 10th doc keeps its text bytes — a non-image
+    * payload that must route through the unknown-codec fallback in the same
+    * scan (production corpora are never all-decodable). Typed mapPartitions,
+    * so the synth (in production: the blob fetch) stays in the Catalyst plan.
+    */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 10 == 9)
+          MediaPayload(id, if (text == null) null else text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else MediaPayload(id, synthImageBytes(id))
+      })
+      .toDF()
+  }
+
+  /** Decode result: real dimensions + per-channel pixel sums (exact integer
+    * stats, so the analytic oracle can hash-match them). Fallback rows carry
+    * the length-derived stub dims and -1 sums.
+    */
+  case class ImgDecoded(doc_id: Long, kind: String, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL partition-local decode: sniff the codec from the bytes
+    * (`ImageIO.getImageReaders` — never trust declared metadata), decode,
+    * and reduce to integer channel stats. Unknown codec → the documented
+    * deterministic fallback (the former stub, now demoted to the error
+    * path); null blob → a visible unreadable row.
+    */
+  def decodeImagePartition(rows: Iterator[MediaPayload]): Iterator[ImgDecoded] =
+    rows.map { m =>
+      if (m.payload == null) ImgDecoded(m.doc_id, "fake/unreadable", 0L, 0L, -1L, -1L, -1L)
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              var (rs, gs, bs) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              ImgDecoded(m.doc_id, "image/" + reader.getFormatName.toLowerCase,
+                img.getWidth.toLong, img.getHeight.toLong, rs, gs, bs)
+            } finally reader.dispose()
+          } else {
+            // unknown codec: deterministic length-derived stand-in, flagged
+            val len = m.payload.length.toLong
+            ImgDecoded(m.doc_id, "fake/decoded", len % 640L, len % 480L, -1L, -1L, -1L)
+          }
+        } finally if (iis != null) iis.close()
+      }
+    }
+
+  /** The real decode as a plan-native operator (same typed-mapPartitions
+    * shape as `decoded`).
+    */
+  def decodedReal(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    imageTable(docs)
+      .select(col("doc_id"), col("payload")).as[MediaPayload]
+      .mapPartitions(decodeImagePartition)
+      .toDF()
+  }
+
   val EmbedDims = 16
   val EmbedCells = 8
 
@@ -102,7 +220,13 @@ object Multimodal {
     */
   def embedAssign(docs: DataFrame): DataFrame = {
     val hash = (e: String) => s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
-    val m = mediaTable(docs).select(col("doc_id"), md5(col("payload")).as("cmd5"))
+    // encoder input = the REAL decode's stats (round 10): the stub forward
+    // pass now runs over genuinely-decoded content, and stays analytically
+    // predictable for the cross-engine oracle
+    val m = decodedReal(docs).select(col("doc_id"),
+      md5(concat_ws(":", col("kind"), col("width").cast("string"),
+        col("height").cast("string"), col("r_sum").cast("string"),
+        col("g_sum").cast("string"), col("b_sum").cast("string"))).as("cmd5"))
       .withColumn("v", expr(
         s"transform(sequence(0, ${EmbedDims - 1}), " +
           s"j -> cast(${hash("concat('emb:', cmd5, ':', j)")} % 1000 as double) / 1000.0)"))
@@ -126,8 +250,31 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
-    "q_media_decode" -> ((s, d) => decoded(Tables.documents(s, d))),
+    "q_media_decode" -> ((s, d) => decodedReal(Tables.documents(s, d))),
     "q_media_embed" -> ((s, d) => embedAssign(Tables.documents(s, d))))
+
+  /** Analytic replay of `decodeImagePartition` over `imageTable`'s
+    * deterministic corpus: dims from the synth formulas, channel sums from
+    * `pixelChannel` summed per pixel; every-10th docs take the fallback
+    * branch with length-derived dims and -1 sums.
+    */
+  private val decodeCte: String = {
+    def chanSum(off: Int) =
+      s"""CAST(list_sum(flatten(list_transform(range(0, 1 + doc_id % 5),
+         |      y -> list_transform(range(0, 1 + doc_id % 7),
+         |             x -> (doc_id * 31 + x * 7 + y * 13 + $off) % 256)))) AS BIGINT)""".stripMargin
+    s"""dec AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 9 THEN 'fake/decoded'
+       |       WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS kind,
+       |  CASE WHEN doc_id % 10 = 9 THEN CAST(octet_length(encode(text)) % 640 AS BIGINT)
+       |       ELSE 1 + doc_id % 7 END AS width,
+       |  CASE WHEN doc_id % 10 = 9 THEN CAST(octet_length(encode(text)) % 480 AS BIGINT)
+       |       ELSE 1 + doc_id % 5 END AS height,
+       |  CASE WHEN doc_id % 10 = 9 THEN CAST(-1 AS BIGINT) ELSE ${chanSum(0)} END AS r_sum,
+       |  CASE WHEN doc_id % 10 = 9 THEN CAST(-1 AS BIGINT) ELSE ${chanSum(97)} END AS g_sum,
+       |  CASE WHEN doc_id % 10 = 9 THEN CAST(-1 AS BIGINT) ELSE ${chanSum(193)} END AS b_sum
+       |FROM documents)""".stripMargin
+  }
 
   // Oracle: document text is pure ASCII [a-z ] (verified against the data),
   // so octet_length(payload) == length(text) and md5(payload) == md5(text).
@@ -140,15 +287,16 @@ object Multimodal {
         |  hex(encode(substr(text, 1, 16))) AS head16
         |FROM documents""".stripMargin,
 
-    "q_media_decode" ->
-      """SELECT doc_id, 'fake/decoded' AS kind,
-        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin,
+    // The oracle PREDICTS the decode analytically from the shared pixel
+    // formula (it cannot parse PNG/BMP bytes): a decode bug on the Spark
+    // side cannot hash-match arithmetic.
+    "q_media_decode" -> (s"WITH $decodeCte\nSELECT * FROM dec"),
 
     "q_media_embed" ->
-      s"""WITH m AS (SELECT doc_id, md5(text) AS cmd5 FROM documents),
+      s"""WITH $decodeCte,
+         |m AS (SELECT doc_id,
+         |        md5(concat_ws(':', kind, width, height, r_sum, g_sum, b_sum)) AS cmd5
+         |      FROM dec),
          |e AS (SELECT doc_id,
          |        [CAST(('0x' || substr(md5('emb:' || cmd5 || ':' || j), 1, 15))::BIGINT % 1000
          |              AS DOUBLE) / 1000.0 for j in range(0, $EmbedDims)] AS v

@@ -32,6 +32,58 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(4) == len / 64L + 1L)
     }
   }
+  test("real decode: a known 3x2 PNG and a BMP round-trip exact dims and channel sums") {
+    // id=16: 16%7=2 -> w=3, 16%5=1 -> h=2, even -> PNG
+    val png = Multimodal.synthImageBytes(16L)
+    assert(png.take(4).map(_ & 0xff).sameElements(Seq(0x89, 0x50, 0x4e, 0x47)),
+      "synth even-id payload must be genuine PNG bytes")
+    val d = Multimodal.decodeImagePartition(
+      Iterator(Multimodal.MediaPayload(16L, png))).next()
+    assert(d.kind == "image/png" && d.width == 3L && d.height == 2L)
+    def sum(off: Int) =
+      (for (y <- 0 until 2; x <- 0 until 3) yield Multimodal.pixelChannel(16L, x, y, off)).sum.toLong
+    assert(d.r_sum == sum(0) && d.g_sum == sum(97) && d.b_sum == sum(193),
+      s"decoded sums ${(d.r_sum, d.g_sum, d.b_sum)} != formula ${(sum(0), sum(97), sum(193))}")
+
+    val bmp = Multimodal.synthImageBytes(3L) // odd -> BMP, w=4, h=4
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val b = Multimodal.decodeImagePartition(
+      Iterator(Multimodal.MediaPayload(3L, bmp))).next()
+    def bsum(off: Int) =
+      (for (y <- 0 until 4; x <- 0 until 4) yield Multimodal.pixelChannel(3L, x, y, off)).sum.toLong
+    assert(b.kind == "image/bmp" && b.width == 4L && b.height == 4L &&
+      b.r_sum == bsum(0) && b.g_sum == bsum(97) && b.b_sum == bsum(193))
+
+    // non-image bytes route to the unknown-codec fallback; null to unreadable
+    val txt = "not an image".getBytes("UTF-8")
+    val f = Multimodal.decodeImagePartition(
+      Iterator(Multimodal.MediaPayload(7L, txt), Multimodal.MediaPayload(8L, null))).toSeq
+    assert(f(0).kind == "fake/decoded" && f(0).width == txt.length % 640 && f(0).r_sum == -1L)
+    assert(f(1).kind == "fake/unreadable")
+  }
+
+  test("decodedReal: ImageIO decode stays plan-native and matches the analytic oracle formula") {
+    val d = Multimodal.decodedReal(docs)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"decode must not drop to an RDD scan:\n$plan")
+    assert(plan.contains("MapPartitions"), s"expected typed mapPartitions:\n$plan")
+    val rows = d.collect()
+    assert(rows.nonEmpty && rows.length == docs.count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 10 == 9) assert(r.getString(1) == "fake/decoded" && r.getLong(4) == -1L)
+      else {
+        assert(r.getString(1) == (if (id % 2 == 0) "image/png" else "image/bmp"))
+        assert(r.getLong(2) == Multimodal.synthWidth(id).toLong, s"width mismatch doc $id")
+        assert(r.getLong(3) == Multimodal.synthHeight(id).toLong, s"height mismatch doc $id")
+        val exp = (for (y <- 0 until Multimodal.synthHeight(id);
+                        x <- 0 until Multimodal.synthWidth(id))
+          yield Multimodal.pixelChannel(id, x, y, 0)).sum.toLong
+        assert(r.getLong(4) == exp, s"r_sum mismatch doc $id")
+      }
+    }
+  }
+
   test("embedAssign: every doc lands in one cell; centroid docs self-assign") {
     val docs = graft.Tables.documents(spark, sf())
     val out = Multimodal.embedAssign(docs).collect()
