@@ -57,6 +57,11 @@ object Bpe {
   private def pairCounts(state: DataFrame): DataFrame =
     state
       .withColumn("t", split(trim(col("syms")), " "))
+      // a fully-merged word is a single symbol: no adjacent pairs. Without
+      // the filter, sequence(0, size-2) = sequence(0, -1) DESCENDS to
+      // [0, -1] and t[i+1] faults (the oracle's list_zip slice is naturally
+      // empty there)
+      .filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"),
         col("freq"))
@@ -101,6 +106,82 @@ object Bpe {
         StructField("cnt", LongType, nullable = false))))
   }
 
+  val BatchRounds = 2
+  val BatchM = 4
+  val CandWindow = 16
+
+  /** Batched merge learning — the production-cadence form of `learnMerges`
+    * (round-9 verdict item 3: one driver round-trip PER merge means a
+    * 30k-merge vocabulary is 30k sequential Spark jobs; batching top-m
+    * compatible merges per round cuts the cadence to ~n/m).
+    *
+    * Selection rule per round: rank all adjacent pairs by (cnt DESC, a, b),
+    * keep the top `k` as the candidate window, and select — in rank order,
+    * up to `m` — every candidate that shares NO symbol with ANY higher-
+    * ranked candidate in the window (selected or not). The
+    * "conflict-with-any-higher-ranked" form is deliberately chosen over
+    * greedy-on-selected: it is a pure rank predicate, so the DuckDB oracle
+    * expresses it as a NOT EXISTS over the same ranked window — no
+    * procedural selection loop to mirror. Slightly more conservative than
+    * greedy (a candidate can be vetoed by a pair that was itself vetoed),
+    * identical on both engines.
+    *
+    * Relation to sequential BPE (the documented delta): symbol-disjoint
+    * merges have independent pair counts (merging (a,b) only creates or
+    * destroys pairs touching a, b, or ab), so WITHIN a round the selected
+    * merges commute and each was a true top pair at round start. Divergence
+    * from `learnMerges` appears exactly when a merge CREATES a pair that
+    * sequential learning would have taken next — e.g. the word-completion
+    * chain (a,b) → (ab,&lt;/w&gt;), which ranks first sequentially but shares
+    * `ab` and so waits a round here. With m=1 the rule degenerates to top-1
+    * and the output equals `learnMerges` exactly (asserted in BpeSpec).
+    * Driver cadence: ONE k-row read per round instead of one 1-row read per
+    * merge.
+    */
+  def learnMergesBatched(docs: DataFrame, rounds: Int = BatchRounds,
+      m: Int = BatchM, k: Int = CandWindow): DataFrame = {
+    val spark = docs.sparkSession
+    var state = symbolized(wordFreqs(docs)).localCheckpoint(false)
+    val out = Seq.newBuilder[Row]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val cand = pairCounts(state)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(k)
+        .collect() // the per-round model read: k candidate rows, not 1
+      val selected = cand.zipWithIndex.filter { case (p, i) =>
+        val (a, b) = (p.getString(0), p.getString(1))
+        !cand.take(i).exists { q =>
+          val (qa, qb) = (q.getString(0), q.getString(1))
+          qa == a || qa == b || qb == a || qb == b
+        }
+      }.map(_._1).take(m)
+      if (selected.isEmpty) exhausted = true
+      else {
+        selected.zipWithIndex.foreach { case (p, j) =>
+          out += Row(round.toLong, (j + 1).toLong, p.getString(0), p.getString(1),
+            p.getString(0) + p.getString(1), p.getLong(2))
+        }
+        state = selected.foldLeft(state) { (df, p) =>
+          val (a, b) = (p.getString(0), p.getString(1))
+          df.withColumn("syms",
+            call_function("replace", col("syms"), lit(s" $a $b "), lit(s" $a$b ")))
+        }
+        round += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1),
+      StructType(Seq(
+        StructField("round", LongType, nullable = false),
+        StructField("sel", LongType, nullable = false),
+        StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
   /** Encode each document with a learned merge table: the same symbolize +
     * sequential-replace pipeline, applied map-side (merges become plan
     * literals — the broadcast-model pattern). Returns per-doc subword token
@@ -133,6 +214,7 @@ object Bpe {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s, d) => learnMerges(Tables.documents(s, d))),
+    "q_bpe_merges_batched" -> ((s, d) => learnMergesBatched(Tables.documents(s, d))),
     "q_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = learnMerges(docs)
@@ -162,6 +244,45 @@ object Bpe {
       }
       val unions = (1 to NumMerges)
         .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b, a || b AS merged, cnt FROM t$r")
+        .mkString("\n", "\nUNION ALL\n", "")
+      (w0 +: rounds).mkString("WITH ", ",\n", unions)
+    },
+
+    // Replays the ranked-window + conflict-with-any-higher-ranked selection
+    // per round; the fixed BatchM replace slots are padded with chr(1) no-op
+    // patterns when a round selects fewer than m merges, so the CTE shape is
+    // static while the selection stays data-dependent.
+    "q_bpe_merges_batched" -> {
+      val w0 =
+        s"""bw0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> ' AS syms, freq
+           |  FROM (SELECT tok AS w, count(*) AS freq
+           |        FROM (SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+           |        WHERE tok <> '' GROUP BY 1))""".stripMargin
+      val rounds = (1 to BatchRounds).map { r =>
+        val merges = (1 to BatchM).map { j =>
+          s"""bm${r}_$j AS (SELECT coalesce(max(' ' || a || ' ' || b || ' '), chr(1)) AS pat,
+             |  coalesce(max(' ' || a || b || ' '), chr(1)) AS rep FROM bs$r WHERE sel = $j)""".stripMargin
+        }
+        val nestedReplace = (1 to BatchM).foldLeft("syms") { (acc, j) =>
+          s"replace($acc, p$j.pat, p$j.rep)"
+        }
+        val fromMs = (1 to BatchM).map(j => s"bm${r}_$j p$j").mkString(", ")
+        (Seq(
+          s"""bc$r AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |  SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr, freq FROM (
+             |    SELECT string_split(trim(syms), ' ') AS l, freq FROM bw${r - 1}))
+             |  GROUP BY a, b)""".stripMargin,
+          s"""br$r AS (SELECT * FROM (SELECT a, b, cnt,
+             |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk FROM bc$r)
+             |  WHERE rnk <= $CandWindow)""".stripMargin,
+          s"""bs$r AS (SELECT a, b, cnt, row_number() OVER (ORDER BY rnk) AS sel
+             |  FROM br$r p WHERE NOT EXISTS (SELECT 1 FROM br$r q WHERE q.rnk < p.rnk
+             |    AND (q.a = p.a OR q.a = p.b OR q.b = p.a OR q.b = p.b))
+             |  ORDER BY rnk LIMIT $BatchM)""".stripMargin) ++ merges :+
+          s"""bw$r AS (SELECT $nestedReplace AS syms, freq FROM bw${r - 1}, $fromMs)""").mkString(",\n")
+      }
+      val unions = (1 to BatchRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, sel, a, b, a || b AS merged, cnt FROM bs$r")
         .mkString("\n", "\nUNION ALL\n", "")
       (w0 +: rounds).mkString("WITH ", ",\n", unions)
     },

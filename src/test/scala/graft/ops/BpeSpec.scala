@@ -37,6 +37,41 @@ class BpeSpec extends SparkSpec {
     assert(m(1) == (("a", "</w>", 1L)))
   }
 
+  test("batched with m=1 degenerates to exactly the sequential merge sequence") {
+    val corpus = docs((1L, "low low low lower"), (2L, "lowest slow slow"))
+    val seqM = Bpe.learnMerges(corpus, n = 6)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val batM = Bpe.learnMergesBatched(corpus, rounds = 6, m = 1)
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getString(2), r.getString(3), r.getLong(5))).toSeq
+    assert(batM == seqM, s"m=1 batched must equal sequential:\n$batM\n$seqM")
+  }
+
+  test("batched rounds: within-round selections are symbol-disjoint and rank-consistent") {
+    val corpus = docs(
+      (1L, "aa bb aa bb cc dd cc dd ee ff"),
+      (2L, "aa bb cc dd ee ff gg hh"),
+      (3L, "aa bb cc dd"))
+    val rows = Bpe.learnMergesBatched(corpus, rounds = 2, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (round, sel) =>
+      // no two merges in one round may share a symbol (they commute, and
+      // each was a true top-pair of the round-start state)
+      val syms = sel.flatMap(s => Seq(s._3, s._4))
+      assert(syms.distinct.length == syms.length,
+        s"round $round selections share symbols: $sel")
+      // sel is 1..k dense and counts are non-increasing in sel order
+      assert(sel.map(_._2).sorted.toSeq == (1L to sel.length).toSeq)
+      val cnts = sel.sortBy(_._2).map(_._5)
+      assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
+    }
+    // exhaustion on a degenerate corpus stops cleanly with what was learned
+    val tiny = Bpe.learnMergesBatched(docs((1L, "a")), rounds = 5, m = 4).collect()
+    assert(tiny.map(_.getLong(0)).distinct.length <= 2,
+      "single-letter word fully merges in one or two rounds and the loop must stop")
+  }
+
   test("encode compresses with learned merges and never crosses word boundaries") {
     val corpus = docs((1L, "low low lower"), (2L, "low"))
     val merges = Bpe.learnMerges(corpus, n = 3)
