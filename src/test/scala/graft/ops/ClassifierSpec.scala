@@ -39,6 +39,37 @@ class ClassifierSpec extends SparkSpec {
     assert(minGood > maxJunk, s"minGood=$minGood maxJunk=$maxJunk")
   }
 
+  test("trainConverged stops on the trajectory, not the budget, and agrees with fixed-round GD") {
+    // separable fixture: deltas shrink fast, so a loose epsilon stops early
+    val out = Classifier.trainConverged(corpus, positives = Seq("good"),
+      maxRounds = 30, epsE6 = 50000L).collect()(0)
+    val rounds = out.getLong(0)
+    assert(out.getBoolean(5), "must converge on the separable fixture")
+    assert(rounds < 30, s"stopped by budget, not convergence: $rounds")
+    // the converged weights ARE the fixed-round trajectory at that round
+    val traj = Classifier.train(corpus, positives = Seq("good"), rounds = rounds.toInt)
+      .collect().maxBy(_.getLong(0))
+    (1 to 4).foreach(j =>
+      assert(out.getDouble(j) == traj.getDouble(j), s"w$j mismatch at round $rounds"))
+    // a tighter epsilon must run at least as many rounds
+    val tight = Classifier.trainConverged(corpus, positives = Seq("good"),
+      maxRounds = 30, epsE6 = 500L).collect()(0)
+    assert(tight.getLong(0) >= rounds)
+  }
+
+  test("classifierEval: held-out metrics are well-formed and deterministic") {
+    val e = Classifier.classifierEval(corpus, positives = Seq("good")).collect()(0)
+    val (nTrain, nTest) = (e.getLong(0), e.getLong(1))
+    assert(nTrain > 0 && nTest > 0 && nTrain + nTest == 20)
+    val (acc, auc) = (e.getLong(2), e.getLong(3))
+    assert(acc >= 0L && acc <= 1000000L, s"accuracy_e6=$acc")
+    assert(auc >= 0L && auc <= 1000000L, s"auc_e6=$auc")
+    // separable fixture scored by a converged model: ranking must be strong
+    assert(auc >= 750000L, s"expected high AUC on separable data, got $auc")
+    val e2 = Classifier.classifierEval(corpus, positives = Seq("good")).collect()(0)
+    assert(e.toSeq == e2.toSeq, "eval must be bit-deterministic")
+  }
+
   test("gradient direction: one round from zero moves each weight by the class-mean feature gap") {
     // from w=0, p=0.5 for every row: g_j = avg((0.5 - y) * x_j)
     // = 0.5 * (mean_neg(x_j) - mean_pos(x_j)) / 1 (balanced classes)
