@@ -69,6 +69,67 @@ class CdcStreamSpec extends SparkSpec {
     }
   }
 
+  test("kill mid-stream: a batch upserted to the sink but uncommitted in the checkpoint replays idempotently") {
+    import spark.implicits._
+    withDerby { url =>
+      val feed = Files.createTempDirectory("cdc-feed").toString
+      val ckp = Files.createTempDirectory("ckp-cdc-replay").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE, ts_ms BIGINT")
+      def writeFeed(rows: Seq[(Long, Long, String, Double, Long)]): Unit =
+        rows.toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+          .coalesce(1).write.mode("append").json(feed)
+      def startQ() = {
+        val changes = spark.readStream.schema(schema).json(feed)
+          .withColumn("is_del", col("event_type") === "delete")
+        CdcStream.materializeJdbc(changes, url, "cdc_t",
+          keys = Seq("user_id"), ordering = Seq("ts_ms", "event_id"),
+          tombstoneCol = Some("is_del"))
+          .option("checkpointLocation", ckp).start()
+      }
+      val part1 = Seq(
+        (1L, 10L, "upsert", 1.0, 100L), (1L, 11L, "upsert", 2.0, 200L),
+        (2L, 20L, "upsert", 5.0, 100L))
+      val part2 = Seq(
+        (1L, 9L, "upsert", 0.5, 50L), // late, must lose to replayed state
+        (2L, 21L, "delete", 0.0, 200L),
+        (3L, 30L, "upsert", 7.0, 100L))
+      writeFeed(part1)
+      val q1 = startQ()
+      try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+
+      // Simulate the crash window the sink contract must survive: the
+      // micro-batch reached Derby (foreachBatch ran) but the engine died
+      // BEFORE writing the commit marker. Structured Streaming's recovery
+      // re-runs exactly that batch from the offset log, so the DELETE+INSERT
+      // upsert executes a second time against an already-upserted table.
+      val commitsDir = new java.io.File(ckp, "commits")
+      val newest = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      assert(newest.delete(), s"could not remove commit marker $newest")
+      // the local FS is a ChecksumFileSystem: the marker's hidden .crc must
+      // go too, or the replayed commit's rename trips over it
+      new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+
+      writeFeed(part2)
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val rows = spark.read.jdbc(url, "cdc_t", new java.util.Properties).collect()
+      // no duplicated entity after the replay (DELETE-then-INSERT per key)
+      assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+        s"duplicate serving rows after replay: ${rows.mkString(",")}")
+      val back = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      // and the table converged to the batch-operator truth over the full log
+      val batch = Cdc.latestSnapshot(
+        (part1 ++ part2).toDF("user_id", "event_id", "event_type", "value", "ts_ms"),
+        Seq("user_id"), Seq("ts_ms", "event_id"),
+        isDelete = Some(col("event_type") === "delete"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      assert(back == batch, s"serving table $back != batch truth $batch")
+    }
+  }
+
   test("snapshot state survives a restart from checkpoint (ordering kept across the stop)") {
     import spark.implicits._
     withDerby { url =>
