@@ -72,6 +72,7 @@ object StreamBench {
       case "ingest" => runIngest(spark, total, batchSize, cpus.toInt)
       case "admit"  => runAdmit(spark, total, batchSize, cpus.toInt)
       case "cdc"    => runCdc(spark, total, batchSize)
+      case "soak"   => runSoak(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -223,6 +224,73 @@ object StreamBench {
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     q.stop()
+    (total.toLong, secs)
+  }
+
+  /** State-growth soak (round-10): the `admit` chain run long (10× the
+    * recorded bench length) with per-batch state-store telemetry, proving
+    * watermark eviction BOUNDS state — the property that decides whether
+    * the admission chain survives an unbounded stream. Emits one JSON line
+    * per micro-batch (input rows, per-operator state rows, state bytes —
+    * RocksDB SST sizes included via custom metrics when that store is on)
+    * before the rows/sec summary, then a `soak_verdict` line comparing peak
+    * state over the middle vs final third of the run: flat (ratio ≈ 1) =
+    * eviction holds; monotone growth = a leak. Parquet sink, not memory —
+    * 20M admitted rows must not accumulate in driver heap.
+    */
+  private def runSoak(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    val dir = java.nio.file.Files.createTempDirectory("streambench-soak").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    var from = 0L
+    while (from < total) {
+      val n = math.min(batchSize.toLong, total - from)
+      corpusDf(spark, from, n).repartition(filesPerChunk)
+        .write.mode("append").parquet(dir)
+      from += n
+    }
+    val schema = corpusDf(spark, 0, 1).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false")
+      .parquet(dir)
+    val outDir = java.nio.file.Files.createTempDirectory("streambench-soak-out").toString
+    val t0 = System.nanoTime()
+    val q = CorpusIngest.admittedDocs(src, "10 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streambench-soak-ckp").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val perBatch = progress.filter(_.numInputRows > 0).map { p =>
+      val rows = p.stateOperators.map(_.numRowsTotal)
+      val mem = p.stateOperators.map(_.memoryUsedBytes)
+      val sst = p.stateOperators.map { so =>
+        import scala.jdk.CollectionConverters._
+        so.customMetrics.asScala.collect {
+          case (k, v) if k.toLowerCase.contains("sstfiles") => v.longValue()
+        }.sum
+      }
+      (p.batchId, p.numInputRows, rows.sum, mem.sum + sst.sum,
+        rows.mkString("[", ",", "]"), mem.mkString("[", ",", "]"))
+    }
+    perBatch.foreach { case (id, in, rowsSum, bytes, rowsArr, memArr) =>
+      println(s"""{"soak_batch":$id,"input_rows":$in,"state_rows_total":$rowsSum,"state_bytes_total":$bytes,"state_rows":$rowsArr,"state_mem":$memArr}""")
+    }
+    // verdict: peak state over the MIDDLE third vs the FINAL third — a
+    // bounded store plateaus after warm-up, a leak keeps climbing
+    val n = perBatch.size
+    if (n >= 6) {
+      val mid = perBatch.slice(n / 3, 2 * n / 3).map(_._3).max
+      val fin = perBatch.slice(2 * n / 3, n).map(_._3).max
+      val ratio = fin.toDouble / math.max(mid, 1L).toDouble
+      println(f"""{"soak_verdict":"${if (ratio < 1.15) "bounded" else "growing"}","peak_state_rows_mid_third":$mid,"peak_state_rows_final_third":$fin,"final_vs_mid":$ratio%.3f}""")
+    }
     (total.toLong, secs)
   }
 

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up of the driver testdata (driver-side tooling).
+
+Produces an sfN directory with the SAME schemas (exact arrow/parquet
+physical types, including events.ts timestamp[ns] and embeddings
+list<float>) and the same per-copy distributions as the source, at
+FACTOR x the row count. Used for the round-10 scale-ramp validation:
+correctness and bench at sf1 = 10 x sf0.1 (TESTDATA.md stops at sf0.1
+and /root/testdata is read-only, so the ramp fixture lives under the
+repo instead).
+
+Construction (copy index cp = 0..F-1; cp 0 is the source data verbatim):
+  - region/nation: fixed dimensions, copied once (TPC-H convention).
+  - customer/supplier/part/orders/lineitem/events: cp adds cp*10^7 to
+    every key column (consistently across fact/dim, so join selectivity
+    and per-key cardinalities are EXACTLY preserved; each copy is an
+    isolated sub-universe). Timestamps/prices untouched: window counts
+    grow linearly, distributions don't move.
+  - documents: doc_id offset; text Caesar-shifted by cp over [a-z]
+    (length/token structure/Zipf shape preserved; planted duplicate and
+    near-duplicate clusters replicate WITHIN a copy but are unrelated
+    ACROSS copies, so dedup work scales linearly, not quadratically).
+  - embeddings: vec_id offset; vector circularly rotated by cp
+    (norm-preserving; rotated copies are distinct points, so ANN
+    structure scales linearly).
+
+Usage: python3 tools/gen_scale.py [src] [dst] [factor]
+Defaults: /root/testdata/sf0.1 testdata/sf1 10
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "testdata/sf1"
+FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = 10_000_000
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def shift_keys(tbl, cols, cp):
+    for c in cols:
+        i = tbl.schema.get_field_index(c)
+        shifted = pc.add(tbl.column(c), pa.scalar(cp * OFF, pa.int64()))
+        tbl = tbl.set_column(i, tbl.schema.field(i), shifted.cast(pa.int64()))
+    return tbl
+
+
+def caesar(text_col, cp):
+    table = str.maketrans(ALPHA, ALPHA[cp % 26:] + ALPHA[:cp % 26])
+    return pa.array([t if t is None else t.translate(table)
+                     for t in text_col.to_pylist()], pa.string())
+
+
+def rotate_vecs(vec_col, cp):
+    rot = [v if v is None else v[cp % len(v):] + v[:cp % len(v)]
+           for v in vec_col.to_pylist()]
+    return pa.array(rot, vec_col.type)
+
+
+def gen(name):
+    src = pq.read_table(f"{SRC}/{name}.parquet")
+    if name in ("region", "nation"):
+        out = src
+    else:
+        parts = []
+        for cp in range(FACTOR):
+            t = shift_keys(src, KEY_COLS.get(name, []), cp)
+            if name == "documents":
+                i = t.schema.get_field_index("doc_id")
+                t = t.set_column(i, t.schema.field(i),
+                                 pc.add(t.column("doc_id"),
+                                        pa.scalar(cp * OFF, pa.int64())).cast(pa.int64()))
+                j = t.schema.get_field_index("text")
+                t = t.set_column(j, t.schema.field(j), caesar(t.column("text"), cp))
+            if name == "embeddings":
+                i = t.schema.get_field_index("vec_id")
+                t = t.set_column(i, t.schema.field(i),
+                                 pc.add(t.column("vec_id"),
+                                        pa.scalar(cp * OFF, pa.int64())).cast(pa.int64()))
+                j = t.schema.get_field_index("embedding")
+                t = t.set_column(j, t.schema.field(j),
+                                 rotate_vecs(t.column("embedding"), cp))
+            parts.append(t)
+        out = pa.concat_tables(parts)
+    # one row group per ~128MB keeps the scan parallelizable without
+    # thousands of tiny groups
+    pq.write_table(out, f"{DST}/{name}.parquet", compression="snappy",
+                   row_group_size=1 << 20)
+    print(f"{name}: {src.num_rows} -> {out.num_rows}")
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        gen(t)
+
+
+if __name__ == "__main__":
+    main()
