@@ -44,12 +44,21 @@ def main():
             sys.exit(1)
 
     con = duckdb.connect()
+    # Bound DuckDB so a heavy oracle (recursive CTE at sf>=1) spills instead of
+    # tripping the OOM killer; override via GRAFT_DUCKDB_MEM.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{SFDIR}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
+    only = os.environ.get("GRAFT_VERIFY_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     results = {}
     for name, sql in sorted(oracle.items()):
         spath = f"{OUTDIR}/{name}"
