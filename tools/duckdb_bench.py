@@ -26,6 +26,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # Same guard as local_verify.py: bound DuckDB so a heavy oracle spills
+    # instead of tripping the OOM killer; override via GRAFT_DUCKDB_MEM.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{SFDIR}/{t}.parquet"
         if os.path.exists(p):
