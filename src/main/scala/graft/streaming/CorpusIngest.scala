@@ -136,12 +136,30 @@ object CorpusIngest {
     // keep = toks: scoring, the exact fingerprint and the minhash signatures
     // all ride ONE tokenize pass
     val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "fp", "toks"))
-    val exact = scored
+    val gated = scored
       .withWatermark("ts", watermarkDelay)
       .filter(gate(col("quality_e6")))
+    // Short/long split BEFORE exact dedup, one dropDuplicatesWithinWatermark
+    // PER branch: a single dedup whose output fed both the band engine and
+    // the short-doc bypass would be planned twice (once per consumer), and
+    // watermark propagation registers only the first planned instance of a
+    // stateful operator — the second one's eviction watermark stays 0 and
+    // its store grows one row per doc, forever (caught by the round-10
+    // 20M-row soak; see the plan contract on NearDupStream.admittedFromToks).
+    // The split is semantics-preserving: fp is the md5 of the full token
+    // join, so identical texts have identical token counts and duplicates
+    // can never straddle the short/long boundary. Filters stay PINNED below
+    // the watermark node so junk-only stretches still advance event time.
+    val longExact = gated
+      .filter(Pin.keep(size(col("toks")) >= 3))
       .dropDuplicatesWithinWatermark("fp")
       .select(col("ts"), col("doc_id"), col("toks"))
-    NearDupStream.admittedFromToks(exact, threshold, watermarkDelay)
+    val shortExact = gated
+      .filter(Pin.keep(size(col("toks")) < 3))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("ts"), col("doc_id"))
+    NearDupStream.admittedLongFromToks(longExact, threshold, watermarkDelay)
+      .unionByName(shortExact)
   }
 
   /** Land the ADMITTED corpus as parquet — the production close of

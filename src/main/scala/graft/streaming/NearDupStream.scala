@@ -155,7 +155,21 @@ object NearDupStream {
           admitCol.map(col): _*),
       threshold, watermarkDelay, idleTimeoutMs, maxBucket, admitCol)
 
-  /** `admitted` over a pre-tokenized (ts, doc_id, toks [, admitCol]) input. */
+  /** `admitted` over a pre-tokenized (ts, doc_id, toks [, admitCol]) input.
+    *
+    * PLAN CONTRACT: `docs` is consumed by TWO branches (the band engine and
+    * the short-doc bypass). Spark plans a shared subplan once PER CONSUMER,
+    * and per-operator watermark propagation registers only the first
+    * planned instance of a stateful operator — the second instance's
+    * eviction watermark stays 0 forever, so its state store never evicts
+    * (found by the round-10 StreamBench soak: the duplicated
+    * `dropDuplicatesWithinWatermark` grew one row per admitted doc,
+    * unbounded). Pass a STATELESS subplan here; if the upstream contains a
+    * stateful operator (exact dedup, an aggregation), pre-split short/long
+    * and give each branch its own stateful node, then call
+    * `admittedLongFromToks` for the long side — the shape
+    * `CorpusIngest.admittedDocs` uses.
+    */
   def admittedFromToks(
       docs: DataFrame,
       threshold: Double = Dedup.JaccardThreshold,
@@ -164,15 +178,8 @@ object NearDupStream {
       maxBucket: Int = 65536,
       admitCol: Option[String] = None): DataFrame = {
     val streaming = docs.isStreaming
-    val verdicts0 = engine(docs, threshold, watermarkDelay, idleTimeoutMs,
-      maxBucket, admitCol, verdicts = true)
-    val verdicts =
-      if (streaming) verdicts0.withWatermark("ts", watermarkDelay) else verdicts0
-    val longDocs = verdicts
-      .groupBy(col("ts"), col("doc_id"))
-      .agg(max(when(col("matched"), 1).otherwise(0)).as("__m"))
-      .filter(col("__m") === 0)
-      .select(col("ts"), col("doc_id"))
+    val longDocs = admittedLongFromToks(
+      docs, threshold, watermarkDelay, idleTimeoutMs, maxBucket, admitCol)
     // < 3 tokens: no shingles, no bands — admitted by construction. Own
     // watermark node (same delay; Spark combines multiple watermarks by min),
     // gate pinned above it like the engine's.
@@ -186,6 +193,34 @@ object NearDupStream {
     }
     val shortDocs = base.filter(Pin.keep(shortKeep)).select(col("ts"), col("doc_id"))
     longDocs.unionByName(shortDocs)
+  }
+
+  /** The long-doc (>= 3 tokens) half of `admittedFromToks`: band engine +
+    * watermarked per-doc verdict OR, and nothing else. Docs with < 3
+    * tokens produce no shingles, hence no bands, hence NO verdict rows —
+    * they are silently ABSENT from the result, so use `admittedFromToks`
+    * unless short docs are handled by the caller. Exists separately
+    * because this method reads `docs` exactly ONCE, which is what lets a
+    * composed plan keep a STATEFUL upstream (e.g. exact dedup)
+    * single-consumer — see the plan contract on `admittedFromToks`.
+    */
+  def admittedLongFromToks(
+      docs: DataFrame,
+      threshold: Double = Dedup.JaccardThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxBucket: Int = 65536,
+      admitCol: Option[String] = None): DataFrame = {
+    val streaming = docs.isStreaming
+    val verdicts0 = engine(docs, threshold, watermarkDelay, idleTimeoutMs,
+      maxBucket, admitCol, verdicts = true)
+    val verdicts =
+      if (streaming) verdicts0.withWatermark("ts", watermarkDelay) else verdicts0
+    verdicts
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(max(when(col("matched"), 1).otherwise(0)).as("__m"))
+      .filter(col("__m") === 0)
+      .select(col("ts"), col("doc_id"))
   }
 
   /** True iff `c` already carries event-time watermark metadata — composed

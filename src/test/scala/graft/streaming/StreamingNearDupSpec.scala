@@ -458,4 +458,50 @@ class StreamingNearDupSpec extends SparkSpec {
       assert(got.contains((10L, 11L)) && got.contains((11L, 12L)) && got.contains((10L, 12L)), got.toString)
     } finally q.stop()
   }
+
+  test("every state store in the composed admission chain evicts (no zero-watermark duplicate operator)") {
+    // Regression pin for the round-10 soak finding: when the exact-dedup
+    // subplan was consumed by two union branches, Spark planned the
+    // dropDuplicatesWithinWatermark operator twice and per-operator
+    // watermark propagation left the second instance's eviction watermark
+    // at 0 — its store grew one row per doc, forever. Feed waves of UNIQUE
+    // gate-passing docs with event time advancing well past the watermark
+    // and assert every stateful operator's row count stays far below the
+    // cumulative feed (a leaking instance holds ~all fingerprints ever).
+    import spark.implicits._
+    val adjs = Seq("amber", "quiet", "broad", "pale", "gentle", "worn", "deep",
+      "early", "bright", "distant")
+    val nouns = Seq("harbor", "meadow", "valley", "garden", "forest", "river",
+      "village", "orchard", "island", "canyon")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val src = Sources.memoryStream[SDoc](spark)
+    val q = CorpusIngest.admittedDocs(src.toDS().toDF(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("ndevict").outputMode("append").start()
+    try {
+      val perWave = 25
+      val waves = 10
+      for (w <- 0 until waves) {
+        val docs = (0 until perWave).map { i =>
+          val n = w * perWave + i
+          SDoc(ts(1000L + w * 5000L + i), n.toLong, "s",
+            s"the ${adjs(n % 10)} ${nouns(n / 10 % 10)} number ${adjs(n / 100 % 10)} " +
+              "rests by the long stone pier while the morning light warms the calm " +
+              "water and the small boats drift slowly out toward the open sea")
+        }
+        src.addData(docs)
+        q.processAllAvailable()
+      }
+      val ops = q.lastProgress.stateOperators
+      val fed = waves * perWave
+      ops.foreach { so =>
+        assert(so.numRowsTotal < fed * 0.6,
+          s"state store '${so.operatorName}' holds ${so.numRowsTotal} rows after " +
+            s"$fed unique docs spanning ${waves * 5}s of event time under a 10s " +
+            "watermark — eviction is not happening (zero-watermark operator?)")
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
 }
