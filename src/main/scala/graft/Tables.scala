@@ -28,12 +28,24 @@ object Tables {
     * we also derive `ts_t` (TimestampType, ms precision) for Spark's native
     * window()/session_window() operators.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, dir, "events")
+    // The generator has shipped `ts` both as TIMESTAMP(NANOS) (read as
+    // LongType epoch-nanos under nanosAsLong) and as TIMESTAMP(MICROS)
+    // (read as TIMESTAMP_NTZ); normalize to the engine contract — epoch-nanos
+    // LongType — before deriving `__time__`. Session timeZone is UTC
+    // (GraftSession), so the NTZ→TIMESTAMP cast is a micros-identity.
+    val tsNanos = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _ => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    }
+    raw.withColumn("ts", tsNanos)
       // Integer division — `/` on longs promotes to double, which cannot
       // represent 1.7e18 nanos exactly (53-bit mantissa) and would corrupt ms.
       .withColumn("__time__", expr("ts div 1000000"))
       .withColumn("ts_t", timestamp_millis(col("__time__")))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -636,6 +636,47 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
+  // --- semantic dedup (SemDeDup) -------------------------------------------
+
+  val SemCells = Similarity.IvfCells // coarse clusters for the pair scope
+  val SemThreshold = 0.35
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings with
+    * a coarse quantizer, then prune near-duplicates ONLY within each cluster
+    * — a vector is dropped when a lower-id member of its own cell sits above
+    * the cosine threshold, so each semantic-duplicate group keeps exactly
+    * its lowest-id representative (the deterministic stand-in for the
+    * paper's "keep one random member").
+    *
+    * Scale shape: assignment is a broadcast argmax over the centroid set
+    * (map-only); the pairwise compare is an equi-join on `cell`, so the
+    * quadratic term is (N/k)² per cell, never N² — and k is the scale knob:
+    * production runs k ∝ N / target-cell-size (the paper uses 50k clusters
+    * for LAION), keeping per-cell work constant as the corpus grows. Cell
+    * sizes are bounded-checked in SemDedupSpec. Seed centroids are the same
+    * deterministic training-free quantizer `Similarity.ivfTopK` uses; swap
+    * in `Similarity.trainedCentroids` for better-centered cells.
+    */
+  def semanticDedup(embs: DataFrame): DataFrame = {
+    val e = Similarity.normalized(embs)
+    val cents = e.filter(col("vec_id") < SemCells)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val asg = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("nv"), col("cell"),
+        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("cell"), col("vec_id"), col("nv"))
+    val a = asg.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"), col("nv").as("va"))
+    val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"), col("nv").as("vb"))
+    val dropped = a.join(b, col("cell_a") === col("cell_b") && col("vec_b") < col("vec_a"))
+      .filter(GraftFunctions.dot(col("va"), col("vb")) >= SemThreshold)
+      .select(col("vec_a").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -646,6 +687,7 @@ object Dedup {
     "q_dedup_verify" -> ((s, d) => lshVerifiedPairs(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => connectedComponents(lshVerifiedPairs(Tables.documents(s, d)))),
     "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))),
+    "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     // increment = every 5th doc, corpus = the rest — a fixed deterministic
     // split so the incremental operators get a hash-checkable oracle
     "q_dedup_incr_exact" -> ((s, d) => incrementalExact(
@@ -874,5 +916,22 @@ object Dedup {
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |        list_sum([a.nv[i] * b.nv[i] for i in range(1, 65)]) AS cos
          |      FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= $CosineThreshold""".stripMargin)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= $CosineThreshold""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+         |nv AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+         |c AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $SemCells),
+         |r AS (SELECT v.vec_id, c.cell,
+         |        row_number() OVER (PARTITION BY v.vec_id
+         |          ORDER BY list_sum([v.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS rk
+         |      FROM nv v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cell FROM r WHERE rk = 1),
+         |dropped AS (SELECT DISTINCT a.vec_id
+         |            FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |            JOIN nv na ON na.vec_id = a.vec_id JOIN nv nb ON nb.vec_id = b.vec_id
+         |            WHERE list_sum([na.nv[i] * nb.nv[i] for i in range(1, 65)]) >= $SemThreshold)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)
 }

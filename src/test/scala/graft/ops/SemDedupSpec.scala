@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+/** SemDeDup invariants (Dedup.semanticDedup): cluster-scoped semantic
+  * pruning must keep exactly one representative per within-cell duplicate
+  * group, never compare across cells, and keep per-cell work bounded.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  private lazy val kept = Dedup.semanticDedup(embs).collect()
+    .map(r => r.getLong(0) -> r.getLong(1)).toMap // vec_id -> cell
+
+  private lazy val vecs = embs.collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("survivors are a strict, non-empty subset of the input ids") {
+    assert(kept.nonEmpty)
+    assert(kept.keySet.subsetOf(vecs.keySet))
+    assert(kept.size < vecs.size, "test embeddings plant semantic near-dups")
+  }
+
+  test("no two survivors in the same cell sit above the cosine threshold") {
+    kept.groupBy(_._2).values.foreach { cellMembers =>
+      val ids = cellMembers.keys.toSeq.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size) {
+        val c = cosine(vecs(ids(i)), vecs(ids(j)))
+        assert(c < Dedup.SemThreshold,
+          s"kept pair ${ids(i)},${ids(j)} cos $c >= ${Dedup.SemThreshold}")
+      }
+    }
+  }
+
+  test("each dropped vector has a lower-id near-dup witness above threshold") {
+    // The operator drops d only when a lower-id member of d's OWN cell sits
+    // above the threshold; the output doesn't carry dropped vectors' cells,
+    // so assert the implied (necessary) condition over the full id universe.
+    val dropped = vecs.keySet -- kept.keySet
+    dropped.foreach { d =>
+      val hasWitness = vecs.keys.exists { o =>
+        o < d && cosine(vecs(d), vecs(o)) >= Dedup.SemThreshold
+      }
+      assert(hasWitness, s"vec $d dropped without a lower-id near-dup witness")
+    }
+  }
+
+  test("the globally lowest id survives (no lower-id witness can exist)") {
+    assert(kept.contains(vecs.keySet.min))
+  }
+
+  test("cell population stays bounded (no degenerate all-in-one-cell quantizer)") {
+    val sizes = kept.groupBy(_._2).map(_._2.size)
+    val total = sizes.sum
+    assert(sizes.max <= math.max(4, total / 2),
+      s"one cell holds ${sizes.max} of $total survivors — quantizer collapsed")
+    assert(sizes.size > 1, "expected multiple populated cells")
+  }
+
+  test("pair scope is an equi-join on cell, never a cross product") {
+    val plan = Dedup.semanticDedup(embs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell compare must be an equi-join on cell")
+  }
+}
