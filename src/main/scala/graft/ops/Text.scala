@@ -239,6 +239,59 @@ object Text {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  // --- BM25 retrieval ------------------------------------------------------
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  /** Fixed query — literal terms so the driver oracle is reproducible. */
+  val Bm25Query: Seq[String] = Seq("spark", "stream", "window", "hash")
+
+  /** BM25 top-k retrieval for a fixed term query (Robertson & Zaragoza 2009,
+    * the Lucene `1 + (N-df+0.5)/(df+0.5)` idf variant, k1=1.2 b=0.75).
+    *
+    * Scale shape: the ONLY corpus-wide passes are (a) the token scan that
+    * builds per-doc lengths and (b) the same scan filtered to the |Q| query
+    * terms — the `isin` literal gate is codegen'd map-side, so the postings
+    * shuffle carries just the matching (doc, term, tf) rows, proportional to
+    * the query's document frequency, never the corpus. df (≤|Q| rows), the
+    * doc count, and avgdl are broadcast 1-row/|Q|-row aggregates. avgdl is
+    * exact-integer sum ÷ count in ONE IEEE division (not a running double
+    * avg) so the score is bit-identical across engines and partitionings.
+    * Final cut is orderBy+limit → TakeOrderedAndProject, rank assigned over
+    * the ≤ topK survivors. At 100 TB this is scan-bound + one doc_id-keyed
+    * join of query-postings against doc lengths.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String] = Bm25Query,
+      topK: Int = Bm25TopK): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dlen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dlen.agg(sum(col("dl")).as("sum_dl")))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val contrib = tf.join(dlen, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(totals))
+      // spelled to parse identically to the oracle SQL: left-assoc +/-,
+      // then * / left-to-right — double ops must match op-for-op
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(Bm25K1 + 1))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** (doc_id, term, tf, tfidf): two partial+final aggs + a broadcast 1-row
     * doc count.
     */
@@ -485,6 +538,7 @@ object Text {
     "q_text_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "q_text_ctype" -> ((s, d) => contentType(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
+    "q_search_bm25" -> ((s, d) => bm25(Tables.documents(s, d))),
     // the documents text is clean ASCII, so the NFC/collapse oracle wraps it
     // in a deterministic messy fixture (decomposed accents, TAB, ZWSP, NBSP)
     // built identically on both engines — the q_domain_url convention
@@ -583,6 +637,25 @@ object Text {
          |      FROM s)
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $TfIdfTopK""".stripMargin,
+
+    "q_search_bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE term IN (${Bm25Query.map(q => s"'$q'").mkString(", ")}) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |ad AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+         |s AS (SELECT tf.doc_id,
+         |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |          * (tf * ${Bm25K1 + 1})
+         |          / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) AS c
+         |      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN ad),
+         |sc AS (SELECT doc_id, round(sum(c), 6) AS score FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score,
+         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM sc)
+         |SELECT doc_id, score, rank FROM r WHERE rank <= $Bm25TopK""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

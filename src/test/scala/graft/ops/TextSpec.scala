@@ -228,4 +228,41 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == "math", out.toString)
     assert(out(3L) == "prose", out.toString)
   }
+
+  test("bm25: hand-computed score on a 3-doc fixture, rarity outranks raw tf") {
+    // q = {spark}: doc 1 has tf=1/len=2, doc 2 tf=2/len=4, doc 3 tf=0
+    val d = docs(
+      (1, "spark rocks"),
+      (2, "spark spark other words"),
+      (3, "plain text here"))
+    val out = Text.bm25(d, queryTerms = Seq("spark"), topK = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L), "doc 3 has no query term")
+    val n = 3.0; val df = 2.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val avgdl = (2 + 4 + 3) / 3.0
+    def s(tf: Double, dl: Double) = BigDecimal(
+      idf * (tf * (Text.Bm25K1 + 1)) /
+        (tf + Text.Bm25K1 * (1.0 - Text.Bm25B + Text.Bm25B * dl / avgdl)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == s(1, 2), s"doc1 ${out(1L)._1} vs ${s(1, 2)}")
+    assert(out(2L)._1 == s(2, 4), s"doc2 ${out(2L)._1} vs ${s(2, 4)}")
+    // doc 2's double tf beats doc 1 despite longer length at b=0.75
+    assert(out(2L)._2 == 1L && out(1L)._2 == 2L)
+  }
+
+  test("bm25: ranks are dense 1..k ordered by (score desc, doc_id) and k caps output") {
+    val d = docs((1L to 30L).map(i => i -> s"spark doc number $i"): _*)
+    val out = Text.bm25(d, queryTerms = Seq("spark"), topK = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to 5L))
+    // identical texts → identical scores → doc_id breaks the tie
+    assert(out.map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+  }
+
+  test("bm25: plan broadcasts the tiny sides, no cartesian product") {
+    val plan = Text.bm25(docs((1, "spark a"), (2, "b c")), Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "totals/df must broadcast")
+  }
 }
