@@ -84,6 +84,67 @@ object Sampling {
       .drop("copies")
   }
 
+  // --- DSIR hashed importance resampling -----------------------------------
+
+  val DsirBuckets = 64
+  val DsirTopK = 100
+  /** Target domain for the demo query: the corpus's English slice. */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * estimate per-document importance weights under two hashed bag-of-ngrams
+    * models — a TARGET domain model and the RAW corpus model — then select
+    * top-k by weight plus Gumbel noise (importance resampling without
+    * replacement). Features are unigrams+bigrams hashed into `DsirBuckets`
+    * buckets; both models are Laplace-smoothed multinomials over buckets;
+    * log w(d) = Σ_b n_b(d)·(ln p̂_target(b) − ln q̂_raw(b)).
+    *
+    * Determinism: the Gumbel uniform is the engine-portable 60-bit md5 hash
+    * of doc_id mapped into (0,1) — no RNG state, membership reproducible
+    * across engines and partitionings (same contract as `stratified`).
+    *
+    * Scale shape: one token scan builds hashed (doc, bucket, n) counts — the
+    * only corpus-wide shuffle, carrying ≤ `DsirBuckets` rows per doc. Both
+    * models are ≤ B-row aggregates broadcast back; scoring is a broadcast
+    * join + per-doc sum; selection is orderBy+limit (TakeOrderedAndProject).
+    * At 100 TB nothing beyond the bucketed counts ever shuffles.
+    */
+  def importanceResample(docs: DataFrame, topK: Int = DsirTopK): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      Text.tokens(col("text")).as("toks"))
+    val feats = toks
+      .withColumn("bi",
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(array()))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"), col("bi"))).as("feat"))
+      .withColumn("bucket", hash60("dsir", col("feat")) % DsirBuckets)
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val raw = feats.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
+    val tgt = feats.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("bucket")).agg(sum(col("n")).as("tc"))
+    val tots = raw.agg(sum(col("rc")).as("rt"))
+      .crossJoin(tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("tt")))
+    // raw covers every bucket any doc hits, so it is the bucket domain
+    val llr = raw.join(tgt, Seq("bucket"), "left").crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") / (col("tt") + DsirBuckets))
+          - log((col("rc") + 1).cast("double") / (col("rt") + DsirBuckets))).as("llr"))
+    val u = (hash60("gumbel", col("doc_id")) % Million + lit(0.5)) / lit(1000000.0)
+    val scored = feats.join(broadcast(llr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("n") * col("llr")), 6).as("logw"))
+      .withColumn("score", round(col("logw") + (log(log(u) * -1) * -1), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   // Fixed demo mixes over the documents table: target an English-light,
   // French-heavy corpus. Chosen so every branch (down-, up-, pass-through,
   // fractional, dropped) is exercised.
@@ -98,7 +159,8 @@ object Sampling {
         .select(col("doc_id"), col("lang"))),
     "q_sample_resample" -> ((s, d) =>
       weightedResample(Tables.documents(s, d), "doc_id", "lang", MixWeights)
-        .select(col("doc_id"), col("lang"), col("rep"))))
+        .select(col("doc_id"), col("lang"), col("rep"))),
+    "q_sample_importance" -> ((s, d) => importanceResample(Tables.documents(s, d))))
 
   private def duckHash(salt: String): String =
     s"('0x' || substr(md5('$salt' || cast(doc_id AS VARCHAR)), 1, 15))::BIGINT"
@@ -127,5 +189,35 @@ object Sampling {
          |  FROM documents)
          |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS rep
          |FROM c WHERE copies > 0""".stripMargin
-    })
+    },
+
+    "q_sample_importance" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${Text.toksSql} AS toks FROM documents),
+         |tb AS (SELECT doc_id, lang, toks,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         |              ELSE [] END AS bi
+         |       FROM t),
+         |f AS (SELECT doc_id, lang, unnest(list_concat(toks, bi)) AS feat FROM tb),
+         |fc AS (SELECT doc_id, lang,
+         |         ('0x' || substr(md5('dsir' || feat), 1, 15))::BIGINT % $DsirBuckets AS bucket,
+         |         count(*) AS n
+         |       FROM f GROUP BY 1, 2, 3),
+         |raw AS (SELECT bucket, sum(n) AS rc FROM fc GROUP BY 1),
+         |tgt AS (SELECT bucket, sum(n) AS tc FROM fc WHERE lang = '$DsirTargetLang' GROUP BY 1),
+         |tots AS (SELECT (SELECT sum(rc) FROM raw) AS rt,
+         |                (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt),
+         |llr AS (SELECT r.bucket,
+         |          ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + $DsirBuckets))
+         |            - ln((rc + 1)::DOUBLE / (rt + $DsirBuckets)) AS llr
+         |        FROM raw r LEFT JOIN tgt USING (bucket) CROSS JOIN tots),
+         |w AS (SELECT doc_id, lang, round(sum(n * llr), 6) AS logw
+         |      FROM fc JOIN llr USING (bucket) GROUP BY 1, 2),
+         |s AS (SELECT doc_id, lang, logw,
+         |        round(logw + ln(ln((${duckHash("gumbel")} % 1000000 + 0.5) / 1000000.0) * -1) * -1, 6) AS score
+         |      FROM w),
+         |r AS (SELECT doc_id, lang, logw, score,
+         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT doc_id, lang, logw, score, rank FROM r WHERE rank <= $DsirTopK""".stripMargin)
 }

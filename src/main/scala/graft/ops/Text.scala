@@ -556,8 +556,8 @@ object Text {
       scrub(Tables.events(s, d), "props", Seq("\\d+" -> "<NUM>"))
         .select(col("event_id"), col("scrubbed"), col("n_redactions"))))
 
-  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private[ops] val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[ops] val toksSql = s"string_split($normSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
     "q_text_lmscore" ->

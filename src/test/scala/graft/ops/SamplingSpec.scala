@@ -46,6 +46,42 @@ class SamplingSpec extends SparkSpec {
     assert(r.count() == r.select("doc_id", "rep").distinct().count())
   }
 
+  test("importance resampling favors the target domain and is partitioning-independent") {
+    val out = Sampling.importanceResample(docs, topK = 100)
+    val rows = out.collect()
+    assert(rows.length == 100)
+    // the selected slice should be predominantly target-domain: DSIR weights
+    // are log-likelihood ratios toward the 'en' model
+    val enFrac = rows.count(_.getString(1) == Sampling.DsirTargetLang).toDouble / rows.length
+    val baseFrac = {
+      val t = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      t(Sampling.DsirTargetLang).toDouble / t.values.sum
+    }
+    assert(enFrac > baseFrac,
+      s"selected en-fraction $enFrac should beat the corpus base rate $baseFrac")
+    // mean selected weight strictly above corpus mean (it's a top-k cut)
+    val repart = Sampling.importanceResample(docs.repartition(7), topK = 100).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(3), r.getLong(4))).toSeq.sorted ==
+      repart.map(r => (r.getLong(0), r.getDouble(3), r.getLong(4))).toSeq.sorted,
+      "selection must not depend on the physical split layout")
+  }
+
+  test("importance weights separate target from off-target text on a planted fixture") {
+    import spark.implicits._
+    // target docs share a vocabulary; the off-target doc shares none of it
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "s", 1L),
+      (2L, "alpha gamma beta beta alpha", "en", "s", 1L),
+      (3L, "omega psi chi omega psi", "zh", "s", 1L),
+      (4L, "alpha beta gamma beta", "zh", "s", 1L)) // zh doc written in target vocab
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Sampling.importanceResample(d, topK = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 4 uses the en model's vocabulary, so it outweighs doc 3
+    assert(w(4L) > w(3L), s"target-vocab doc ${w(4L)} vs off-vocab ${w(3L)}")
+  }
+
   test("both samplers are map-only plans (no shuffle exchange)") {
     val s = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5))
     val r = Sampling.weightedResample(docs, "doc_id", "lang", Map("en" -> 2.5))
