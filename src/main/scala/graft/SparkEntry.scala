@@ -41,7 +41,8 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
       ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
       ops.RangeJoin.queries ++ ops.Corpus.queries ++ ops.Skew.queries ++
-      ops.Cdc.queries ++ ops.Bpe.queries ++ ops.Classifier.queries ++ ops.Search.queries
+      ops.Cdc.queries ++ ops.Bpe.queries ++ ops.Classifier.queries ++ ops.Search.queries ++
+      ops.Behavior.queries ++ ops.Sketches.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++
@@ -49,5 +50,6 @@ object SparkEntry {
       ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++
       ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql ++ ops.Skew.oracleSql ++
-      ops.Cdc.oracleSql ++ ops.Bpe.oracleSql ++ ops.Classifier.oracleSql ++ ops.Search.oracleSql
+      ops.Cdc.oracleSql ++ ops.Bpe.oracleSql ++ ops.Classifier.oracleSql ++ ops.Search.oracleSql ++
+      ops.Behavior.oracleSql ++ ops.Sketches.oracleSql
 }

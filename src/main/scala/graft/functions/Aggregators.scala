@@ -43,6 +43,53 @@ object Aggregators {
     * row. Buffers are tiny sorted vectors (k ≤ ~100): insert is an O(k)
     * copy, which beats heap bookkeeping at these sizes.
     */
+  case class MGBuf(n: Long, counts: Map[String, Long])
+  case class MGOut(n: Long, candidates: Seq[String])
+
+  /** Mergeable Misra-Gries frequency sketch (Agarwal et al., "Mergeable
+    * Summaries", PODS'12): at most `capacity` counters; any item whose true
+    * frequency exceeds n/(capacity+1) is guaranteed to survive in the
+    * candidate set, under ANY partitioning and merge order. This is the
+    * pass-1 half of exact two-pass heavy hitters (see ops/Sketches.scala):
+    * the sketch only needs to be a superset of the heavy set, so its
+    * counting error never reaches the output.
+    *
+    * `reduce` is the classic streaming update (decrement-all on overflow —
+    * amortized O(1): each decrement event cancels `capacity` increments);
+    * `merge` adds counters then subtracts the (capacity+1)-th largest
+    * count, which drops at least the overflow back to `capacity` while
+    * preserving the error bound. Total corpus size `n` rides along so the
+    * caller gets the exact threshold denominator from the same single pass.
+    */
+  def misraGries(capacity: Int): Aggregator[String, MGBuf, MGOut] =
+    new Aggregator[String, MGBuf, MGOut] {
+      override def zero: MGBuf = MGBuf(0L, Map.empty)
+      override def reduce(b: MGBuf, v: String): MGBuf = {
+        val c = b.counts
+        val nc = c.get(v) match {
+          case Some(x) => c.updated(v, x + 1)
+          case None if c.size < capacity => c.updated(v, 1L)
+          case None => c.collect { case (k, x) if x > 1 => k -> (x - 1) }
+        }
+        MGBuf(b.n + 1, nc)
+      }
+      override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+        val sum = b.counts.foldLeft(a.counts) { case (m, (k, x)) =>
+          m.updated(k, m.getOrElse(k, 0L) + x)
+        }
+        val trimmed =
+          if (sum.size <= capacity) sum
+          else {
+            val pivot = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
+            sum.collect { case (k, x) if x > pivot => k -> (x - pivot) }
+          }
+        MGBuf(a.n + b.n, trimmed)
+      }
+      override def finish(b: MGBuf): MGOut = MGOut(b.n, b.counts.keys.toSeq.sorted)
+      override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+      override def outputEncoder: Encoder[MGOut] = Encoders.product[MGOut]
+    }
+
   def topKScored(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] =
     new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
       private def lt(a: Scored, b: Scored): Boolean =

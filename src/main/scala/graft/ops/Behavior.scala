@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the `events` stream — the query family the
+  * reference's event-time engine exists to serve (SURVEY §3 positions it as
+  * a realtime behavioral analytics engine; funnels/retention/paths are the
+  * canonical workload over its `__time__`-stamped event tables, reference:
+  * sp/input/AbstractStreamTable.java:25-38 for the time convention).
+  *
+  * All four operators are expressed so the per-user work happens inside ONE
+  * hash partitioning by `user_id`:
+  *
+  *   - `funnel` chains four window aggregates over the same
+  *     `partitionBy(user_id)` — Catalyst plans consecutive Window nodes on
+  *     one partitioning with a single exchange, so the staged-dependency
+  *     computation (t2 needs t1, ...) costs one shuffle, not four joins.
+  *     At 100 TB the state per user is four longs, never an event list.
+  *   - `retention` is distinct (user, day) → per-user window min → count.
+  *     The distinct's partial aggregation collapses each user-day map-side
+  *     before anything shuffles.
+  *   - `transitions` is a single `lead()` pass per user — the shuffle
+  *     carries (user, type, ms, id), the transition matrix is a tiny
+  *     |types|² aggregate with map-side combine.
+  *   - `gapfill` materializes per-user daily closing values (row_number
+  *     desc), explodes a per-user day grid (bounded by calendar span, not
+  *     data volume), and forward-fills with `last(ignoreNulls)` — the
+  *     standard time-grid densification every metrics store needs. The
+  *     global max-day is a broadcast 1-row cross join, the same pattern the
+  *     corpus ops use for totals.
+  *
+  * Determinism: event time is BIGINT epoch-millis; ties broken by
+  * `event_id`; doubles only copied (never summed across orders) or rounded.
+  */
+object Behavior {
+
+  /** signup → view → click → purchase, purchase capped at 72 h from signup. */
+  val FunnelWindowMs: Long = 72L * 3600 * 1000
+
+  private def wu = Window.partitionBy(col("user_id"))
+
+  /** Per-user staged conversion times + deepest stage reached.
+    *
+    * Stage k's timestamp is the earliest event of stage-k's type strictly
+    * after the stage-(k-1) time — the "ordered funnel" semantics — with
+    * EVERY stage bounded to `FunnelWindowMs` after entry (the standard
+    * conversion-window definition; it is also what lets the streaming twin
+    * resolve each user with bounded state — past t_signup + window the
+    * outcome is immutable, see streaming/FunnelStream).
+    * Window aggregates over an unbounded user frame keep each stage's value
+    * constant per user; the closing groupBy collapses to one row per user
+    * on the SAME key the windows partitioned by (exchange reuse).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("__time__").as("ms"))
+    val inWin = col("ms") <= col("t_signup") + lit(FunnelWindowMs)
+    val staged = e
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ms"))).over(wu))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view" && col("ms") > col("t_signup") && inWin,
+          col("ms"))).over(wu))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ms") > col("t_view") && inWin,
+          col("ms"))).over(wu))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ms") > col("t_click") && inWin,
+          col("ms"))).over(wu))
+    staged
+      .where(col("t_signup").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("t_signup")).as("t_signup"), max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"), max(col("t_purchase")).as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 4).when(col("t_click").isNotNull, 3)
+          .when(col("t_view").isNotNull, 2).otherwise(1).cast("int"))
+  }
+
+  /** Cohort retention matrix: users whose FIRST activity fell on
+    * `cohort_day`, counted on each later activity day as `offset_days`.
+    * `count(1)` == count(distinct user) here because the input is distinct
+    * (user, day) and a user maps to exactly one (cohort, offset) per day.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val d = events.select(col("user_id"), expr("__time__ div 86400000").as("day")).distinct()
+    d.withColumn("cohort_day", min(col("day")).over(wu))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** First-order Markov transition counts between consecutive events of the
+    * same user (time order, `event_id` tie-break). Terminal events (no
+    * successor) are dropped.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__time__"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("__time__"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Daily time-grid densification with forward fill: one row per user per
+    * calendar day from the user's first activity to the global max day,
+    * carrying the day's closing `value` (latest event wins, id tie-break)
+    * forward across silent days. `observed` flags real vs filled rows.
+    */
+  def gapfill(events: DataFrame): DataFrame = {
+    val day = expr("__time__ div 86400000")
+    val ev = events.select(col("user_id"), day.as("day"), col("value"),
+      col("__time__").as("ms"), col("event_id"))
+    val wrn = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    val daily = ev.withColumn("rn", row_number().over(wrn)).where(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close_value"))
+    val bounds = events.agg(max(day).as("max_day"))
+    val grid = events.groupBy(col("user_id")).agg(min(day).as("first_day"))
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("first_day"), col("max_day"))).as("day"))
+    val wff = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("observed", col("close_value").isNotNull.cast("long"))
+      .select(col("user_id"), col("day"),
+        round(last(col("close_value"), ignoreNulls = true).over(wff), 6).as("value_ff"),
+        col("observed"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
+    "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
+    "q_gapfill" -> ((s, d) => gapfill(Tables.events(s, d))))
+
+  private val msSql = "epoch_ms(ts)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, $msSql AS ms FROM events),
+         |u1 AS (SELECT user_id, min(ms) AS t_signup FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |u2 AS (SELECT e.user_id, min(ms) AS t_view FROM e JOIN u1 USING (user_id)
+         |       WHERE event_type = 'view' AND ms > t_signup
+         |         AND ms <= t_signup + $FunnelWindowMs GROUP BY 1),
+         |u3 AS (SELECT e.user_id, min(ms) AS t_click FROM e
+         |       JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+         |       WHERE event_type = 'click' AND ms > t_view
+         |         AND ms <= t_signup + $FunnelWindowMs GROUP BY 1),
+         |u4 AS (SELECT e.user_id, min(ms) AS t_purchase FROM e
+         |       JOIN u3 USING (user_id) JOIN u1 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ms > t_click
+         |         AND ms <= t_signup + $FunnelWindowMs GROUP BY 1)
+         |SELECT u1.user_id, t_signup, t_view, t_click, t_purchase,
+         |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+         |            WHEN t_click IS NOT NULL THEN 3
+         |            WHEN t_view IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+         |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+         |        LEFT JOIN u4 USING (user_id)""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day FROM events),
+         |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+         |SELECT cohort_day, day - cohort_day AS offset_days, count(*) AS users
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      s"""WITH o AS (SELECT user_id, event_type,
+         |             lead(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY $msSql, event_id) AS to_type
+         |           FROM events)
+         |SELECT event_type AS from_type, to_type, count(*) AS n
+         |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, day, value AS close_value FROM (
+         |    SELECT user_id, $msSql // 86400000 AS day, value,
+         |      row_number() OVER (PARTITION BY user_id, $msSql // 86400000
+         |                         ORDER BY $msSql DESC, event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1),
+         |bounds AS (SELECT max($msSql // 86400000) AS max_day FROM events),
+         |grid AS (SELECT user_id, unnest(range(first_day, max_day + 1)) AS day
+         |         FROM (SELECT user_id, min($msSql // 86400000) AS first_day
+         |               FROM events GROUP BY 1), bounds),
+         |j AS (SELECT g.user_id, g.day, d.close_value,
+         |        CAST(d.close_value IS NOT NULL AS BIGINT) AS observed
+         |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+         |SELECT user_id, day,
+         |  round(last_value(close_value IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS value_ff, observed
+         |FROM j""".stripMargin)
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf())
+
+  /** Hand-built event log: user 1 completes the funnel in-window; user 2
+    * stalls after view (click precedes view, so it must not count); user 3
+    * purchases OUTSIDE the 72 h window; user 4 never signs up (excluded).
+    */
+  private def fixture: DataFrame = {
+    val h = 3600L * 1000
+    Seq(
+      (1L, 1L, "signup", 10 * h), (2L, 1L, "view", 11 * h),
+      (3L, 1L, "click", 12 * h), (4L, 1L, "purchase", 13 * h),
+      (5L, 2L, "click", 9 * h), (6L, 2L, "signup", 10 * h),
+      (7L, 2L, "view", 12 * h), (8L, 2L, "click", 11 * h),
+      (9L, 3L, "signup", 0L), (10L, 3L, "view", 1 * h),
+      (11L, 3L, "click", 2 * h), (12L, 3L, "purchase", 80 * h),
+      (13L, 4L, "view", 5 * h), (14L, 4L, "purchase", 6 * h))
+      .toDF("event_id", "user_id", "event_type", "__time__")
+  }
+
+  test("funnel: staged ordering, 72h cap, and non-signup exclusion") {
+    val out = Behavior.funnel(fixture)
+      .select("user_id", "stage", "t_purchase").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (1L, 4, Some(13 * 3600L * 1000)),
+      (2L, 2, None), // click at 11h is BEFORE view at 12h -> stage stops at view
+      (3L, 3, None))) // purchase at 80h misses the 72h window
+  }
+
+  test("funnel stage counts on sf0.001 are consistent with stage times") {
+    val out = Behavior.funnel(events).cache()
+    val byStage = out.groupBy("stage").count().as[(Int, Long)].collect().toMap
+    assert(byStage.keys.forall(s => s >= 1 && s <= 4))
+    // stage k implies t_k set and t_{k+1} unset
+    assert(out.where(col("stage") === 4 && col("t_purchase").isNull).isEmpty)
+    assert(out.where(col("stage") === 3 &&
+      (col("t_click").isNull || col("t_purchase").isNotNull)).isEmpty)
+    // monotone: t_signup < t_view < t_click < t_purchase where present
+    assert(out.where(col("t_view").isNotNull && col("t_view") <= col("t_signup")).isEmpty)
+    assert(out.where(col("t_click").isNotNull && col("t_click") <= col("t_view")).isEmpty)
+    assert(out.where(col("t_purchase").isNotNull &&
+      (col("t_purchase") <= col("t_click") ||
+        col("t_purchase") > col("t_signup") + Behavior.FunnelWindowMs)).isEmpty)
+    out.unpersist()
+  }
+
+  test("funnel is one exchange: chained windows + final agg share the user_id partitioning") {
+    val plan = Behavior.funnel(events).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("retention: every user lands in exactly one cohort and offsets are non-negative") {
+    val out = Behavior.retention(events)
+    assert(out.where(col("offset_days") < 0).isEmpty)
+    val users = events.select("user_id").distinct().count()
+    val cohortSizes = out.where(col("offset_days") === 0)
+      .agg(sum("users")).as[Long].head()
+    // offset 0 rows count each user once (first active day)
+    assert(cohortSizes == users)
+  }
+
+  test("transitions: counts conserve (n events - n users with >=1 event)") {
+    val out = Behavior.transitions(events)
+    val total = out.agg(sum("n")).as[Long].head()
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(total == nEvents - nUsers) // each user contributes (events-1) pairs
+  }
+
+  test("gapfill: dense per-user grid, observed rows keep their value, gaps carry forward") {
+    val out = Behavior.gapfill(events).cache()
+    // grid density: per user, rows == global max day - user's first day + 1
+    val perUser = out.groupBy("user_id").agg(count(lit(1)).as("rows"),
+      min("day").as("d0"), max("day").as("d1"))
+    assert(perUser.where(col("rows") =!= col("d1") - col("d0") + 1).isEmpty)
+    val maxDay = out.agg(max("day")).as[Long].head()
+    assert(perUser.where(col("d1") =!= maxDay).isEmpty)
+    // forward fill leaves no nulls (first grid day is the user's first active day)
+    assert(out.where(col("value_ff").isNull).isEmpty)
+    // a filled (unobserved) day's value equals the previous day's value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val filled = out.withColumn("prev", lag(col("value_ff"), 1).over(w))
+      .where(col("observed") === 0)
+    assert(filled.where(col("value_ff") =!= col("prev")).isEmpty)
+    out.unpersist()
+  }
+
+  test("behavior results are partitioning-independent") {
+    val shuffled = events.repartition(7, col("event_id"))
+    for ((a, b) <- Seq(
+      (Behavior.funnel(events), Behavior.funnel(shuffled)),
+      (Behavior.retention(events), Behavior.retention(shuffled)),
+      (Behavior.transitions(events), Behavior.transitions(shuffled)),
+      (Behavior.gapfill(events), Behavior.gapfill(shuffled)))) {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("MG guarantee: every item above n/(capacity+1) survives an adversarial stream") {
+    // 1 hot item among a flood of near-unique fillers, tiny capacity.
+    val cap = 9
+    val data = (Seq.fill(300)("hot") ++ (1 to 2700).map(i => s"f${i % 900}"))
+    // hot freq 300 > n/(cap+1) = 3000/10 = 300? strictly greater needed -> use 301
+    val stream = "hot" +: data
+    for (parts <- Seq(1, 4, 13)) {
+      val ds = spark.createDataset(stream).repartition(parts)
+      val out = ds.select(Aggregators.misraGries(cap).toColumn).head()
+      assert(out.n == stream.size)
+      assert(out.candidates.contains("hot"), s"parts=$parts: ${out.candidates}")
+      assert(out.candidates.size <= cap)
+    }
+  }
+
+  test("two-pass heavy hitters == exact GROUP BY HAVING, any partitioning") {
+    val docs = Tables.documents(spark, sf())
+    val exact = {
+      val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+      val n = toks.count()
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .where(col("n") * Sketches.ThresholdK.toLong > lit(n))
+    }
+    val viaSketch = Sketches.heavyHitters(spark, docs)
+    assert(viaSketch.exceptAll(exact).isEmpty && exact.exceptAll(viaSketch).isEmpty)
+    val shuffled = Sketches.heavyHitters(spark, docs.repartition(11))
+    assert(shuffled.exceptAll(exact).isEmpty && exact.exceptAll(shuffled).isEmpty)
+  }
+
+  test("pass-2 plan is gated map-side: isin filter above the scan, no corpus-wide token shuffle") {
+    val plan = Sketches.heavyHitters(spark, Tables.documents(spark, sf()))
+      .queryExecution.executedPlan.toString
+    // the candidate gate must appear as a Filter containing the IN list
+    assert(plan.contains("token#") && (plan.contains(" IN ") || plan.contains("INSET")),
+      plan.take(3000))
+  }
+}
