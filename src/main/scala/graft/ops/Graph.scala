@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs: TextRank keyword extraction
+  * (PageRank over the token co-occurrence graph).
+  *
+  * Capability context: the reference has no graph operators at all — its
+  * table algebra stops at joins/windows (table/Table.java:48-659). A
+  * training-data pipeline needs graph ranking for corpus-level keyword /
+  * boilerplate salience (TextRank, Mihalcea & Tarau 2004) and for
+  * domain-authority weighting of web crawls (PageRank, Brin & Page 1998).
+  *
+  * Scale shape (the 100 TB argument):
+  *   - Graph CONSTRUCTION is the corpus-scale part: one map-only pass
+  *     enumerates adjacent-token pairs (codegen, no UDF), one distinct
+  *     shuffle on the pair key produces the edge list. The edge domain is
+  *     bounded by the distinct-bigram vocabulary, not the corpus size —
+  *     identical in spirit to the BPE pair-count and LM bigram-model passes.
+  *   - ITERATION then runs over the vocabulary-sized graph: each round is
+  *     one equi-join (edges ⋈ ranks on the source endpoint) + one partial
+  *     +final sum agg on the target endpoint — the converging-equi-join
+  *     cadence proven by `Dedup.connectedComponents` (large-star/small-star).
+  *     Nothing per-round touches the corpus; nothing driver-side except the
+  *     one-time graph-order count.
+  *
+  * Determinism (DuckDB oracle parity): ranks are BIGINT micro-units
+  * (e12 total mass), every transfer is integer `div` — sums of longs are
+  * associative, so partition order cannot perturb results, and the oracle
+  * replays the identical fixed-point arithmetic in `//` form. No doubles
+  * anywhere.
+  */
+object Graph {
+
+  /** Content-token gate: tokens shorter than this don't enter the graph
+    * (the classical TextRank syntactic filter, approximated lexically so the
+    * oracle can replay it).
+    */
+  val MinTokenLen = 4
+
+  /** Fixed iteration count — fixed (not convergence-read) so the oracle can
+    * unroll the same number of rounds as CTEs.
+    */
+  val Iterations = 5
+
+  val TopK = 25
+
+  /** Total rank mass: 1e12 micro-units, damping 0.85 as the integer pair
+    * (85, 100).
+    */
+  val RankScale = 1000000000000L
+  val DampingNum = 85L
+
+  /** Undirected co-occurrence edges between adjacent content tokens, stored
+    * as the symmetric directed edge list (both orientations), plus degrees.
+    * Returned pinned (`localCheckpoint`) because every PageRank round
+    * re-reads both.
+    */
+  private def edgeList(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2) // sequence(1, 0) would DESCEND (see Bpe.pairCounts)
+    val und = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= MinTokenLen && length(col("b")) >= MinTokenLen &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val edges = und.union(und.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    (edges, deg)
+  }
+
+  /** TextRank: PageRank over the adjacent-content-token co-occurrence graph,
+    * top-k terms by final rank. Because the symmetrized graph gives every
+    * node at least one in-edge, no dangling-mass redistribution is needed
+    * and each round's groupBy covers the full node set.
+    */
+  def textrank(docs: DataFrame): DataFrame = {
+    val (edges, deg) = edgeList(docs)
+    // Graph order — ONE bounded driver read (vocabulary-sized graph), the
+    // same cadence as connectedComponents' convergence probe.
+    val n = deg.count()
+    require(n > 0, "textrank: empty graph (no adjacent content-token pairs)")
+    val initRank = RankScale / n
+    val base = RankScale * (100L - DampingNum) / 100L / n
+    var ranks = deg.select(col("node"), col("deg"), lit(initRank).as("rank"))
+    for (_ <- 1 to Iterations) {
+      val contrib = ranks.select(col("node"), expr("rank div deg").as("c"))
+      ranks = edges
+        .join(contrib, edges("a") === contrib("node"))
+        .groupBy(col("b"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("b").as("node"), expr(s"${base}L + (${DampingNum}L * s) div 100").as("rank"))
+        .join(deg, "node")
+        .select(col("node"), col("deg"), col("rank"))
+    }
+    // TakeOrderedAndProject: per-partition top-k, never a global sort.
+    ranks
+      .orderBy(col("rank").desc, col("node"))
+      .limit(TopK)
+      .select(col("node").as("term"), col("rank").as("score_e12"), col("deg"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_textrank" -> ((s, d) => textrank(Tables.documents(s, d))))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val duckToks = s"string_split($normSql, ' ')"
+
+  val oracleSql: Map[String, String] = {
+    // one CTE per PageRank round, each consuming the previous — the oracle
+    // unrolls exactly `Iterations` rounds of the same integer arithmetic
+    val rounds = (1 to Iterations).map { k =>
+      s"""r$k AS (SELECT e.b AS node, d.deg AS deg,
+         |  (SELECT $RankScale * ${100L - DampingNum} // 100 // n FROM n)
+         |    + ($DampingNum * sum(r.rank // r.deg)) // 100 AS rank
+         |FROM edges e JOIN r${k - 1} r ON e.a = r.node JOIN deg d ON d.node = e.b
+         |GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q_graph_textrank" ->
+        s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+           |inst AS (SELECT unnest([{'a': toks[i], 'b': toks[i + 1]} for i in range(1, len(toks))]) AS p
+           |         FROM t WHERE len(toks) >= 2),
+           |und AS (SELECT DISTINCT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM inst
+           |        WHERE len(p.a) >= $MinTokenLen AND len(p.b) >= $MinTokenLen AND p.a <> p.b),
+           |edges AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+           |deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT node, deg, (SELECT $RankScale // n FROM n) AS rank FROM deg),
+           |$rounds
+           |SELECT node AS term, CAST(rank AS BIGINT) AS score_e12, CAST(deg AS BIGINT) AS deg
+           |FROM r$Iterations ORDER BY rank DESC, node LIMIT $TopK""".stripMargin)
+  }
+}
