@@ -42,7 +42,8 @@ object SparkEntry {
       ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
       ops.RangeJoin.queries ++ ops.Corpus.queries ++ ops.Skew.queries ++
       ops.Cdc.queries ++ ops.Bpe.queries ++ ops.Classifier.queries ++ ops.Search.queries ++
-      ops.Behavior.queries ++ ops.Sketches.queries ++ ops.Graph.queries
+      ops.Behavior.queries ++ ops.Sketches.queries ++ ops.Graph.queries ++
+      ops.Linkage.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++
@@ -51,5 +52,6 @@ object SparkEntry {
       ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++
       ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql ++ ops.Skew.oracleSql ++
       ops.Cdc.oracleSql ++ ops.Bpe.oracleSql ++ ops.Classifier.oracleSql ++ ops.Search.oracleSql ++
-      ops.Behavior.oracleSql ++ ops.Sketches.oracleSql ++ ops.Graph.oracleSql
+      ops.Behavior.oracleSql ++ ops.Sketches.oracleSql ++ ops.Graph.oracleSql ++
+      ops.Linkage.oracleSql
 }

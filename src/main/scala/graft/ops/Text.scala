@@ -517,9 +517,54 @@ object Text {
         round(sum(col("lp")) / sum(col("nd")), 6).as("avg_ll"))
   }
 
+  /** Collocation mining: adjacent-token pairs ranked by association lift
+    * (the phrase-detection pass of word2vec, Mikolov et al. 2013 §4 — there
+    * scored as count(ab)/(count(a)·count(b)), monotone in PMI). Used to
+    * promote "new york"-style units to single vocabulary entries before
+    * tokenizer training.
+    *
+    * Scale shape: two corpus aggregates (bigram counts, unigram counts) —
+    * both partial+final hash aggs whose domains are vocabulary-sized, the
+    * exact cadence of `Corpus.vocabulary` and the LM model pass. The join
+    * back of unigram counts touches only the distinct-bigram table, never
+    * the corpus; top-k is TakeOrderedAndProject.
+    *
+    * Determinism: lift is kept in integer micro-units with a DOCUMENTED
+    * evaluation order — `((c_ab * 1e6) div c_a) * tot div c_b` — mirrored
+    * verbatim by the oracle. (c_ab ≤ c_a keeps the first factor ≤ 1e6, so
+    * the widest intermediate is ≤ 1e6 · corpus tokens: no overflow below
+    * ~9e12-token corpora; monotone-equivalent to PMI ranking up to the
+    * truncation granularity.)
+    */
+  def collocations(docs: DataFrame, minCount: Long = CollocMinCount,
+      topK: Int = CollocTopK): DataFrame = {
+    val t = docs.select(tokens(col("text")).as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum(col("c_w")).as("tot"))
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr("((c_ab * 1000000L) div c_a) * tot div c_b").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  val CollocMinCount = 5L
+  val CollocTopK = 50
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
     // incremental LM scoring: model from even doc_ids (the "admitted
     // corpus"), odd doc_ids scored as the increment
@@ -560,6 +605,18 @@ object Text {
   private[ops] val toksSql = s"string_split($normSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_collocations" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |tot AS (SELECT sum(c_w) AS tot FROM uni),
+         |inst AS (SELECT unnest([{'a': toks[i], 'b': toks[i + 1]} for i in range(1, len(toks))]) AS p
+         |         FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM inst GROUP BY 1, 2
+         |       HAVING count(*) >= $CollocMinCount)
+         |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(((c_ab * 1000000) // ua.c_w) * tot // ub.c_w AS BIGINT) AS lift_e6
+         |FROM bi JOIN uni ua ON ua.w = a JOIN uni ub ON ub.w = b CROSS JOIN tot
+         |ORDER BY lift_e6 DESC, a, b LIMIT $CollocTopK""".stripMargin,
     "q_text_lmscore" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |inst AS (SELECT doc_id,

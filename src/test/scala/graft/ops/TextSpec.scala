@@ -265,4 +265,29 @@ class TextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "totals/df must broadcast")
   }
+
+  test("collocations: hand-computed integer lift, min-count gate, ordering") {
+    // tokens: big×2 apple×3 pie×1 → tot=6
+    // bigrams: (big,apple)×2 (apple,big)×1 (apple,pie)×1; minCount=2 keeps one
+    val out = Text.collocations(
+      docs((1L, "big apple big apple"), (2L, "apple pie")), minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // lift = ((2*1e6) div c_big) * tot div c_apple = 1e6 * 6 div 3 = 2e6
+    assert(out.toSeq == Seq(("big", "apple", 2L, 2000000L)))
+  }
+
+  test("collocations: a high-lift pair out-ranks a frequent-but-independent pair") {
+    // "san francisco" always together (pure collocation); "the cat" where
+    // both words also occur alone in many contexts (low association)
+    val filler = (10L to 19L).map(i => i -> "the dog the bird cat alone")
+    val d = docs(Seq(
+      1L -> "san francisco san francisco san francisco",
+      2L -> "san francisco san francisco",
+      3L -> "the cat the cat the cat the cat the cat").++(filler): _*)
+    val rows = Text.collocations(d, minCount = 5, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.indexOf(("san", "francisco")) == 0 ||
+      rows.indexOf(("francisco", "san")) == 0)
+    assert(rows.contains(("the", "cat")))
+  }
 }
