@@ -131,7 +131,50 @@ object Behavior {
         col("observed"))
   }
 
+  /** Rolling z-score anomaly detection: flag events whose `value` deviates
+    * from the SAME USER's trailing window by more than `zThreshold` standard
+    * deviations. The trailing frame excludes the current row (an outlier
+    * must not mask itself) and needs `AnomalyMinN` priors to fire.
+    *
+    * Scale shape: one exchange on user_id + one in-partition sort — the
+    * identical one-shuffle cadence as `funnel`/`transitions`; the window
+    * state is O(frame) per task. At 100 TB this is the canonical
+    * sessionized-scan: no self-join, no collect, monitors stream-compatible
+    * semantics (the trailing window is exactly what a streaming state op
+    * would hold).
+    *
+    * Determinism: moments are computed over integer micro-units
+    * (`round(value·1e4)` — exact long sums, associative, partition-order
+    * immune). The z statistic itself is derived from those exact integers by
+    * ONE documented IEEE expression shared with the oracle:
+    * z = (n·v − s) · sqrt((n−1)/n) / sqrt(n·ss − s²), then round(·, 4).
+    */
+  def anomalies(events: DataFrame, frame: Int = AnomalyFrame,
+      minN: Int = AnomalyMinN): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(-frame, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("__time__").as("ms"),
+        expr("cast(round(value * 10000) as bigint)").as("v"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("ss", sum(col("v") * col("v")).over(w))
+      .filter(col("n") >= minN && (col("n") * col("ss") - col("s") * col("s")) > 0)
+      .withColumn("z", expr(
+        "round(cast(n * v - s as double) * sqrt(cast(n - 1 as double) / cast(n as double))" +
+          " / sqrt(cast(n * ss - s * s as double)), 4)"))
+      .filter(abs(col("z")) >= AnomalyZ)
+      .select(col("event_id"), col("user_id"), col("ms"), col("v").as("v_e4"),
+        col("n"), col("z"))
+  }
+
+  val AnomalyFrame = 20
+  val AnomalyMinN = 8
+  val AnomalyZ = 2.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_zscore" -> ((s, d) => anomalies(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
@@ -140,6 +183,19 @@ object Behavior {
   private val msSql = "epoch_ms(ts)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      s"""WITH e AS (SELECT event_id, user_id, $msSql AS ms,
+         |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+         |m AS (SELECT event_id, user_id, ms, v,
+         |  count(*) OVER w AS n, sum(v) OVER w AS s, sum(v * v) OVER w AS ss
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+         |                    ROWS BETWEEN $AnomalyFrame PRECEDING AND 1 PRECEDING)),
+         |z AS (SELECT event_id, user_id, ms, v, n,
+         |  round(CAST(n * v - s AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / sqrt(CAST(n * ss - s * s AS DOUBLE)), 4) AS z
+         |FROM m WHERE n >= $AnomalyMinN AND n * ss - s * s > 0)
+         |SELECT event_id, user_id, ms, v AS v_e4, CAST(n AS BIGINT) AS n, z
+         |FROM z WHERE abs(z) >= $AnomalyZ""".stripMargin,
     "q_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, $msSql AS ms FROM events),
          |u1 AS (SELECT user_id, min(ms) AS t_signup FROM e

@@ -458,6 +458,65 @@ object Corpus {
           .as("jaccard"))
   }
 
+  /** Sketch-based source overlap: per-source MinHash signatures instead of
+    * the exact inverted-index self-join. THE unguarded 100 TB path for
+    * cross-source contamination estimates — where `sourceOverlap` is
+    * fail-fast-guarded (a near-universal shingle costs S² join rows) and
+    * `maxDf` cuts lose hot-shingle mass, the sketch costs ONE corpus
+    * aggregate regardless of shingle skew:
+    *
+    *   1. distinct (source, shingle-hash) projection (the same exchange the
+    *      exact form starts from);
+    *   2. one partial+final agg computing all `SrcMinhashPerms` permutation
+    *      minima as parallel agg columns — no perm explode, no extra
+    *      shuffle: map tasks fold each shingle into P running minima, and
+    *      only S·P longs ever cross the wire;
+    *   3. the pairwise phase runs over the S×P signature table (sources,
+    *      not rows — tiny by construction) and estimates Jaccard as the
+    *      fraction of agreeing components (the standard unbiased MinHash
+    *      estimator, Broder 1997).
+    *
+    * Permutations are the same universal-hash family as doc-level MinHash
+    * (`Dedup.permCoeffs`), with constants derived from independent seeds.
+    * Determinism: mins/match-counts are exact integers; the only double is
+    * one final division, rounded.
+    */
+  val SrcMinhashPerms = 64
+
+  private val MersennePrime = 2147483647L
+
+  private[ops] val srcPermCoeffs: IndexedSeq[(Long, Long)] =
+    (0 until SrcMinhashPerms).map { i =>
+      (graft.functions.Determinism.md5Long(s"srcmh-a:$i") % (MersennePrime - 1) + 1,
+        graft.functions.Determinism.md5Long(s"srcmh-b:$i") % MersennePrime)
+    }
+
+  def sourceOverlapMinhash(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")} % ${MersennePrime}L)")).as("h"))
+      .distinct()
+    val minCols = srcPermCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"(${a}L * h + ${b}L) % ${MersennePrime}L")).as(s"m$i")
+    }
+    val sigs = sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    val stacked = sigs.select(col("source"), explode(expr(
+      s"transform(sequence(0, ${SrcMinhashPerms - 1}), i -> " +
+        s"struct(i, element_at(array(${(0 until SrcMinhashPerms).map("m" + _).mkString(", ")}), i + 1) as m))"))
+      .as("p"))
+      .select(col("source"), col("p.i").as("i"), col("p.m").as("m"))
+    val a = stacked.select(col("source").as("src_a"), col("i"), col("m").as("ma"))
+    val b = stacked.select(col("source").as("src_b"), col("i"), col("m").as("mb"))
+    a.join(b, Seq("i"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        round(col("n_match").cast("double") / SrcMinhashPerms, 6).as("est_jaccard"))
+  }
+
   /** Per-source quality threshold calibrated to a target keep rate — the
     * step before a corpus build that replaces a global hardcoded cut (the
     * ingest gate's 0.5) with data-derived per-source cutoffs: cutoff_e6 =
@@ -905,7 +964,9 @@ object Corpus {
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     // the SCALE path: df-cut before the self-join (hot-shingle bound); the
     // oracle applies the identical cut so the row is hash-checkable
-    "q_source_overlap_cut" -> ((s, d) => sourceOverlap(Tables.documents(s, d), maxDf = OverlapMaxDf)))
+    "q_source_overlap_cut" -> ((s, d) => sourceOverlap(Tables.documents(s, d), maxDf = OverlapMaxDf)),
+    // the sketch path: no guard needed at any skew — one agg + an S×P pair phase
+    "q_source_overlap_minhash" -> ((s, d) => sourceOverlapMinhash(Tables.documents(s, d))))
 
   /** df-cut for the oracle-checked scale variant: 12 of the demo's 20
     * sources, low enough that the cut provably bites at every sf.
@@ -1210,6 +1271,29 @@ object Corpus {
          |SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
          |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS shard_pos
          |FROM s""".stripMargin,
+
+    "q_source_overlap_minhash" -> {
+      val duckSrcPerms = srcPermCoeffs.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+        .mkString("SELECT * FROM (VALUES ", ", ", ") AS v(i, a, b)")
+      s"""WITH perms AS ($duckSrcPerms),
+         |t AS (SELECT source, $duckToks AS toks FROM documents),
+         |shl AS (SELECT source,
+         |          unnest([('0x' || substr(md5(g), 1, 15))::BIGINT % ${MersennePrime}
+         |                  for g in list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                          for i in range(1, len(toks) - 1)])]) AS h
+         |        FROM t WHERE len(toks) >= 3),
+         |sh AS (SELECT DISTINCT source, h FROM shl),
+         |mh AS (SELECT source, p.i AS i, min((p.a * h + p.b) % ${MersennePrime}) AS m
+         |       FROM sh, perms p GROUP BY 1, 2),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS n_match
+         |       FROM mh a JOIN mh b ON a.i = b.i AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_match AS BIGINT) AS n_match,
+         |  round(CAST(n_match AS DOUBLE) / $SrcMinhashPerms, 6) AS est_jaccard
+         |FROM pr""".stripMargin
+    },
 
     "q_source_overlap" ->
       s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),

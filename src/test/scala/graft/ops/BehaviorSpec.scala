@@ -104,8 +104,47 @@ class BehaviorSpec extends SparkSpec {
       (Behavior.funnel(events), Behavior.funnel(shuffled)),
       (Behavior.retention(events), Behavior.retention(shuffled)),
       (Behavior.transitions(events), Behavior.transitions(shuffled)),
-      (Behavior.gapfill(events), Behavior.gapfill(shuffled)))) {
+      (Behavior.gapfill(events), Behavior.gapfill(shuffled)),
+      (Behavior.anomalies(events), Behavior.anomalies(shuffled)))) {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
+  }
+
+  private def valueEvents(user: Long, vals: Seq[Double], idBase: Long = 0L) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (idBase + i + 1, user, (i + 1) * 1000L, v)
+    }.toDF("event_id", "user_id", "__time__", "value")
+
+  test("anomalies: spike against a trailing window is flagged with the exact z") {
+    // 8 alternating priors 9/11 then a 100.0 spike: v_e4 priors 90000/110000,
+    // s=800000, ss=8.08e10 -> exact integer moments; z replayed by the same
+    // IEEE expression the operator documents
+    val d = valueEvents(1L, Seq(9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 100.0))
+    val out = Behavior.anomalies(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 9L && r.getLong(4) == 8L)
+    val (n, v, s, ss) = (8L, 1000000L, 800000L, 80800000000L)
+    val expZ = BigDecimal((n * v - s).toDouble * math.sqrt((n - 1).toDouble / n.toDouble) /
+      math.sqrt((n * ss - s * s).toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expZ)
+  }
+
+  test("anomalies: zero-variance history and short history never fire") {
+    // constant priors -> n*ss == s*s (guarded); first AnomalyMinN rows have
+    // too few priors even with a spike among them
+    val flat = valueEvents(2L, Seq.fill(12)(10.0) :+ 500.0, idBase = 100)
+    assert(Behavior.anomalies(flat).collect().isEmpty)
+    val short = valueEvents(3L, Seq(9.0, 11.0, 9.0, 11.0, 9.0, 500.0), idBase = 200)
+    assert(Behavior.anomalies(short).collect().isEmpty)
+  }
+
+  test("anomalies: windows never cross users") {
+    // user 4 priors would flag the spike, but the spike belongs to user 5
+    // with no history of its own
+    val d = valueEvents(4L, Seq(9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0), idBase = 300)
+      .union(valueEvents(5L, Seq(100.0), idBase = 400))
+    assert(Behavior.anomalies(d).collect().isEmpty)
   }
 }

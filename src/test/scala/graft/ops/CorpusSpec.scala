@@ -523,4 +523,35 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("minhash source overlap: identical sources estimate 1.0, disjoint near 0") {
+    val s = spark
+    import s.implicits._
+    val shared = (0 until 20).map(i => s"alpha beta gamma delta token$i run ${i % 5}").mkString(" ")
+    val other = (0 until 20).map(i => s"omega psi chi unrelated$i words ${i % 7}").mkString(" ")
+    val d = Seq(
+      (1L, shared, "A"), (2L, shared, "B"), // identical shingle sets
+      (3L, other, "C")) // disjoint vocabulary
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sourceOverlapMinhash(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("A", "B")) == (Corpus.SrcMinhashPerms.toLong, 1.0))
+    // disjoint sets agree only by hash collision: allow a couple of components
+    assert(out(("A", "C"))._1 <= 2 && out(("B", "C"))._1 <= 2)
+    // every source pair is present (the estimator is total, unlike the
+    // exact form which omits never-colliding pairs)
+    assert(out.size == 3)
+  }
+
+  test("minhash source overlap tracks exact jaccard within estimator error") {
+    val d = graft.Tables.documents(spark, sf())
+    val est = Corpus.sourceOverlapMinhash(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    val exact = Corpus.sourceOverlap(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    // 64 perms -> s.d. of the estimate <= 1/(2*sqrt(64)) = 0.0625; 5 sigma
+    for ((pair, j) <- exact) {
+      assert(math.abs(est(pair) - j) <= 0.32, s"$pair est ${est(pair)} vs exact $j")
+    }
+  }
 }
