@@ -173,7 +173,85 @@ object Behavior {
   val AnomalyMinN = 8
   val AnomalyZ = 2.0
 
+  /** Last-touch attribution: credit each purchase to the most recent
+    * preceding touch event (view/click) by the same user within the
+    * attribution window. The classical marketing query, and the same
+    * single-exchange shape as `funnel`: ONE shuffle on user_id, one
+    * in-partition sort, one running `last(struct) ignoreNulls` carry-forward
+    * over the trailing frame — no purchases×touches join anywhere (the
+    * oracle intentionally uses the quadratic row_number formulation to
+    * cross-check the window form). Unattributed purchases (no touch in
+    * window) surface with NULL touch columns rather than vanishing —
+    * spend-reconciliation needs the denominator.
+    *
+    * Determinism: the carry-forward is over the total order (ms, event_id);
+    * value is reported in exact micro-units.
+    */
+  def attribution(events: DataFrame, windowMs: Long = AttributionWindowMs): DataFrame = {
+    val touch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("__time__").as("ms"),
+        expr("cast(round(value * 10000) as bigint)").as("v_e4"))
+      .withColumn("lt", last(
+        when(touch, struct(col("ms").as("t"), col("event_id").as("id"),
+          col("event_type").as("tt"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_win", col("lt").isNotNull && col("lt.t") >= col("ms") - windowMs)
+      .select(col("event_id"), col("user_id"), col("ms"), col("v_e4"),
+        when(col("in_win"), col("lt.id")).as("touch_id"),
+        when(col("in_win"), col("lt.tt")).as("touch_type"),
+        when(col("in_win"), col("lt.t")).as("t_touch"))
+  }
+
+  val AttributionWindowMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Changepoint detection by two-window scan statistic: at each position in
+    * a user's value series, compare the mean of the trailing `w` values
+    * against the mean of the leading `w` values (current row opens the right
+    * window) with a pooled-variance two-sample t — flag |t| ≥ threshold.
+    * The standard offline mean-shift scan (e.g. Killick et al.'s cost
+    * comparison windows), expressible as TWO frames over ONE sort — same
+    * single user_id exchange as `anomalies`, no self-join, stream-adjacent.
+    *
+    * Determinism: both windows' moments are exact integer sums; the t
+    * statistic reduces algebraically to A·sqrt((w−1)/B) with
+    * A = sR − sL, B = w·(ssL+ssR) − sL² − sR² — ONE IEEE expression over
+    * two exact longs, shared with the oracle, then round(·, 4).
+    */
+  def changepoints(events: DataFrame, w: Int = ChangeW): DataFrame = {
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      .rowsBetween(-w, -1)
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      .rowsBetween(0, w - 1)
+    events
+      .select(col("event_id"), col("user_id"), col("__time__").as("ms"),
+        expr("cast(round(value * 10000) as bigint)").as("v"))
+      .withColumn("nl", count(lit(1)).over(wl))
+      .withColumn("sl", sum(col("v")).over(wl))
+      .withColumn("ssl", sum(col("v") * col("v")).over(wl))
+      .withColumn("nr", count(lit(1)).over(wr))
+      .withColumn("sr", sum(col("v")).over(wr))
+      .withColumn("ssr", sum(col("v") * col("v")).over(wr))
+      // full windows only: a truncated edge window biases the statistic
+      .filter(col("nl") === w && col("nr") === w)
+      .withColumn("a", col("sr") - col("sl"))
+      .withColumn("b", lit(w.toLong) * (col("ssl") + col("ssr"))
+        - col("sl") * col("sl") - col("sr") * col("sr"))
+      .filter(col("b") > 0)
+      .withColumn("t", expr(
+        s"round(cast(a as double) * sqrt(cast(${w - 1} as double) / cast(b as double)), 4)"))
+      .filter(abs(col("t")) >= ChangeT)
+      .select(col("event_id"), col("user_id"), col("ms"), col("t"))
+  }
+
+  val ChangeW = 10
+  val ChangeT = 3.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
+    "q_changepoint" -> ((s, d) => changepoints(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalies(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
@@ -183,6 +261,45 @@ object Behavior {
   private val msSql = "epoch_ms(ts)"
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle deliberately uses the quadratic purchases×touches
+    // row_number formulation as an independent cross-check of the engine's
+    // single-window carry-forward
+    "q_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $msSql AS ms,
+         |  CAST(round(value * 10000) AS BIGINT) AS v_e4 FROM events),
+         |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+         |c AS (SELECT p.event_id, p.user_id, p.ms, p.v_e4,
+         |        t.event_id AS touch_id, t.event_type AS touch_type, t.ms AS t_touch,
+         |        row_number() OVER (PARTITION BY p.event_id
+         |                           ORDER BY t.ms DESC, t.event_id DESC) AS rn
+         |      FROM p JOIN t ON t.user_id = p.user_id
+         |        AND (t.ms < p.ms OR (t.ms = p.ms AND t.event_id < p.event_id))
+         |        AND t.ms >= p.ms - $AttributionWindowMs)
+         |SELECT event_id, user_id, ms, v_e4, touch_id, touch_type, t_touch FROM c WHERE rn = 1
+         |UNION ALL
+         |SELECT p.event_id, p.user_id, p.ms, p.v_e4,
+         |  NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT
+         |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.event_id = p.event_id)""".stripMargin,
+    "q_changepoint" ->
+      s"""WITH e AS (SELECT event_id, user_id, $msSql AS ms,
+         |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+         |m AS (SELECT event_id, user_id, ms,
+         |  count(*) OVER wl AS nl, sum(v) OVER wl AS sl, sum(v * v) OVER wl AS ssl,
+         |  count(*) OVER wr AS nr, sum(v) OVER wr AS sr, sum(v * v) OVER wr AS ssr
+         |FROM e WINDOW
+         |  wl AS (PARTITION BY user_id ORDER BY ms, event_id
+         |         ROWS BETWEEN ${Behavior.ChangeW} PRECEDING AND 1 PRECEDING),
+         |  wr AS (PARTITION BY user_id ORDER BY ms, event_id
+         |         ROWS BETWEEN CURRENT ROW AND ${Behavior.ChangeW - 1} FOLLOWING)),
+         |s AS (SELECT event_id, user_id, ms, sr - sl AS a,
+         |        ${Behavior.ChangeW} * (ssl + ssr) - sl * sl - sr * sr AS b
+         |      FROM m WHERE nl = ${Behavior.ChangeW} AND nr = ${Behavior.ChangeW}),
+         |t AS (SELECT event_id, user_id, ms,
+         |        round(CAST(a AS DOUBLE)
+         |          * sqrt(CAST(${Behavior.ChangeW - 1} AS DOUBLE) / CAST(b AS DOUBLE)), 4) AS t
+         |      FROM s WHERE b > 0)
+         |SELECT event_id, user_id, ms, t FROM t WHERE abs(t) >= ${Behavior.ChangeT}""".stripMargin,
     "q_anomaly_zscore" ->
       s"""WITH e AS (SELECT event_id, user_id, $msSql AS ms,
          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),

@@ -140,6 +140,63 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.anomalies(short).collect().isEmpty)
   }
 
+  private def attrEvents(rows: (Long, Long, String, Long, Double)*) =
+    rows.map { case (id, u, t, ms, v) => (id, u, t, ms, v) }
+      .toDF("event_id", "user_id", "event_type", "__time__", "value")
+
+  test("attribution: last touch wins, window cuts, NULL row for unattributed") {
+    val h = 3600L * 1000
+    val out = Behavior.attribution(attrEvents(
+      (1L, 1L, "view", 1 * h, 0.0), (2L, 1L, "click", 2 * h, 0.0),
+      (3L, 1L, "purchase", 3 * h, 25.5), // -> click@2h (most recent touch)
+      (4L, 2L, "view", 0L, 0.0),
+      (5L, 2L, "purchase", 200 * h, 10.0), // touch outside the 7d window -> NULL
+      (6L, 3L, "purchase", 5 * h, 1.0), // user with no touches at all -> NULL
+      (7L, 4L, "purchase", 1 * h, 2.0),
+      (8L, 4L, "view", 2 * h, 0.0)) // touch AFTER the purchase must not attribute
+    ).collect().map(r => r.getLong(0) ->
+      (Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.toString))).toMap
+    assert(out == Map(
+      3L -> (Some(2L), Some("click")),
+      5L -> (None, None),
+      6L -> (None, None),
+      7L -> (None, None)))
+  }
+
+  test("attribution: same-timestamp touch with smaller id precedes the purchase") {
+    val out = Behavior.attribution(attrEvents(
+      (10L, 9L, "view", 1000L, 0.0), (11L, 9L, "purchase", 1000L, 5.0),
+      (12L, 9L, "click", 1000L, 0.0)) // larger id than the purchase: excluded
+    ).collect()
+    assert(out.map(r => (r.getLong(0), r.get(4))).toSeq == Seq((11L, 10L)))
+  }
+
+  test("attribution is one exchange: carry-forward shares the user_id partitioning") {
+    val plan = Behavior.attribution(events).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges")
+  }
+
+  test("changepoints: a planted level shift is localized at the shift row") {
+    // 15 values around 10 then 15 around 50 (jitter keeps pooled var > 0):
+    // the scan statistic peaks where the right window exactly covers the new
+    // level — the first post-shift row (id 16)
+    val vals = (1 to 15).map(i => if (i % 2 == 0) 9.0 else 11.0) ++
+      (16 to 30).map(i => if (i % 2 == 0) 49.0 else 51.0)
+    val d = valueEvents(1L, vals)
+    val out = Behavior.changepoints(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.maxBy(r => math.abs(r._2))._1 == 16L)
+    // truncated edge windows never score: first/last w rows are absent
+    assert(out.forall { case (id, _) => id > Behavior.ChangeW && id <= 30 - Behavior.ChangeW + 1 })
+  }
+
+  test("changepoints: jitter without a shift stays under the threshold") {
+    val d = valueEvents(2L, (1 to 40).map(i => if (i % 2 == 0) 9.0 else 11.0), idBase = 500)
+    assert(Behavior.changepoints(d).collect().isEmpty)
+  }
+
   test("anomalies: windows never cross users") {
     // user 4 priors would flag the spike, but the spike belongs to user 5
     // with no history of its own
