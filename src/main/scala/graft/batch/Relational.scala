@@ -40,6 +40,9 @@ object Relational {
 
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** Pinned pivot category list — schema must never be data-dependent. */
+  val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
   private def part(s: SparkSession, d: String) = Tables.part(s, d)
   private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
@@ -217,6 +220,29 @@ object Relational {
         col("event_id"),
         col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // --- pivot / unpivot (wide<->long reshaping) ----------------------------
+    // PIVOT with an EXPLICIT value list: the implicit form would first run a
+    // distinct scan to discover categories AND make the output schema
+    // data-dependent — both wrong at scale. With pinned values this is one
+    // hash agg whose map-side combine folds each category into its column.
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(expr("__time__ div 86400000").as("day"), col("event_type"),
+          expr("cast(round(value * 10000) as bigint)").as("v"))
+        .groupBy(col("day"))
+        .pivot("event_type", PivotTypes)
+        .agg(count(lit(1)))
+        .select(col("day") +: PivotTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)),
+
+    // the inverse reshape: melt the pivoted wide table back to long form —
+    // map-only over the (tiny) wide table, zero-filled combos included
+    "q_unpivot" -> ((s, d) => {
+      val wide = queries("q_pivot")(s, d)
+      wide.unpivot(Array(col("day")),
+        PivotTypes.map(t => col(s"n_$t")).toArray, "event_type", "n")
+        .withColumn("event_type", expr("substring(event_type, 3)"))
+    }),
 
     // --- multi-dimensional aggregation (SURVEY §2.6 "free" row) -------------
     "q_rollup" -> ((s, d) =>
@@ -403,6 +429,21 @@ object Relational {
       """SELECT event_id, event_type,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "q_pivot" -> {
+      val cols = PivotTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t").mkString(",\n|  ")
+      s"""SELECT epoch_ms(ts) // 86400000 AS day,
+         |  $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+
+    "q_unpivot" -> {
+      val arms = PivotTypes.map(t =>
+        s"SELECT day, '$t' AS event_type, CAST(count(*) FILTER (e.event_type = '$t') AS BIGINT) AS n " +
+          s"FROM (SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events) e GROUP BY 1")
+      arms.mkString("\n|UNION ALL\n|").stripMargin
+    },
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,

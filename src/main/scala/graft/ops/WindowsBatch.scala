@@ -76,7 +76,36 @@ object WindowsBatch {
       round(max(col("value")).over(w), 6).as("max_last3"))
   }
 
+  /** Cumulate window (Flink's CUMULATE TVF — public Flink SQL semantics,
+    * absent from both the reference and Spark's built-ins): a day-aligned
+    * window reported at every `CumStepMs` checkpoint, each report covering
+    * [day_start, day_start + k·step). The early-firing "progress toward the
+    * daily total" shape dashboards want.
+    *
+    * Implemented by fanning each event into the (size/step − offset) step
+    * windows it belongs to — map-side explode of ≤ size/step tiny structs
+    * (like the slide oracle's k-fan), then ONE hash agg. No window
+    * functions, no second shuffle; the last step's row is exactly the
+    * tumble row (spec'd).
+    */
+  def cumulate(events: DataFrame): DataFrame = {
+    val steps = (CumSizeMs / CumStepMs).toInt
+    events
+      .select(col("event_type"), col("value"),
+        expr(s"__time__ div ${CumSizeMs}L * ${CumSizeMs}L").as("ws"), col("__time__"))
+      .select(col("event_type"), col("value"), col("ws"),
+        explode(expr(
+          s"filter(transform(sequence(1, $steps), k -> ws + k * ${CumStepMs}L)," +
+            " e -> __time__ < e)")).as("we"))
+      .groupBy(col("ws"), col("we"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val CumSizeMs: Long = 24L * 3600 * 1000
+  val CumStepMs: Long = 6L * 3600 * 1000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_cumulate" -> ((s, d) => cumulate(Tables.events(s, d))),
     "q_window_tumble" -> ((s, d) => tumble(Tables.events(s, d))),
     "q_window_slide" -> ((s, d) => slide(Tables.events(s, d))),
     "q_window_session" -> ((s, d) => session(Tables.events(s, d))),
@@ -87,6 +116,15 @@ object WindowsBatch {
   private val msSql = "epoch_ms(ts)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_cumulate" ->
+      s"""WITH x AS (SELECT event_type, value,
+         |  ($msSql // $CumSizeMs) * $CumSizeMs AS ws, $msSql AS ms FROM events),
+         |e AS (SELECT event_type, value, ws, ws + k.k * $CumStepMs AS we
+         |      FROM x, (SELECT unnest(range(1, ${CumSizeMs / CumStepMs + 1})) AS k) k
+         |      WHERE ms < ws + k.k * $CumStepMs)
+         |SELECT ws, we, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
     "q_window_tumble" ->
       s"""SELECT ($msSql // $TumbleMs) * $TumbleMs AS ws, event_type,
          |  count(*) AS n, round(sum(value), 2) AS sum_value

@@ -24,4 +24,40 @@ class RelationalSpec extends SparkSpec {
     assert(out.exists(r => r.getString(0) != "ALL" && r.getString(1) == "ALL"))
     assert(out.exists(r => r.getString(0) != "ALL" && r.getString(1) != "ALL"))
   }
+
+  test("pivot: wide counts zero-fill absent combos; unpivot is its inverse") {
+    import org.apache.spark.sql.functions._
+    val wide = Relational.queries("q_pivot")(spark, sf())
+    assert(wide.columns.toSeq == "day" +: Relational.PivotTypes.map("n_" + _))
+    // row sums equal the plain per-day counts
+    val ev = graft.Tables.events(spark, sf())
+    val perDay = ev.groupBy(expr("__time__ div 86400000").as("day"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sums = wide.collect().map(r =>
+      r.getLong(0) -> (1 to Relational.PivotTypes.size).map(r.getLong).sum).toMap
+    assert(sums == perDay)
+    // unpivot restores long form: one row per (day, type), zero-filled
+    val long = Relational.queries("q_unpivot")(spark, sf())
+    assert(long.count() == wide.count() * Relational.PivotTypes.size)
+    val back = long.groupBy("day").agg(sum("n").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == perDay)
+  }
+
+  test("cumulate window: final step row equals the day's tumble total") {
+    import org.apache.spark.sql.functions._
+    val cum = graft.ops.WindowsBatch.cumulate(graft.Tables.events(spark, sf()))
+    // steps are expanding: n is non-decreasing in we within (ws, event_type)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws"), col("event_type")).orderBy(col("we"))
+    assert(cum.withColumn("prev", lag(col("n"), 1).over(w))
+      .where(col("prev").isNotNull && col("n") < col("prev")).isEmpty)
+    // the last step covers the whole day: equals a straight daily groupBy
+    val last = cum.where(col("we") === col("ws") + graft.ops.WindowsBatch.CumSizeMs)
+      .select(col("ws"), col("event_type"), col("n"))
+    val daily = graft.Tables.events(spark, sf())
+      .groupBy(expr(s"__time__ div ${graft.ops.WindowsBatch.CumSizeMs}L * ${graft.ops.WindowsBatch.CumSizeMs}L").as("ws"),
+        col("event_type")).agg(count(lit(1)).as("n"))
+    assert(last.exceptAll(daily).isEmpty && daily.exceptAll(last).isEmpty)
+  }
 }
