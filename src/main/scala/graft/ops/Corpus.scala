@@ -796,6 +796,55 @@ object Corpus {
       .sortWithinPartitions(col("zv"))
   }
 
+  /** Data-skipping manifest over the z-ordered layout — the reader-side
+    * half of `zorderLayout`: summarize each z-range shard by row count and
+    * per-dimension min/max (what parquet footers / Delta-Iceberg manifests
+    * store), and evaluate which shards a range predicate on EITHER
+    * dimension must scan (stats-interval intersection — exactly how a
+    * lakehouse reader prunes files). One agg over the corpus; the manifest
+    * is nShards rows. Shards here are EQUAL-WIDTH z ranges
+    * (`zv·nShards div 2^(2·ZBits)`) rather than the writer's sampled
+    * range-exchange bounds, so the manifest is an analytic function of the
+    * data — deterministic, oracle-checkable, and a faithful model of
+    * skipping behavior (equal-frequency bounds only tighten it).
+    *
+    * SkippingSpec proves the contract: every row matching the predicate
+    * lives in a must-scan shard (pruning is sound), and most shards are
+    * skipped for a narrow slice on either dimension (pruning is effective —
+    * the point of z-order vs single-column sort).
+    */
+  def skippingManifest(
+      docs: DataFrame,
+      xExpr: String,
+      yExpr: String,
+      nShards: Int = SkipShards,
+      xRange: (Long, Long) = SkipXRange,
+      yRange: (Long, Long) = SkipYRange): DataFrame = {
+    val lim = (1L << ZBits) - 1
+    val z = docs
+      .withColumn("__zx", expr(s"least($lim, greatest(0L, $xExpr))"))
+      .withColumn("__zy", expr(s"least($lim, greatest(0L, $yExpr))"))
+      .withColumn("zv", expr(zvalueSql("__zx", "__zy", "div")))
+    // equal-width shards over the OCCUPIED z range (data fills only the
+    // low corner of the 2^(2·ZBits) space when dims are narrow): bounds
+    // come from one broadcast 1-row agg, keeping shard ids analytic
+    val zmax = z.agg(max(col("zv")).as("zmax"))
+    z.crossJoin(broadcast(zmax))
+      .withColumn("shard_id", expr(s"zv * $nShards div (zmax + 1)"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__zx")).as("min_x"), max(col("__zx")).as("max_x"),
+        min(col("__zy")).as("min_y"), max(col("__zy")).as("max_y"))
+      .withColumn("scan_x",
+        col("min_x") <= xRange._2 && col("max_x") >= xRange._1)
+      .withColumn("scan_y",
+        col("min_y") <= yRange._2 && col("max_y") >= yRange._1)
+  }
+
+  val SkipShards = 64
+  val SkipXRange: (Long, Long) = (3L, 5L) // source-number slice
+  val SkipYRange: (Long, Long) = (16L, 24L) // n_chars/8 slice (128..200 chars)
+
   /** Temperature (α) mixture sampling — the multilingual/multi-source
     * reweighting of mBERT/XLM-R: sample source s with probability
     * ∝ n_s^α, flattening the natural distribution so small sources are not
@@ -955,6 +1004,9 @@ object Corpus {
       zorderLayout(Tables.documents(s, d),
         "cast(substr(source, 4) as bigint)", "n_chars div 8", 8)
         .select(col("doc_id"), col("source"), col("n_chars"), col("zv"))),
+    "q_skip_manifest" -> ((s, d) =>
+      skippingManifest(Tables.documents(s, d),
+        "cast(substr(source, 4) as bigint)", "n_chars div 8")),
     "q_mix_epochs" -> ((s, d) =>
       epochPlan(Tables.documents(s, d), mixWeightsDf(s), EpochBudgetTokens)),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
@@ -1222,6 +1274,23 @@ object Corpus {
          |  FROM documents)
          |SELECT doc_id, source, n_chars, ${zvalueSql("zx", "zy", "//")} AS zv
          |FROM b""".stripMargin
+    },
+
+    "q_skip_manifest" -> {
+      val lim = (1L << ZBits) - 1
+      s"""WITH b AS (SELECT
+         |  least($lim, greatest(0, CAST(substr(source, 4) AS BIGINT))) AS zx,
+         |  least($lim, greatest(0, n_chars // 8)) AS zy
+         |  FROM documents),
+         |z AS (SELECT zx, zy, ${zvalueSql("zx", "zy", "//")} AS zv FROM b),
+         |zm AS (SELECT max(zv) AS zmax FROM z),
+         |m AS (SELECT zv * $SkipShards // (zmax + 1) AS shard_id, count(*) AS n_rows,
+         |        min(zx) AS min_x, max(zx) AS max_x, min(zy) AS min_y, max(zy) AS max_y
+         |      FROM z CROSS JOIN zm GROUP BY 1)
+         |SELECT shard_id, n_rows, min_x, max_x, min_y, max_y,
+         |  (min_x <= ${SkipXRange._2} AND max_x >= ${SkipXRange._1}) AS scan_x,
+         |  (min_y <= ${SkipYRange._2} AND max_y >= ${SkipYRange._1}) AS scan_y
+         |FROM m""".stripMargin
     },
 
     "q_mix_temperature" ->
