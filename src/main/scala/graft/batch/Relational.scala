@@ -221,6 +221,27 @@ object Relational {
         col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // --- exact per-group discrete percentiles -------------------------------
+    // percentile_disc by rank selection: value at rank ceil(q·n) in one
+    // per-group sort window — integer-exact (no interpolation, so no
+    // cross-engine float parity risk), and the distributed shape is one
+    // exchange on the group key + in-partition sort, shared by all three
+    // quantiles. The same exact-selection machinery as quality-threshold
+    // calibration, exposed as a plain relational primitive.
+    "q_percentile_disc" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_chars"))).as("p99"))
+    }),
+
     // --- pivot / unpivot (wide<->long reshaping) ----------------------------
     // PIVOT with an EXPLICIT value list: the implicit form would first run a
     // distinct scan to discover categories AND make the output schema
@@ -429,6 +450,17 @@ object Relational {
       """SELECT event_id, event_type,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "q_percentile_disc" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |FROM documents)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_pivot" -> {
       val cols = PivotTypes.map(t =>

@@ -61,18 +61,22 @@ object Aggregators {
     * preserving the error bound. Total corpus size `n` rides along so the
     * caller gets the exact threshold denominator from the same single pass.
     */
+  /** One Misra-Gries counter update — shared by the batch Aggregator below
+    * and the streaming keyed-state twin (streaming/HeavyHitterStream), so
+    * both paths carry the identical survival guarantee.
+    */
+  def mgStep(c: Map[String, Long], v: String, capacity: Int): Map[String, Long] =
+    c.get(v) match {
+      case Some(x) => c.updated(v, x + 1)
+      case None if c.size < capacity => c.updated(v, 1L)
+      case None => c.collect { case (k, x) if x > 1 => k -> (x - 1) }
+    }
+
   def misraGries(capacity: Int): Aggregator[String, MGBuf, MGOut] =
     new Aggregator[String, MGBuf, MGOut] {
       override def zero: MGBuf = MGBuf(0L, Map.empty)
-      override def reduce(b: MGBuf, v: String): MGBuf = {
-        val c = b.counts
-        val nc = c.get(v) match {
-          case Some(x) => c.updated(v, x + 1)
-          case None if c.size < capacity => c.updated(v, 1L)
-          case None => c.collect { case (k, x) if x > 1 => k -> (x - 1) }
-        }
-        MGBuf(b.n + 1, nc)
-      }
+      override def reduce(b: MGBuf, v: String): MGBuf =
+        MGBuf(b.n + 1, mgStep(b.counts, v, capacity))
       override def merge(a: MGBuf, b: MGBuf): MGBuf = {
         val sum = b.counts.foldLeft(a.counts) { case (m, (k, x)) =>
           m.updated(k, m.getOrElse(k, 0L) + x)

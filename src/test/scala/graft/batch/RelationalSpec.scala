@@ -25,6 +25,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.exists(r => r.getString(0) != "ALL" && r.getString(1) != "ALL"))
   }
 
+  test("percentile_disc: rank selection matches a local order-statistic replica") {
+    val out = Relational.queries("q_percentile_disc")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val local = graft.Tables.documents(spark, sf())
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (s, rows) =>
+        val v = rows.map(_.getLong(1)).sorted
+        val n = v.length.toLong
+        def at(num: Long, den: Long) = v((((n * num + den - 1) / den) - 1).toInt)
+        s -> (n, at(1, 2), at(9, 10), at(99, 100))
+      }
+    assert(out == local)
+  }
+
   test("pivot: wide counts zero-fill absent combos; unpivot is its inverse") {
     import org.apache.spark.sql.functions._
     val wide = Relational.queries("q_pivot")(spark, sf())
