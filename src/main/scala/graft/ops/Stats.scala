@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed statistics primitives: equal-frequency binning, exact-moment
+  * correlation, per-group mode, and the two-proportion z-test — the summary
+  * layer an analytics engine needs beside its aggregates (the reference
+  * stops at sum/max/avg/count, table/function package; SURVEY §2.6).
+  *
+  * Shared determinism discipline (the engine's cross-engine contract):
+  * every statistic is computed from EXACT integer moments (long sums of
+  * micro-unit values — associative, partition-order immune), combined by
+  * ONE documented IEEE expression shared verbatim with the oracle, then
+  * rounded. Doubles never accumulate; they only finish.
+  */
+object Stats {
+
+  /** Equal-frequency binning (quantile bucketization — the feature-prep
+    * step for ML pipelines and the equal-mass histogram for skewed
+    * distributions, where `qualityHistogram`'s equal-width bins collapse).
+    * ntile over the (value, id) total order — one exchange + in-partition
+    * sort; per-bin count/lo/hi from one small agg over bin ids.
+    */
+  def quantileBins(docs: DataFrame, nBins: Int = QuantileBins): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+  }
+
+  val QuantileBins = 10
+
+  /** Pearson correlation from exact integer moments: x = quantity in e4
+    * micro-units, y = discount in e6 — magnitudes chosen so every moment
+    * sum stays inside BIGINT past sf100 (sxx ≤ (5e5)²·rows). The final
+    * r = (n·sxy − sx·sy)/(√(n·sxx−sx²)·√(n·syy−sy²)) combines the exact
+    * longs in IEEE doubles with the identical expression on both engines.
+    * One partial+final agg — a 6-counter map-side fold, no shuffle of data.
+    */
+  def correlation(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(expr("cast(round(l_quantity * 10000) as bigint)").as("x"),
+        expr("cast(round(l_discount * 1000000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        expr("round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))" +
+          " / (sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))" +
+          " * sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 6)")
+          .as("r"))
+
+  /** Per-group mode with a deterministic tie (largest count, then smallest
+    * value): one count agg on the (group, value) domain, then a min(struct)
+    * fold — the negated count makes lexicographic struct-min pick exactly
+    * (max n, min value), so no rank window runs and the second agg's
+    * map-side combine keeps one candidate per group per task.
+    */
+  def mode(docs: DataFrame, groupCol: String = "source", valCol: String = "lang"): DataFrame =
+    docs
+      .groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("n")).as("neg"), col(valCol).as("v"))).as("m"))
+      .select(col(groupCol), col("m.v").as("mode"), (-col("m.neg")).as("n"))
+
+  /** Two-proportion z-test over an A/B split (the experimentation
+    * primitive): group = user_id parity, success = a heavy purchaser (at
+    * least `AbHeavyN` purchases — the data's median, so both proportions
+    * sit well inside (0,1)). Counts are exact integer aggregates; z uses
+    * the pooled estimate p̂ = (cA+cB)/(nA+nB) in one shared IEEE
+    * expression, NULL when the pooled variance is degenerate (p̂ ∈ {0,1} —
+    * under ANSI mode the unguarded division would throw, and a degenerate
+    * test has no z).
+    */
+  def abTest(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), pmod(col("user_id"), lit(2)).as("grp"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg((sum(col("p")) >= AbHeavyN).cast("long").as("converted"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("conv"))
+      .agg(
+        max(when(col("grp") === 0, col("n"))).as("n_a"),
+        max(when(col("grp") === 0, col("conv"))).as("conv_a"),
+        max(when(col("grp") === 1, col("n"))).as("n_b"),
+        max(when(col("grp") === 1, col("conv"))).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("case when conv_a + conv_b > 0 and conv_a + conv_b < n_a + n_b then" +
+          " round((cast(conv_a as double) / cast(n_a as double)" +
+          " - cast(conv_b as double) / cast(n_b as double))" +
+          " / sqrt((cast(conv_a + conv_b as double) / cast(n_a + n_b as double))" +
+          " * (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double))" +
+          " * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))), 4) end").as("z"))
+
+  val AbHeavyN = 14L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_bins" -> ((s, d) => quantileBins(Tables.documents(s, d))),
+    "q_corr" -> ((s, d) => correlation(Tables.lineitem(s, d))),
+    "q_mode" -> ((s, d) => mode(Tables.documents(s, d))),
+    "q_abtest" -> ((s, d) => abTest(Tables.events(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_quantile_bins" ->
+      s"""WITH b AS (SELECT n_chars,
+         |  ntile($QuantileBins) OVER (ORDER BY n_chars, doc_id) AS bin
+         |FROM documents)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |  min(n_chars) AS lo, max(n_chars) AS hi
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |  sum(x * y) AS sxy
+        |FROM (SELECT CAST(round(l_quantity * 10000) AS BIGINT) AS x,
+        |        CAST(round(l_discount * 1000000) AS BIGINT) AS y FROM lineitem))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM m""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, n,
+        |        row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+        |      FROM c)
+        |SELECT source, lang AS mode, CAST(n AS BIGINT) AS n FROM r WHERE rk = 1""".stripMargin,
+
+    "q_abtest" ->
+      s"""WITH u AS (SELECT user_id, user_id % 2 AS grp,
+        |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= $AbHeavyN
+        |       THEN 1 ELSE 0 END AS converted
+        |FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        |  max(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+        |  max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        |  max(CASE WHEN grp = 1 THEN conv END) AS conv_b
+        |FROM g)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+        |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4) END AS z
+        |FROM w""".stripMargin)
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quantileBins: equal-frequency bins, contiguous and ordered") {
+    val out = Stats.quantileBins(graft.Tables.documents(spark, sf("sf0.01")))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == Stats.QuantileBins)
+    // ntile: bin sizes differ by at most one
+    val sizes = out.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    // bins tile the value axis in order (lo <= hi, next lo >= previous hi)
+    out.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    out.sliding(2).foreach { case Array(a, b) => assert(b._3 >= a._4); case _ => }
+  }
+
+  test("correlation: perfectly correlated and anti-correlated fixtures") {
+    def li(rows: (Double, Double)*) = rows.toDF("l_quantity", "l_discount")
+    val pos = Stats.correlation(li((1.0, 0.01), (2.0, 0.02), (3.0, 0.03))).collect().head
+    assert(pos.getDouble(1) == 1.0)
+    val neg = Stats.correlation(li((1.0, 0.03), (2.0, 0.02), (3.0, 0.01))).collect().head
+    assert(neg.getDouble(1) == -1.0)
+    val mid = Stats.correlation(li((1.0, 0.01), (2.0, 0.01), (1.0, 0.02), (2.0, 0.02)))
+      .collect().head
+    assert(mid.getDouble(1) == 0.0)
+  }
+
+  test("mode: largest count wins, ties break to the smallest value") {
+    def d(rows: (String, String)*) = rows.toDF("source", "lang")
+    val out = Stats.mode(d(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", "zh"), ("s2", "fr"))) // tie at 1: fr < zh
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("s1" -> ("en", 2L), "s2" -> ("fr", 1L)))
+  }
+
+  test("abTest: z matches a local replica; degenerate split yields NULL") {
+    def ev(rows: (Long, String)*) = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, u, t, i.toLong * 1000)
+    }.toDF("event_id", "user_id", "event_type", "__time__")
+    // users 0,2 (grp 0): one heavy (14 purchases), one light; users 1,3
+    // (grp 1): both light -> conv_a=1/2, conv_b=0/2
+    val rows =
+      (1 to 14).map(_ => (0L, "purchase")) ++ Seq((2L, "view")) ++
+        Seq((1L, "view"), (3L, "click"))
+    val out = Stats.abTest(ev(rows: _*)).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) == (2L, 1L, 2L, 0L))
+    val p = 1.0 / 4.0
+    val raw = (0.5 - 0.0) / math.sqrt(p * (1 - p) * (1.0 / 2 + 1.0 / 2))
+    val exp = java.math.BigDecimal.valueOf(raw)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(out.getDouble(4) == exp)
+    // all users light -> pooled p = 0 -> no z
+    val degenerate = Stats.abTest(ev((0L, "view"), (1L, "click"))).collect().head
+    assert(degenerate.isNullAt(4))
+  }
+}
