@@ -249,8 +249,38 @@ object Behavior {
   val ChangeW = 10
   val ChangeT = 3.0
 
+  /** Frequent 2-itemsets over (user, day) baskets — the A-priori support
+    * count for pair-level market-basket/co-occurrence analysis ("which
+    * event types happen together in a day"). Baskets come from one
+    * distinct shuffle; pairs form by a self-equi-join ON THE BASKET KEY
+    * (per-basket fan-out is bounded by the item domain per basket, never
+    * |baskets|²); support gates use exact integer cross-multiplication
+    * (supp·1e6 ≥ minSup_e6·nBaskets) — no ratio doubles until the final
+    * reported column.
+    */
+  def itemsets(events: DataFrame, minSupportE6: Long = ItemsetMinSupportE6): DataFrame = {
+    val basket = events
+      .select(col("user_id"), expr("__time__ div 86400000").as("day"), col("event_type"))
+      .distinct()
+    val nb = basket.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val a = basket.select(col("user_id"), col("day"), col("event_type").as("a"))
+    val b = basket.select(col("user_id"), col("day"), col("event_type").as("b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(nb))
+      .filter(col("supp") * lit(1000000L) >= lit(minSupportE6) * col("nb"))
+      .select(col("a"), col("b"), col("supp"),
+        round(col("supp").cast("double") / col("nb"), 6).as("supp_ratio"))
+  }
+
+  val ItemsetMinSupportE6 = 140000L // 14% of baskets — sits inside the demo data's support band
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
+    "q_itemsets" -> ((s, d) => itemsets(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoints(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalies(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -281,6 +311,18 @@ object Behavior {
          |SELECT p.event_id, p.user_id, p.ms, p.v_e4,
          |  NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT
          |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.event_id = p.event_id)""".stripMargin,
+    "q_itemsets" ->
+      s"""WITH basket AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day, event_type
+         |                FROM events),
+         |nb AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, day FROM basket)),
+         |p AS (SELECT a.event_type AS a, b.event_type AS b, count(*) AS supp
+         |      FROM basket a JOIN basket b
+         |        ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+         |      GROUP BY 1, 2)
+         |SELECT a, b, CAST(supp AS BIGINT) AS supp,
+         |  round(CAST(supp AS DOUBLE) / nb, 6) AS supp_ratio
+         |FROM p CROSS JOIN nb
+         |WHERE supp * 1000000 >= $ItemsetMinSupportE6 * nb""".stripMargin,
     "q_changepoint" ->
       s"""WITH e AS (SELECT event_id, user_id, $msSql AS ms,
          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),

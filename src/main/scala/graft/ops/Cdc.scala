@@ -71,7 +71,51 @@ object Cdc {
   // differently across engines.
   private val valC = "CAST(floor(value * 100) AS BIGINT)"
 
+  /** Snapshot reconciliation: classify every key across two table versions
+    * as added / removed / changed (unchanged rows are dropped — at 100 TB
+    * the diff IS the output, and it is usually tiny relative to the
+    * snapshots). One full-outer sort-merge join on the key; payload equality
+    * compares an md5 over the concatenated payload columns computed
+    * MAP-SIDE on each leg, so the join carries (key, 32-byte digest), never
+    * the payloads — the standard shape for petabyte reconciliation jobs
+    * (and the inverse companion of `latestSnapshot`, which builds what this
+    * audits).
+    */
+  def tableDiff(a: DataFrame, b: DataFrame, key: String, payload: Seq[String]): DataFrame = {
+    def digest(df: DataFrame) =
+      df.select(col(key),
+        md5(concat_ws("", payload.map(c => col(c).cast("string")): _*)).as("fp"))
+    val la = digest(a).withColumnRenamed("fp", "fp_a")
+    val lb = digest(b).withColumnRenamed("fp", "fp_b")
+    la.join(lb, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
+
+  /** The demo mutation for `q_table_diff`: version B of the documents table
+    * derived deterministically — doc_id % 13 == 0 deleted, % 7 == 0 edited
+    * (text suffixed), % 11 == 0 duplicated under key+10^9 (the "added"
+    * rows). Both engines derive B from the same parquet A.
+    */
+  private[ops] def mutatedDocs(docs: DataFrame): DataFrame = {
+    val survivors = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    survivors.union(added)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_diff" -> ((s, d) => {
+      val a = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      tableDiff(a, mutatedDocs(a), "doc_id", Seq("text"))
+    }),
     // events as a user-state changelog: 'error' rows are tombstones
     "q_cdc_latest" -> ((s, d) =>
       latestSnapshot(
@@ -97,6 +141,22 @@ object Cdc {
           col("effective_from"), col("effective_to"), col("is_current"))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_table_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM a WHERE doc_id % 13 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000000, text FROM a WHERE doc_id % 11 = 0),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |        md5(CAST(a.text AS VARCHAR)) AS fp_a, md5(CAST(b.text AS VARCHAR)) AS fp_b,
+        |        a.doc_id IS NULL AS no_a, b.doc_id IS NULL AS no_b
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN no_a THEN 'added' WHEN no_b THEN 'removed'
+        |       WHEN fp_a <> fp_b THEN 'changed' END AS change
+        |FROM j
+        |WHERE no_a OR no_b OR fp_a <> fp_b""".stripMargin,
     "q_cdc_latest" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, value,
          |             epoch_ms(ts) AS __time__ FROM events),

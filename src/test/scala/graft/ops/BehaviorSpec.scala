@@ -177,6 +177,23 @@ class BehaviorSpec extends SparkSpec {
     assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges")
   }
 
+  test("itemsets: support counts baskets (not events) and the gate is exact") {
+    val day = 86400000L
+    // user 1 day 0: {view, click} twice over -> still ONE basket;
+    // user 2 day 0: {view, click}; user 2 day 1: {view} alone
+    val d = attrEvents(
+      (1L, 1L, "view", 1000L, 0.0), (2L, 1L, "click", 2000L, 0.0),
+      (3L, 1L, "view", 3000L, 0.0), (4L, 1L, "click", 4000L, 0.0),
+      (5L, 2L, "view", 1000L, 0.0), (6L, 2L, "click", 2000L, 0.0),
+      (7L, 2L, "view", day + 1000L, 0.0))
+    // 3 baskets; (click, view) co-occurs in 2 -> ratio 2/3
+    val out = Behavior.itemsets(d, minSupportE6 = 500000L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(("click", "view") -> (2L, 0.666667)))
+    // 67% support gate excludes the pair (2/3 < 0.67): integer gate is exact
+    assert(Behavior.itemsets(d, minSupportE6 = 670000L).collect().isEmpty)
+  }
+
   test("changepoints: a planted level shift is localized at the shift row") {
     // 15 values around 10 then 15 around 50 (jitter keeps pooled var > 0):
     // the scan statistic peaks where the right window exactly covers the new

@@ -57,4 +57,25 @@ class CdcSpec extends SparkSpec {
     val u4 = v.filter(_._1 == 4L).sortBy(_._2)
     assert(u4(0)._4 == 100L && !u4(0)._5 && u4(1)._4 == -1L && u4(1)._5)
   }
+
+  test("tableDiff: added/removed/changed classified, unchanged dropped") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "born")).toDF("doc_id", "text")
+    val out = Cdc.tableDiff(a, b, "doc_id", Seq("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("tableDiff: join legs carry digests, not payloads") {
+    val a = graft.Tables.documents(spark, sf()).select("doc_id", "text")
+    val plan = Cdc.tableDiff(a, a, "doc_id", Seq("text"))
+      .queryExecution.optimizedPlan.toString
+    // payload column is consumed by md5 BELOW the join: the join output
+    // references fp_a/fp_b only
+    assert(plan.contains("md5"))
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(!joinLine.contains("text"), s"payload crossed the join: $joinLine")
+  }
 }
