@@ -278,9 +278,30 @@ object Behavior {
 
   val ItemsetMinSupportE6 = 140000L // 14% of baskets — sits inside the demo data's support band
 
+  /** Reach curve: per day, active users (DAU), first-time users, and
+    * cumulative distinct reach. Running COUNT(DISTINCT) is the textbook
+    * scale trap (a growing distinct set per day); instead each user
+    * contributes their FIRST activity day once (per-user min — map-side
+    * combinable) and cumulative reach is a running sum over the
+    * calendar-sized day table. Two tiny aggregates off one distinct
+    * (user, day) projection; the window runs over days, never users.
+    */
+  def reach(events: DataFrame): DataFrame = {
+    val d = events.select(col("user_id"), expr("__time__ div 86400000").as("day")).distinct()
+    val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val firsts = d.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firsts, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_reach", sum(col("new_users")).over(w))
+      .select(col("day"), col("dau"), col("new_users"), col("cum_reach"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_itemsets" -> ((s, d) => itemsets(Tables.events(s, d))),
+    "q_reach" -> ((s, d) => reach(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoints(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalies(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -311,6 +332,15 @@ object Behavior {
          |SELECT p.event_id, p.user_id, p.ms, p.v_e4,
          |  NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT
          |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.event_id = p.event_id)""".stripMargin,
+    "q_reach" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+         |f AS (SELECT min(day) AS day FROM d GROUP BY user_id),
+         |nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+         |SELECT day, dau, coalesce(new_users, 0) AS new_users,
+         |  CAST(sum(coalesce(new_users, 0))
+         |       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
+         |FROM dau LEFT JOIN nu USING (day)""".stripMargin,
     "q_itemsets" ->
       s"""WITH basket AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day, event_type
          |                FROM events),

@@ -106,8 +106,36 @@ object Graph {
       .select(col("node").as("term"), col("rank").as("score_e12"), col("deg"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over the same co-occurrence graph: each round every node adopts
+    * the most frequent label among its neighbors, ties to the smallest
+    * label — fully deterministic (classic LPA breaks ties randomly; the min
+    * rule trades a little mixing speed for engine-replayability). Same
+    * iteration cadence as `textrank`: per round one edges⋈labels equi-join,
+    * one (node, label) count agg, and one negated-count struct-min (the
+    * `Stats.mode` fold — no rank window). Labels are token strings, so the
+    * final label doubles as a readable community exemplar.
+    */
+  def communities(docs: DataFrame): DataFrame = {
+    val (edges, deg) = edgeList(docs)
+    var labels = deg.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaIterations) {
+      labels = edges
+        .join(labels, edges("a") === labels("node"))
+        .groupBy(col("b"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("b"))
+        .agg(min(struct((-col("n")).as("neg"), col("label").as("l"))).as("m"))
+        .select(col("b").as("node"), col("m.l").as("label"))
+    }
+    labels.select(col("node").as("term"), col("label").as("community"))
+  }
+
+  val LpaIterations = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_textrank" -> ((s, d) => textrank(Tables.documents(s, d))))
+    "q_graph_textrank" -> ((s, d) => textrank(Tables.documents(s, d))),
+    "q_graph_communities" -> ((s, d) => communities(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -122,7 +150,24 @@ object Graph {
          |FROM edges e JOIN r${k - 1} r ON e.a = r.node JOIN deg d ON d.node = e.b
          |GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
+    val lpaRounds = (1 to LpaIterations).map { k =>
+      s"""l$k AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+         |  FROM (SELECT e.b AS node, r.label AS label, count(*) AS n
+         |        FROM edges e JOIN l${k - 1} r ON e.a = r.node GROUP BY 1, 2))
+         |WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
     Map(
+      "q_graph_communities" ->
+        s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+           |inst AS (SELECT unnest([{'a': toks[i], 'b': toks[i + 1]} for i in range(1, len(toks))]) AS p
+           |         FROM t WHERE len(toks) >= 2),
+           |und AS (SELECT DISTINCT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM inst
+           |        WHERE len(p.a) >= $MinTokenLen AND len(p.b) >= $MinTokenLen AND p.a <> p.b),
+           |edges AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+           |l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+           |$lpaRounds
+           |SELECT node AS term, label AS community FROM l$LpaIterations""".stripMargin,
       "q_graph_textrank" ->
         s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
            |inst AS (SELECT unnest([{'a': toks[i], 'b': toks[i + 1]} for i in range(1, len(toks))]) AS p

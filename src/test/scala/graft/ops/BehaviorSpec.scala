@@ -194,6 +194,18 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.itemsets(d, minSupportE6 = 670000L).collect().isEmpty)
   }
 
+  test("reach: dau counts actives, cum_reach counts each user once, ever") {
+    val day = 86400000L
+    // day 0: users 1,2 ; day 1: users 2,3 ; day 3: user 1 again (not new)
+    val d = attrEvents(
+      (1L, 1L, "view", 1000L, 0.0), (2L, 2L, "view", 2000L, 0.0),
+      (3L, 2L, "view", day + 1000L, 0.0), (4L, 3L, "view", day + 2000L, 0.0),
+      (5L, 1L, "view", 3 * day + 1000L, 0.0))
+    val out = Behavior.reach(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(0L -> (2L, 2L, 2L), 1L -> (2L, 1L, 3L), 3L -> (1L, 0L, 3L)))
+  }
+
   test("changepoints: a planted level shift is localized at the shift row") {
     // 15 values around 10 then 15 around 50 (jitter keeps pooled var > 0):
     // the scan statistic peaks where the right window exactly covers the new

@@ -54,6 +54,27 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("communities: disconnected components converge to distinct labels") {
+    // two triangles with no bridge: each must settle on one internal label,
+    // and the two labels must differ (no cross-component bleed)
+    val out = Graph.communities(docs(
+      "alpha beta gamma alpha", "gamma alpha beta",
+      "delta epsilon zeta delta", "zeta delta epsilon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val left = Set("alpha", "beta", "gamma").map(out)
+    val right = Set("delta", "epsilon", "zeta").map(out)
+    assert(left.size == 1, s"left clique split: $out")
+    assert(right.size == 1, s"right clique split: $out")
+    assert(left != right)
+  }
+
+  test("communities are partitioning-invariant (deterministic min-tie LPA)") {
+    val d = graft.Tables.documents(spark, sf())
+    val a = Graph.communities(d).collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val b = Graph.communities(d.repartition(5)).collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("textrank: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val plan = Graph.textrank(graft.Tables.documents(spark, sf()))
       .queryExecution.executedPlan.toString
