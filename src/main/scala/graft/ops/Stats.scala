@@ -101,13 +101,121 @@ object Stats {
 
   val AbHeavyN = 14L
 
+  /** Per-user value trend: ordinary-least-squares slope of event value over
+    * time (v_e4 micro-units per day). Same exact-moment discipline as
+    * `correlation` — five integer sums per user inside one hash agg, slope
+    * finished by one shared IEEE expression; users need `TrendMinN` points
+    * and a non-degenerate x spread (all-same-day users have no slope).
+    */
+  def trend(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("__time__ div 86400000").as("x"),
+        expr("cast(round(value * 10000) as bigint)").as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= TrendMinN && col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("user_id"), col("n"),
+        expr("round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))" +
+          " / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 6)")
+          .as("slope"))
+
+  val TrendMinN = 5L
+
+  /** Median absolute deviation per group — the robust spread measure
+    * (insensitive to the outliers that wreck a stddev): two rank-selection
+    * passes of the `quantileBins`/`percentile_disc` machinery, the second
+    * over |x − median| with the per-group medians joined back. All order
+    * statistics, integer-exact end to end.
+    */
+  def mad(docs: DataFrame): DataFrame = {
+    def medianOf(df: DataFrame, valCol: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(valCol), col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col(valCol).as("med"), col("n"))
+    }
+    val base = docs.select(col("source"), col("doc_id"), col("n_chars"))
+    val med = medianOf(base, "n_chars")
+    val dev = base.join(med.select(col("source"), col("med")), "source")
+      .select(col("source"), col("doc_id"), abs(col("n_chars") - col("med")).as("adev"))
+    medianOf(dev.withColumnRenamed("adev", "n_chars"), "n_chars")
+      .join(med.select(col("source"), col("med").as("median")), "source")
+      .select(col("source"), col("n"), col("median"), col("med").as("mad"))
+  }
+
+  /** Shannon entropy of each user's event-type mix, in nats. The
+    * transcendental-sum determinism trap: Σ c·ln(c) as a plain SUM would
+    * accumulate in partition order. Instead the per-type counts collect
+    * into a SORTED list and fold left-to-right (`aggregate` here,
+    * `list_reduce` in the oracle) — a fixed association both engines
+    * replay; H = ln(n) − fold/n. The list is bounded by the type domain,
+    * never the event count.
+    */
+  def entropy(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sort_array(collect_list(struct(col("event_type").as("t"), col("c")))).as("cs"))
+      .select(col("user_id"), col("n"),
+        expr("round(ln(cast(n as double)) - aggregate(cs, cast(0.0 as double)," +
+          " (acc, s) -> acc + cast(s.c as double) * ln(cast(s.c as double))) / cast(n as double), 6)")
+          .as("entropy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend" -> ((s, d) => trend(Tables.events(s, d))),
+    "q_mad" -> ((s, d) => mad(Tables.documents(s, d))),
+    "q_entropy" -> ((s, d) => entropy(Tables.events(s, d))),
     "q_quantile_bins" -> ((s, d) => quantileBins(Tables.documents(s, d))),
     "q_corr" -> ((s, d) => correlation(Tables.lineitem(s, d))),
     "q_mode" -> ((s, d) => mode(Tables.documents(s, d))),
     "q_abtest" -> ((s, d) => abTest(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_trend" ->
+      s"""WITH m AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * x) AS sxx, sum(x * y) AS sxy
+         |FROM (SELECT user_id, epoch_ms(ts) // 86400000 AS x,
+         |        CAST(round(value * 10000) AS BIGINT) AS y FROM events)
+         |GROUP BY 1)
+         |SELECT user_id, CAST(n AS BIGINT) AS n,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+         |FROM m WHERE n >= $TrendMinN AND n * sxx - sx * sx > 0""".stripMargin,
+
+    "q_mad" ->
+      """WITH b AS (SELECT source, doc_id, n_chars FROM documents),
+        |m1 AS (SELECT source, n_chars AS med, n FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM b) WHERE rn = (n + 1) // 2),
+        |d AS (SELECT b.source, b.doc_id, abs(b.n_chars - m1.med) AS adev
+        |      FROM b JOIN m1 ON m1.source = b.source),
+        |m2 AS (SELECT source, adev AS mad, n FROM (
+        |  SELECT source, doc_id, adev,
+        |    row_number() OVER (PARTITION BY source ORDER BY adev, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d) WHERE rn = (n + 1) // 2)
+        |SELECT m2.source, CAST(m2.n AS BIGINT) AS n, m1.med AS median, m2.mad AS mad
+        |FROM m2 JOIN m1 ON m1.source = m2.source""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (SELECT user_id, event_type AS t, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |        list(CAST(c AS DOUBLE) ORDER BY t) AS cs
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n,
+        |  round(ln(CAST(n AS DOUBLE))
+        |    - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(cs, x -> x * ln(x))), (a, b) -> a + b)
+        |      / CAST(n AS DOUBLE), 6) AS entropy
+        |FROM g""".stripMargin,
     "q_quantile_bins" ->
       s"""WITH b AS (SELECT n_chars,
          |  ntile($QuantileBins) OVER (ORDER BY n_chars, doc_id) AS bin

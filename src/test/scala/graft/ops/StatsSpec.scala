@@ -40,6 +40,43 @@ class StatsSpec extends SparkSpec {
     assert(out == Map("s1" -> ("en", 2L), "s2" -> ("fr", 1L)))
   }
 
+  test("trend: exact slope on a linear fixture; degenerate x spread dropped") {
+    val day = 86400000L
+    def ev(user: Long, pts: Seq[(Long, Double)], base: Long) =
+      pts.zipWithIndex.map { case ((d, v), i) =>
+        (base + i, user, "view", d * day + 1000L, v)
+      }.toDF("event_id", "user_id", "event_type", "__time__", "value")
+    // value rises exactly 2.5/day -> slope 25000 micro-units/day
+    val rising = ev(1L, (0L to 5L).map(d => d -> (10.0 + 2.5 * d)), 0)
+    val flatX = ev(2L, Seq.fill(6)(3L -> 1.0).zipWithIndex.map { case ((d, _), i) => d -> (i * 1.0) }, 100)
+    val out = Stats.trend(rising.union(flatX)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 25000.0)) // user 2: all points on one day -> no slope
+  }
+
+  test("mad: robust to the outlier that moves the mean") {
+    def d(rows: (Long, String, Long)*) = rows.toDF("doc_id", "source", "n_chars")
+    // values 10,12,14,16,1000: median 14, |dev| = 4,2,0,2,986 -> MAD 2
+    val out = Stats.mad(d(
+      (1L, "s", 10L), (2L, "s", 12L), (3L, "s", 14L), (4L, "s", 16L), (5L, "s", 1000L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("s", 5L, 14L, 2L)))
+  }
+
+  test("entropy: uniform mix maxes out, single type is zero, fold is exact") {
+    def ev(rows: (Long, String)*) = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, u, t, i.toLong * 1000, 0.0)
+    }.toDF("event_id", "user_id", "event_type", "__time__", "value")
+    // user 1: 2+2 of two types -> H = ln(2); user 2: one type -> 0
+    val out = Stats.entropy(ev(
+      (1L, "view"), (1L, "view"), (1L, "click"), (1L, "click"),
+      (2L, "view"), (2L, "view"), (2L, "view")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ln2 = BigDecimal(math.log(4.0) - (2.0 * math.log(2.0) + 2.0 * math.log(2.0)) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ln2 && out(2L) == 0.0)
+  }
+
   test("abTest: z matches a local replica; degenerate split yields NULL") {
     def ev(rows: (Long, String)*) = rows.zipWithIndex.map { case ((u, t), i) =>
       (i.toLong, u, t, i.toLong * 1000)
