@@ -278,6 +278,41 @@ object Behavior {
 
   val ItemsetMinSupportE6 = 140000L // 14% of baskets — sits inside the demo data's support band
 
+  /** Top event paths: counts of 3-step type sequences per user (the
+    * path-analysis extension of `transitions`' first-order matrix —
+    * "view→click→purchase vs view→click→error"). Two `lead()`s over the
+    * same single user_id sort, a |types|³-bounded aggregate, and a
+    * TakeOrderedAndProject top-k.
+    */
+  def paths(events: DataFrame, topK: Int = PathsTopK): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__time__"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("__time__"), col("event_id"))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .withColumn("c", lead(col("event_type"), 2).over(w))
+      .where(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("event_type").as("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+      .limit(topK)
+  }
+
+  val PathsTopK = 20
+
+  /** Burst (bot-signature) detection: identical (user, event_type) actions
+    * repeated within one minute. One partial+final agg on the
+    * (user, minute, type) key — the partial side collapses bursts map-side,
+    * so the shuffle carries at most one row per key, and at 100 TB the
+    * output is gated by the threshold, not the event volume.
+    */
+  def bursts(events: DataFrame, minRepeat: Long = BurstMinRepeat): DataFrame =
+    events
+      .groupBy(col("user_id"), expr("__time__ div 60000").as("minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minRepeat)
+
+  val BurstMinRepeat = 2L
+
   /** Reach curve: per day, active users (DAU), first-time users, and
     * cumulative distinct reach. Running COUNT(DISTINCT) is the textbook
     * scale trap (a growing distinct set per day); instead each user
@@ -302,6 +337,8 @@ object Behavior {
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_itemsets" -> ((s, d) => itemsets(Tables.events(s, d))),
     "q_reach" -> ((s, d) => reach(Tables.events(s, d))),
+    "q_paths" -> ((s, d) => paths(Tables.events(s, d))),
+    "q_bursts" -> ((s, d) => bursts(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoints(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalies(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -332,6 +369,19 @@ object Behavior {
          |SELECT p.event_id, p.user_id, p.ms, p.v_e4,
          |  NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT
          |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.event_id = p.event_id)""".stripMargin,
+    "q_paths" ->
+      s"""WITH e AS (SELECT user_id, event_type, $msSql AS ms, event_id FROM events),
+         |s AS (SELECT event_type AS a,
+         |        lead(event_type, 1) OVER w AS b, lead(event_type, 2) OVER w AS c
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+         |SELECT a, b, c, count(*) AS n FROM s
+         |WHERE b IS NOT NULL AND c IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT $PathsTopK""".stripMargin,
+
+    "q_bursts" ->
+      s"""SELECT user_id, $msSql // 60000 AS minute, event_type, count(*) AS n
+         |FROM events GROUP BY 1, 2, 3 HAVING count(*) >= $BurstMinRepeat""".stripMargin,
+
     "q_reach" ->
       s"""WITH d AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day FROM events),
          |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),

@@ -194,6 +194,27 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.itemsets(d, minSupportE6 = 670000L).collect().isEmpty)
   }
 
+  test("paths: trigrams respect per-user time order and never cross users") {
+    val d = attrEvents(
+      (1L, 1L, "view", 1000L, 0.0), (2L, 1L, "click", 2000L, 0.0),
+      (3L, 1L, "purchase", 3000L, 0.0), (4L, 1L, "view", 4000L, 0.0),
+      (5L, 2L, "signup", 1000L, 0.0), (6L, 2L, "error", 2000L, 0.0))
+    // user 1: v-c-p, c-p-v; user 2 has only 2 events -> no trigram
+    val out = Behavior.paths(d).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    assert(out == Map(
+      ("view", "click", "purchase") -> 1L, ("click", "purchase", "view") -> 1L))
+  }
+
+  test("bursts: repeats inside one minute flag; across minutes don't") {
+    val d = attrEvents(
+      (1L, 1L, "click", 1000L, 0.0), (2L, 1L, "click", 2000L, 0.0), // same minute
+      (3L, 2L, "click", 1000L, 0.0), (4L, 2L, "click", 61000L, 0.0)) // minute apart
+    val out = Behavior.bursts(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, "click", 2L)))
+  }
+
   test("reach: dau counts actives, cum_reach counts each user once, ever") {
     val day = 86400000L
     // day 0: users 1,2 ; day 1: users 2,3 ; day 3: user 1 again (not new)
