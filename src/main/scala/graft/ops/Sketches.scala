@@ -47,10 +47,108 @@ object Sketches {
       .where(col("n") * lit(ThresholdK.toLong) > lit(sk.n))
   }
 
+  /** HyperLogLog distinct counting with the SKETCH AS A TABLE (Flajolet et
+    * al. 2007) — unlike `approx_count_distinct`'s opaque buffer, the
+    * (group, bucket, rho) register table is queryable, storable, and
+    * mergeable by plain `max` groupBy: per-day registers roll up to any
+    * coarser period without touching raw data, which is the incremental-
+    * distinct contract warehouses build ("count distinct users, any date
+    * range, from daily sketches").
+    *
+    * Scale: one partial+final agg over (day, bucket) — ≤ m rows per day
+    * regardless of event volume; the estimate finishes on the tiny register
+    * table. Exact per-day distincts ride along for calibration (they're
+    * affordable per-day; the sketch exists for the MERGE).
+    *
+    * Engine-portable determinism (what stock HLL can't give): the hash is
+    * the md5-60bit convention, rho comes from integer `length(bin(w))` (no
+    * float log2 near powers of two), and the harmonic sum folds the
+    * bucket-SORTED register list left-to-right (`aggregate` /
+    * `list_reduce`) with absent registers batched as one exact
+    * `(m − p)·1.0` term — both engines replay the identical arithmetic, so
+    * even this approximate estimator hash-matches to the last bit.
+    */
+  val HllBuckets = 256
+  /** alpha_m for m=256: 0.7213/(1 + 1.079/m) — shared literal, cast
+    * explicitly (DuckDB would otherwise parse the literal as DECIMAL and
+    * overflow the register-count multiplication).
+    */
+  val HllAlpha = "CAST(0.7182725932495458 AS DOUBLE)"
+
+  /** The register table: (day, bucket, max rho). Mergeable by plain
+    * max-groupBy — `hllMerge(regsA union regsB) == hllRegisters(A union B)`
+    * (spec'd), which is what makes per-period sketches roll up.
+    */
+  def hllRegisters(events: DataFrame): DataFrame = {
+    val m = HllBuckets
+    events
+      .select(expr("__time__ div 86400000").as("day"),
+        expr("cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col("day"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("w"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(expr("case when w = 0 then 53L else 52L - length(bin(w)) + 1 end")).as("rho"))
+  }
+
+  def hllMerge(regs: DataFrame): DataFrame =
+    regs.groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("rho"))
+
+  /** Estimate per day from a register table. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = HllBuckets
+    regs
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("p"),
+        sort_array(collect_list(struct(col("bucket"), col("rho")))).as("rs"))
+      .select(col("day"),
+        expr(s"aggregate(rs, cast(0.0 as double), (acc, s) -> acc + pow(2.0, -cast(s.rho as double)))" +
+          s" + cast($m - p as double)").as("s"),
+        (lit(m.toLong) - col("p")).as("v"))
+      .select(col("day"),
+        expr(s"round(case when $HllAlpha * $m * $m / s <= 2.5 * $m and v > 0" +
+          s" then $m * ln(cast($m as double) / cast(v as double))" +
+          s" else $HllAlpha * $m * $m / s end, 4)").as("est_hll"))
+  }
+
+  def hllDaily(events: DataFrame): DataFrame = {
+    val est = hllEstimate(hllRegisters(events))
+    val exact = events
+      .select(expr("__time__ div 86400000").as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_exact"))
+    exact.join(est, Seq("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_heavy_hitters" -> ((s, d) => heavyHitters(s, Tables.documents(s, d))))
+    "q_heavy_hitters" -> ((s, d) => heavyHitters(s, Tables.documents(s, d))),
+    "q_distinct_hll" -> ((s, d) => hllDaily(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_distinct_hll" -> {
+      val m = HllBuckets
+      s"""WITH h AS (SELECT epoch_ms(ts) // 86400000 AS day,
+         |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+         |b AS (SELECT day, h % $m AS bucket, h // $m AS w FROM h),
+         |regs AS (SELECT day, bucket,
+         |  max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END) AS rho
+         |FROM b GROUP BY 1, 2),
+         |g AS (SELECT day, count(*) AS p,
+         |        list({'bucket': bucket, 'rho': rho} ORDER BY bucket, rho) AS rs
+         |      FROM regs GROUP BY 1),
+         |s AS (SELECT day,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(rs, x -> pow(2.0, -CAST(x.rho AS DOUBLE)))), (a, c) -> a + c)
+         |          + CAST($m - p AS DOUBLE) AS s,
+         |        $m - p AS v
+         |      FROM g),
+         |est AS (SELECT day,
+         |  round(CASE WHEN $HllAlpha * $m * $m / s <= 2.5 * $m AND v > 0
+         |        THEN $m * ln(CAST($m AS DOUBLE) / CAST(v AS DOUBLE))
+         |        ELSE $HllAlpha * $m * $m / s END, 4) AS est_hll
+         |FROM s),
+         |exact AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM
+         |  (SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events) GROUP BY 1)
+         |SELECT day, n_exact, est_hll FROM exact JOIN est USING (day)""".stripMargin
+    },
     "q_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(str_split(${Text.normSql}, ' ')) AS token
          |              FROM documents),

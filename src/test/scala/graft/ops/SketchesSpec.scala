@@ -45,4 +45,30 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("token#") && (plan.contains(" IN ") || plan.contains("INSET")),
       plan.take(3000))
   }
+
+  test("hll: estimate within 3 sigma of exact on real data") {
+    import org.apache.spark.sql.functions._
+    val out = Sketches.hllDaily(Tables.events(spark, sf("sf0.01"))).collect()
+    assert(out.nonEmpty)
+    val relSd = 1.04 / math.sqrt(Sketches.HllBuckets.toDouble)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getDouble(2))
+      assert(math.abs(est - exact) <= 3 * relSd * exact + 1,
+        s"day ${r.getLong(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("hll: registers merge by max — split halves == whole") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val whole = Sketches.hllRegisters(ev)
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(ev.filter(col("event_id") % 2 === 0))
+        .union(Sketches.hllRegisters(ev.filter(col("event_id") % 2 === 1))))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // and the estimate from merged registers equals the direct estimate
+    val a = Sketches.hllEstimate(whole).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val b = Sketches.hllEstimate(merged).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(a == b)
+  }
 }
