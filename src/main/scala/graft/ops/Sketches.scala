@@ -118,9 +118,59 @@ object Sketches {
     exact.join(est, Seq("day"))
   }
 
+  /** Count-Min sketch as a table (Cormode & Muthukrishnan 2005): a
+    * depth×width grid of counters buildable in ONE partial+final agg over
+    * the token stream (the explode is a map-side ×depth fan of 16-byte
+    * structs; the agg domain is depth·width = 256 cells regardless of
+    * corpus size), mergeable across partitions/periods by plain SUM.
+    * Point queries (est = min over rows of the hashed cell) then run as a
+    * probe-list join against the tiny cell table. The one-sided guarantee
+    * — est ≥ exact always, est ≤ exact + εN w.h.p. — is spec'd, and
+    * because everything is integer arithmetic over md5-convention hashes,
+    * even the ESTIMATES hash-match the oracle exactly.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** probe tokens for the oracle-checked point-query demo — a mix of the
+    * corpus's frequent terms, its stopwords, and one absent term (the
+    * absent one exercises the no-exact-row path: it simply doesn't appear,
+    * matching the inner join on both sides).
+    */
+  def cmsProbes: Seq[String] =
+    Seq("join", "hash", "row", "batch", "scan", "column", "the", "of", "zzz_absent")
+
+  private def cmsHash(i: Int, tokExpr: String): String =
+    s"cast(conv(substr(md5(concat('cms$i:', $tokExpr)), 1, 15), 16, 10) as bigint) % $CmsWidth"
+
+  def cmsEstimates(docs: DataFrame): DataFrame = {
+    val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+    val cells = toks
+      .select(explode(expr(
+        (0 until CmsDepth).map(i => s"struct(${i}L as i, ${cmsHash(i, "token")} as c)")
+          .mkString("array(", ", ", ")"))).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probes = cmsProbes.toDF("token")
+    val probeCells = probes.select(col("token"), explode(expr(
+      (0 until CmsDepth).map(i => s"struct(${i}L as i, ${cmsHash(i, "token")} as c)")
+        .mkString("array(", ", ", ")"))).as("s"))
+      .select(col("token"), col("s.i").as("i"), col("s.c").as("c"))
+    val est = probeCells
+      .join(cells, Seq("i", "c"))
+      .groupBy(col("token"))
+      .agg(min(col("n")).as("est_cms"))
+    val exact = toks.filter(col("token").isin(cmsProbes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    exact.join(est, Seq("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, Tables.documents(s, d))),
-    "q_distinct_hll" -> ((s, d) => hllDaily(Tables.events(s, d))))
+    "q_distinct_hll" -> ((s, d) => hllDaily(Tables.events(s, d))),
+    "q_freq_cms" -> ((s, d) => cmsEstimates(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_distinct_hll" -> {
@@ -148,6 +198,23 @@ object Sketches {
          |exact AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM
          |  (SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events) GROUP BY 1)
          |SELECT day, n_exact, est_hll FROM exact JOIN est USING (day)""".stripMargin
+    },
+    "q_freq_cms" -> {
+      def h(i: Int, e: String) = s"('0x' || substr(md5('cms$i:' || $e), 1, 15))::BIGINT % $CmsWidth"
+      val cellArms = (0 until CmsDepth).map(i => s"{'i': $i, 'c': ${h(i, "token")}}").mkString(", ")
+      val probeList = cmsProbes.map(t => s"('$t')").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(str_split(${Text.normSql}, ' ')) AS token FROM documents),
+         |cells AS (SELECT s.i AS i, s.c AS c, count(*) AS n
+         |          FROM (SELECT unnest([$cellArms]) AS s FROM toks) GROUP BY 1, 2),
+         |probes AS (SELECT token FROM (VALUES $probeList) v(token)),
+         |pc AS (SELECT token, s.i AS i, s.c AS c
+         |       FROM (SELECT token, unnest([$cellArms]) AS s FROM probes)),
+         |est AS (SELECT token, min(n) AS est_cms
+         |        FROM pc JOIN cells USING (i, c) GROUP BY 1),
+         |exact AS (SELECT token, count(*) AS n_exact FROM toks
+         |          WHERE token IN (SELECT token FROM probes) GROUP BY 1)
+         |SELECT token, n_exact, CAST(est_cms AS BIGINT) AS est_cms
+         |FROM exact JOIN est USING (token)""".stripMargin
     },
     "q_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(str_split(${Text.normSql}, ' ')) AS token

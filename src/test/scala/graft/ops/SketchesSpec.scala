@@ -58,6 +58,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cms: one-sided guarantee — estimate never undercounts, and is tight here") {
+    val out = Sketches.cmsEstimates(Tables.documents(spark, sf("sf0.01"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"$t: CMS undercounted ($est < $exact)")
+      // depth 4 × width 64 over this vocab: collisions only overcount by
+      // other tokens' mass; bound generously at +2x
+      assert(est <= 3 * exact, s"$t: est $est implausibly above exact $exact")
+    }
+    // absent probe produces no row (inner join on exact counts)
+    assert(!out.exists(_._1 == "zzz_absent"))
+  }
+
   test("hll: registers merge by max — split halves == whole") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf("sf0.01"))
