@@ -43,6 +43,25 @@ object Relational {
 
   /** Pinned pivot category list — schema must never be data-dependent. */
   val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Data-quality audit over a fact/dim pair (the `q_dq_checks` body):
+    * completeness, domain ranges, key uniqueness, referential integrity
+    * both directions — one metrics row a pipeline gate asserts on.
+    */
+  def dqChecks(l: DataFrame, o: DataFrame): DataFrame = {
+    val base = l.agg(
+      count(lit(1)).as("n_lineitem"),
+      sum(col("l_orderkey").isNull.cast("long")).as("null_orderkeys"),
+      sum((col("l_quantity") <= 0 || col("l_quantity") > 50).cast("long")).as("qty_range_viol"),
+      sum((col("l_discount") < 0 || col("l_discount") > 0.1).cast("long")).as("disc_range_viol"))
+    val orphans = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("dup_orderkeys"))
+    val childless = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("childless_orders"))
+    base.crossJoin(orphans).crossJoin(dupKeys).crossJoin(childless)
+  }
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
   private def part(s: SparkSession, d: String) = Tables.part(s, d)
   private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
@@ -220,6 +239,13 @@ object Relational {
         col("event_id"),
         col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // --- data-quality audit (Deequ/dbt-test-style assertions) ---------------
+    // one row of integrity metrics a pipeline gate would assert on:
+    // completeness (nulls), domain ranges, key uniqueness, and referential
+    // integrity both directions. Scans + one anti-join + one semi-join —
+    // each metric map-side where possible, nothing quadratic.
+    "q_dq_checks" -> ((s, d) => dqChecks(li(s, d), ord(s, d))),
 
     // --- exact per-group discrete percentiles -------------------------------
     // percentile_disc by rank selection: value at rank ceil(q·n) in one
@@ -450,6 +476,22 @@ object Relational {
       """SELECT event_id, event_type,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM lineitem) AS null_orderkeys,
+        |  (SELECT CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM lineitem) AS qty_range_viol,
+        |  (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM lineitem) AS disc_range_viol,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1
+        |                         HAVING count(*) > 1)) AS dup_orderkeys,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders""".stripMargin,
 
     "q_percentile_disc" ->
       """WITH r AS (SELECT source, n_chars,

@@ -25,6 +25,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.exists(r => r.getString(0) != "ALL" && r.getString(1) != "ALL"))
   }
 
+  test("dqChecks: planted violations each surface in their own metric") {
+    import spark.implicits._
+    // orders 1 (dup'd), 2; lineitems: ok(1), orphan(99), bad qty(1), bad disc(2)
+    val o = Seq(1L, 1L, 2L, 3L).toDF("o_orderkey") // 3 is childless
+    val l = Seq(
+      (1L, 10.0, 0.05), (99L, 5.0, 0.05), (1L, 99.0, 0.05), (2L, 5.0, 0.5))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val r = Relational.dqChecks(l, o).collect().head
+    assert(r.getLong(0) == 4L) // n_lineitem
+    assert(r.getLong(1) == 0L) // null keys
+    assert(r.getLong(2) == 1L) // qty 99 out of range
+    assert(r.getLong(3) == 1L) // disc 0.5 out of range
+    assert(r.getLong(4) == 1L) // orphan 99
+    assert(r.getLong(5) == 1L) // dup key 1
+    assert(r.getLong(6) == 1L) // childless 3
+  }
+
   test("percentile_disc: rank selection matches a local order-statistic replica") {
     val out = Relational.queries("q_percentile_disc")(spark, sf()).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
