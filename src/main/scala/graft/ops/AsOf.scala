@@ -83,8 +83,39 @@ object AsOf {
         col("err_value_r").as("err_value"), col("err_time_r").as("err_time"))
   }
 
+  /** As-of join with a max-staleness bound — the feature-store
+    * point-in-time contract ("the latest feature value, but only if it is
+    * fresh enough"): same single-shuffle union+window join, then matches
+    * older than `toleranceMs` are nulled as if absent. The post-gate is
+    * map-only over the joined rows; no second pass, no extra shuffle.
+    */
+  def asofJoinWithin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      toleranceMs: Long, suffix: String = "_r"): DataFrame = {
+    val joined = asofJoin(left, right, keys, leftTime, rightTime, valueCols, suffix)
+    val fresh = col(leftTime) - col(rightTime + suffix) <= toleranceMs
+    (valueCols :+ rightTime).map(_ + suffix).foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }
+  }
+
+  val AsofToleranceMs: Long = 24L * 3600 * 1000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_asof" -> ((s, d) => clicksWithLastError(Tables.events(s, d))))
+    "q_join_asof" -> ((s, d) => clicksWithLastError(Tables.events(s, d))),
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("__time__"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("__time__").as("err_time"))
+        .agg(round(max(col("value")), 2).as("err_value"))
+      asofJoinWithin(clicks, errors, Seq("user_id"), "__time__", "err_time",
+        Seq("err_value"), AsofToleranceMs)
+        .select(col("event_id"), col("user_id"), col("__time__").as("t"),
+          col("err_value_r").as("err_value"), col("err_time_r").as("err_time"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q_join_asof" ->
@@ -93,5 +124,17 @@ object AsOf {
         |r AS (SELECT user_id, epoch_ms(ts) AS err_time, round(max(value), 2) AS err_value
         |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.t, l.value, r.err_value, r.err_time
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.err_time""".stripMargin)
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.err_time""".stripMargin,
+
+    "q_join_asof_tol" ->
+      s"""WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS t
+         |           FROM events WHERE event_type = 'click'),
+         |r AS (SELECT user_id, epoch_ms(ts) AS err_time, round(max(value), 2) AS err_value
+         |      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+         |j AS (SELECT l.event_id, l.user_id, l.t, r.err_value, r.err_time
+         |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.err_time)
+         |SELECT event_id, user_id, t,
+         |  CASE WHEN t - err_time <= $AsofToleranceMs THEN err_value END AS err_value,
+         |  CASE WHEN t - err_time <= $AsofToleranceMs THEN err_time END AS err_time
+         |FROM j""".stripMargin)
 }

@@ -70,6 +70,24 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Priority dedup — "preferred source wins": among exact duplicates keep
+    * the copy from the highest-priority source (curated beats crawl), ties
+    * by doc_id. Same one-agg shape as `exact`, with the election done by a
+    * lexicographic struct-min (priority, doc_id, source) — map-side
+    * combinable, no rank window, text never shuffles. `priorityExpr` maps
+    * source → rank (lower wins); here the demo ranks by source number.
+    */
+  def priorityDedup(docs: DataFrame,
+      priorityExpr: String = "cast(substr(source, 4) as bigint)"): DataFrame =
+    docs
+      .select(md5(Text.normalized(col("text"))).as("fp"), col("doc_id"), col("source"),
+        expr(priorityExpr).as("prio"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("prio"), col("doc_id"), col("source"))).as("w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("w.doc_id").as("keep_id"), col("w.source").as("keep_source"),
+        col("w.prio").as("prio"), col("n_copies"))
+
   // --- MinHash + LSH --------------------------------------------------------
 
   val MinhashPerms = 16
@@ -681,6 +699,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "q_dedup_priority" -> ((s, d) => priorityDedup(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashCandidates(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
@@ -780,6 +799,16 @@ object Dedup {
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_priority" ->
+      s"""WITH f AS (SELECT md5($normSql) AS fp, doc_id, source,
+         |  CAST(substr(source, 4) AS BIGINT) AS prio FROM documents),
+         |r AS (SELECT fp, doc_id, source, prio,
+         |        row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id, source) AS rk,
+         |        count(*) OVER (PARTITION BY fp) AS n_copies
+         |      FROM f)
+         |SELECT doc_id AS keep_id, source AS keep_source, prio, CAST(n_copies AS BIGINT) AS n_copies
+         |FROM r WHERE rk = 1""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH perms AS ($duckPerms),

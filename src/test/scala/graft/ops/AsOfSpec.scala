@@ -36,6 +36,18 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() == left.count(), "LEFT semantics: every left row survives")
   }
 
+  test("asofJoinWithin: stale matches null out exactly at the tolerance edge") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L, "x"), (1L, 2001L, "y")).toDF("k", "t", "payload")
+    val right = Seq((1L, 900L, 9.0)).toDF("k", "rt", "rv")
+    // tolerance 1100: t=1000 is 100ms stale (fresh); t=2001 is 1101ms (stale)
+    val out = AsOf.asofJoinWithin(left, right, Seq("k"), "t", "rt", Seq("rv"), 1100L)
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), Option(r.get(4)))).toMap
+    assert(out("x") == (Some(9.0), Some(900L)))
+    assert(out("y") == (None, None))
+  }
+
   test("asof join plan is one keyed shuffle, never a range/nested-loop join") {
     val events = graft.Tables.events(spark, sf())
     val q = AsOf.clicksWithLastError(events)

@@ -239,4 +239,18 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom gate missing from plan:\n${plan.take(600)}")
   }
+
+  test("priorityDedup: preferred source wins the duplicate election, ties by id") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (10L, "same text", "en", "src9", 9L), // crawl copy, lower priority
+      (11L, "same text", "en", "src2", 9L), // curated copy -> wins
+      (12L, "same text", "en", "src2", 9L), // same priority -> id ties
+      (13L, "unique doc", "en", "src5", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.priorityDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out == Map(11L -> ("src2", 3L), 13L -> ("src5", 1L)))
+  }
 }
