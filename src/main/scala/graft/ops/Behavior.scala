@@ -278,6 +278,54 @@ object Behavior {
 
   val ItemsetMinSupportE6 = 140000L // 14% of baskets — sits inside the demo data's support band
 
+  /** Stickiness: DAU / trailing-30-day MAU per day. Exact rolling distinct
+    * is the same scale trap as `reach`'s cumulative form; the exact shape
+    * here fans each distinct (user, active-day) into the ≤30 window days it
+    * supports (bounded map-side explode, like the slide-window fan) and
+    * re-distincts — cost 30× user-DAYS, independent of raw event volume.
+    * (The sketch path for wider windows is `Sketches.hllRegisters` merged
+    * over the window — registers are max-mergeable by construction.)
+    * Ratio reported in exact integer e6.
+    */
+  def stickiness(events: DataFrame, windowDays: Int = MauWindowDays): DataFrame = {
+    val d = events.select(col("user_id"), expr("__time__ div 86400000").as("day")).distinct()
+    val bounds = d.agg(max(col("day")).as("max_day"))
+    val mau = d.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr(s"filter(sequence(day, day + ${windowDays - 1}), w -> w <= max_day)")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000L div mau").as("stickiness_e6"))
+  }
+
+  val MauWindowDays = 30
+
+  /** RFM segmentation: per user recency (days since last purchase, vs the
+    * corpus max day), frequency (purchase count), monetary (exact micro-unit
+    * revenue), each quartiled by ntile over a (metric, user_id) total order
+    * — the standard CRM cut, all integer-deterministic. One purchase-filtered
+    * agg + three day-domain windows.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("__time__ div 86400000").as("day"),
+        expr("cast(round(value * 10000) as bigint)").as("v"))
+    val agg = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("v")).as("monetary_e4"))
+    val bounds = p.agg(max(col("day")).as("max_day"))
+    agg.crossJoin(broadcast(bounds))
+      .withColumn("recency", col("max_day") - col("last_day"))
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency"), col("user_id"))).cast("long"))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("monetary_e4").desc, col("user_id"))).cast("long"))
+      .select(col("user_id"), col("recency"), col("frequency"), col("monetary_e4"),
+        col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Top event paths: counts of 3-step type sequences per user (the
     * path-analysis extension of `transitions`' first-order matrix —
     * "view→click→purchase vs view→click→error"). Two `lead()`s over the
@@ -338,6 +386,8 @@ object Behavior {
     "q_itemsets" -> ((s, d) => itemsets(Tables.events(s, d))),
     "q_reach" -> ((s, d) => reach(Tables.events(s, d))),
     "q_paths" -> ((s, d) => paths(Tables.events(s, d))),
+    "q_stickiness" -> ((s, d) => stickiness(Tables.events(s, d))),
+    "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_bursts" -> ((s, d) => bursts(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoints(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalies(Tables.events(s, d))),
@@ -369,6 +419,30 @@ object Behavior {
          |SELECT p.event_id, p.user_id, p.ms, p.v_e4,
          |  NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT
          |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.event_id = p.event_id)""".stripMargin,
+    "q_stickiness" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day FROM events),
+         |b AS (SELECT max(day) AS max_day FROM d),
+         |f AS (SELECT DISTINCT user_id, day + k.k AS day
+         |      FROM d, (SELECT unnest(range($MauWindowDays)) AS k) k, b
+         |      WHERE day + k.k <= b.max_day),
+         |mau AS (SELECT day, count(*) AS mau FROM f GROUP BY 1),
+         |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1)
+         |SELECT day, dau, mau, dau * 1000000 // mau AS stickiness_e6
+         |FROM dau JOIN mau USING (day)""".stripMargin,
+
+    "q_rfm" ->
+      s"""WITH p AS (SELECT user_id, $msSql // 86400000 AS day,
+         |  CAST(round(value * 10000) AS BIGINT) AS v
+         |FROM events WHERE event_type = 'purchase'),
+         |a AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+         |        CAST(sum(v) AS BIGINT) AS monetary_e4 FROM p GROUP BY 1),
+         |b AS (SELECT max(day) AS max_day FROM p)
+         |SELECT user_id, max_day - last_day AS recency, frequency, monetary_e4,
+         |  CAST(ntile(4) OVER (ORDER BY max_day - last_day, user_id) AS BIGINT) AS r_q,
+         |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+         |  CAST(ntile(4) OVER (ORDER BY monetary_e4 DESC, user_id) AS BIGINT) AS m_q
+         |FROM a CROSS JOIN b""".stripMargin,
+
     "q_paths" ->
       s"""WITH e AS (SELECT user_id, event_type, $msSql AS ms, event_id FROM events),
          |s AS (SELECT event_type AS a,

@@ -194,6 +194,34 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.itemsets(d, minSupportE6 = 670000L).collect().isEmpty)
   }
 
+  test("stickiness: MAU windows look back, never forward; edge days truncate") {
+    val day = 86400000L
+    // user 1 active day 0 only; user 2 active days 0 and 31 (outside window)
+    val d = attrEvents(
+      (1L, 1L, "view", 1000L, 0.0), (2L, 2L, "view", 2000L, 0.0),
+      (3L, 2L, "view", 31 * day + 1000L, 0.0))
+    val out = Behavior.stickiness(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // day 0: dau 2, mau 2; day 31: dau 1, mau 1 (day-0 actives aged out at 30)
+    assert(out(0L) == (2L, 2L, 1000000L))
+    assert(out(31L) == (1L, 1L, 1000000L))
+    // dau rows exist only for active days, but day-0 users support days 1..29
+    assert(!out.contains(15L)) // no dau row -> no output row (join semantics)
+  }
+
+  test("rfm: metrics and quartiles on a hand-built purchase log") {
+    val day = 86400000L
+    val d = attrEvents(
+      (1L, 1L, "purchase", 0L, 10.0), (2L, 1L, "purchase", 5 * day, 20.0),
+      (3L, 2L, "purchase", 9 * day, 100.0),
+      (4L, 3L, "view", 9 * day, 5.0)) // never purchases -> absent
+    val out = Behavior.rfm(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> (4L, 2L, 300000L), // last day 5 vs max 9; 10+20 in e4
+      2L -> (0L, 1L, 1000000L)))
+  }
+
   test("paths: trigrams respect per-user time order and never cross users") {
     val d = attrEvents(
       (1L, 1L, "view", 1000L, 0.0), (2L, 1L, "click", 2000L, 0.0),
