@@ -278,6 +278,50 @@ object Behavior {
 
   val ItemsetMinSupportE6 = 140000L // 14% of baskets — sits inside the demo data's support band
 
+  /** "Frequently bought together": item-item co-occurrence over order
+    * baskets — the count-based collaborative-filtering primitive (the
+    * item-item half of Linden et al.'s Amazon CF, 2003). Pairs form by a
+    * self-equi-join ON THE ORDER KEY (per-basket fan ≤ |basket|², bounded
+    * by order width, never |orders|²); association is exact-integer Jaccard
+    * over order sets: j_e6 = c_ab·1e6 div (c_a + c_b − c_ab). Top-k by
+    * (support, pair) via TakeOrderedAndProject.
+    */
+  def copurchase(lineitem: DataFrame, minSupport: Long = CopurchaseMinSupport,
+      topK: Int = CopurchaseTopK): DataFrame = {
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val itemN = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val a1 = b.select(col("ok"), col("pk").as("p1"))
+    val a2 = b.select(col("ok"), col("pk").as("p2"))
+    a1.join(a2, Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+      .join(itemN.select(col("pk").as("p1"), col("c").as("c_a")), "p1")
+      .join(itemN.select(col("pk").as("p2"), col("c").as("c_b")), "p2")
+      .select(col("p1"), col("p2"), col("c_ab"),
+        expr("c_ab * 1000000L div (c_a + c_b - c_ab)").as("jaccard_e6"))
+      .orderBy(col("c_ab").desc, col("p1"), col("p2"))
+      .limit(topK)
+  }
+
+  val CopurchaseMinSupport = 2L
+  val CopurchaseTopK = 50
+
+  /** Consecutive-repeat collapse: drop events whose type equals the SAME
+    * user's previous event type (telemetry compaction / state-change
+    * extraction). One lag() over the one user_id sort; survivors keep their
+    * original identity.
+    */
+  def collapseRepeats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("__time__").as("ms"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+  }
+
   /** Stickiness: DAU / trailing-30-day MAU per day. Exact rolling distinct
     * is the same scale trap as `reach`'s cumulative form; the exact shape
     * here fans each distinct (user, active-day) into the ≤30 window days it
@@ -387,6 +431,8 @@ object Behavior {
     "q_reach" -> ((s, d) => reach(Tables.events(s, d))),
     "q_paths" -> ((s, d) => paths(Tables.events(s, d))),
     "q_stickiness" -> ((s, d) => stickiness(Tables.events(s, d))),
+    "q_copurchase" -> ((s, d) => copurchase(Tables.lineitem(s, d))),
+    "q_collapse_repeats" -> ((s, d) => collapseRepeats(Tables.events(s, d))),
     "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_bursts" -> ((s, d) => bursts(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoints(Tables.events(s, d))),
@@ -419,6 +465,24 @@ object Behavior {
          |SELECT p.event_id, p.user_id, p.ms, p.v_e4,
          |  NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT
          |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.event_id = p.event_id)""".stripMargin,
+    "q_copurchase" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT pk, count(*) AS c FROM b GROUP BY 1),
+         |p AS (SELECT a.pk AS p1, x.pk AS p2, count(*) AS c_ab
+         |      FROM b a JOIN b x ON a.ok = x.ok AND a.pk < x.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport)
+         |SELECT p1, p2, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(c_ab * 1000000 // (na.c + nb.c - c_ab) AS BIGINT) AS jaccard_e6
+         |FROM p JOIN n na ON na.pk = p1 JOIN n nb ON nb.pk = p2
+         |ORDER BY c_ab DESC, p1, p2 LIMIT $CopurchaseTopK""".stripMargin,
+
+    "q_collapse_repeats" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $msSql AS ms,
+         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY $msSql, event_id) AS prev
+         |FROM events)
+         |SELECT event_id, user_id, event_type, ms FROM e
+         |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
     "q_stickiness" ->
       s"""WITH d AS (SELECT DISTINCT user_id, $msSql // 86400000 AS day FROM events),
          |b AS (SELECT max(day) AS max_day FROM d),

@@ -194,6 +194,31 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.itemsets(d, minSupportE6 = 670000L).collect().isEmpty)
   }
 
+  test("copurchase: baskets pair within orders only; jaccard is exact integer") {
+    val s = spark
+    import s.implicits._
+    // orders: {1,2}, {1,2,3}, {1} (+ a dup row that must not double-count)
+    val li = Seq((100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L), (101L, 3L),
+      (102L, 1L), (102L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Behavior.copurchase(li, minSupport = 1L, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // c(1)=3, c(2)=2, c(3)=1; (1,2): 2 / (3+2-2) = 2/3
+    assert(out == Map(
+      (1L, 2L) -> (2L, 666666L),
+      (1L, 3L) -> (1L, 333333L),
+      (2L, 3L) -> (1L, 500000L)))
+  }
+
+  test("collapseRepeats: consecutive same-type collapse, state changes survive") {
+    val d = attrEvents(
+      (1L, 1L, "view", 1000L, 0.0), (2L, 1L, "view", 2000L, 0.0),
+      (3L, 1L, "click", 3000L, 0.0), (4L, 1L, "view", 4000L, 0.0),
+      (5L, 2L, "view", 1000L, 0.0)) // other user: own sequence
+    val out = Behavior.collapseRepeats(d).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("stickiness: MAU windows look back, never forward; edge days truncate") {
     val day = 86400000L
     // user 1 active day 0 only; user 2 active days 0 and 31 (outside window)
