@@ -167,9 +167,30 @@ object Sketches {
     exact.join(est, Seq("token"))
   }
 
+  /** Rolling MAU from merged daily HLL registers — the sketch path
+    * `Behavior.stickiness` documents for windows too wide to re-distinct
+    * exactly: each day's ≤m-row register set fans into the ≤`windowDays`
+    * window-ends it supports (a fan of REGISTER rows — 30·m per day,
+    * independent of event volume, where the exact form fans user-days),
+    * merges by max, and estimates. The estimate is oracle-hash-exact like
+    * `q_distinct_hll`; SketchesSpec additionally pins it within the HLL
+    * error envelope of the EXACT rolling MAU.
+    */
+  def mauHll(events: DataFrame, windowDays: Int = Behavior.MauWindowDays): DataFrame = {
+    val regs = hllRegisters(events)
+    val bounds = regs.agg(max(col("day")).as("max_day"))
+    val windowed = regs.crossJoin(broadcast(bounds))
+      .select(explode(expr(
+        s"filter(sequence(day, day + ${windowDays - 1}), w -> w <= max_day)")).as("day"),
+        col("bucket"), col("rho"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("rho"))
+    hllEstimate(windowed).withColumnRenamed("est_hll", "est_mau")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, Tables.documents(s, d))),
     "q_distinct_hll" -> ((s, d) => hllDaily(Tables.events(s, d))),
+    "q_mau_hll" -> ((s, d) => mauHll(Tables.events(s, d))),
     "q_freq_cms" -> ((s, d) => cmsEstimates(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -198,6 +219,34 @@ object Sketches {
          |exact AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM
          |  (SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events) GROUP BY 1)
          |SELECT day, n_exact, est_hll FROM exact JOIN est USING (day)""".stripMargin
+    },
+    "q_mau_hll" -> {
+      val m = HllBuckets
+      val wd = Behavior.MauWindowDays
+      s"""WITH h AS (SELECT epoch_ms(ts) // 86400000 AS day,
+         |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+         |b AS (SELECT day, h % $m AS bucket, h // $m AS w FROM h),
+         |regs AS (SELECT day, bucket,
+         |  max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END) AS rho
+         |FROM b GROUP BY 1, 2),
+         |mx AS (SELECT max(day) AS max_day FROM regs),
+         |wreg AS (SELECT r.day + k.k AS day, bucket, max(rho) AS rho
+         |         FROM regs r, (SELECT unnest(range($wd)) AS k) k, mx
+         |         WHERE r.day + k.k <= mx.max_day GROUP BY 1, 2),
+         |g AS (SELECT day, count(*) AS p,
+         |        list({'bucket': bucket, 'rho': rho} ORDER BY bucket, rho) AS rs
+         |      FROM wreg GROUP BY 1),
+         |s AS (SELECT day,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(rs, x -> pow(2.0, -CAST(x.rho AS DOUBLE)))), (a, c) -> a + c)
+         |          + CAST($m - p AS DOUBLE) AS s,
+         |        $m - p AS v
+         |      FROM g)
+         |SELECT day,
+         |  round(CASE WHEN $HllAlpha * $m * $m / s <= 2.5 * $m AND v > 0
+         |        THEN $m * ln(CAST($m AS DOUBLE) / CAST(v AS DOUBLE))
+         |        ELSE $HllAlpha * $m * $m / s END, 4) AS est_mau
+         |FROM s""".stripMargin
     },
     "q_freq_cms" -> {
       def h(i: Int, e: String) = s"('0x' || substr(md5('cms$i:' || $e), 1, 15))::BIGINT % $CmsWidth"

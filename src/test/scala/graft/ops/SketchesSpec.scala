@@ -72,6 +72,23 @@ class SketchesSpec extends SparkSpec {
     assert(!out.exists(_._1 == "zzz_absent"))
   }
 
+  test("mauHll: windowed register merge tracks the exact rolling MAU") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val est = Sketches.mauHll(ev).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = graft.ops.Behavior.stickiness(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val relSd = 1.04 / math.sqrt(Sketches.HllBuckets.toDouble)
+    // stickiness only reports days with DAU > 0; every such day must exist
+    // in the sketch path and agree within the HLL envelope
+    assert(exact.nonEmpty)
+    exact.foreach { case (day, mau) =>
+      assert(est.contains(day), s"day $day missing from sketch MAU")
+      assert(math.abs(est(day) - mau) <= 3 * relSd * mau + 1,
+        s"day $day: est ${est(day)} vs exact $mau")
+    }
+  }
+
   test("hll: registers merge by max — split halves == whole") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf("sf0.01"))
