@@ -240,6 +240,42 @@ object Relational {
         col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // --- deep analytical join (TPC-H Q8-flavored market share) --------------
+    // seven tables: lineitem⋈orders is the one big-big shuffle join (both
+    // sides exchange on the order key); customer/supplier join keyed;
+    // part/nation/region are broadcast dims with their filters pushed to
+    // the scans. Revenue is EXACT integer cents·e2 (price_c · (100−disc_c))
+    // — unlike a rounded double sum, partition order cannot wiggle the
+    // result — and market share is integer e6 against the per-year total
+    // computed over the SAME joined projection (one window, no second scan).
+    "q_market_share" -> ((s, d) => {
+      val rev = expr("cast(round(l_extendedprice * 100) as bigint)" +
+        " * (100L - cast(round(l_discount * 100) as bigint))")
+      val joined = li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("supp_nation"), rev.as("rev_e4"))
+        .groupBy(col("yr"), col("supp_nation"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+      val wy = Window.partitionBy(col("yr"))
+      joined
+        .withColumn("total_e4", sum(col("rev_e4")).over(wy))
+        .select(col("yr"), col("supp_nation"), col("rev_e4"),
+          expr("rev_e4 * 1000000L div total_e4").as("share_e6"))
+    }),
+
     // --- data-quality audit (Deequ/dbt-test-style assertions) ---------------
     // one row of integrity metrics a pipeline gate would assert on:
     // completeness (nulls), domain ranges, key uniqueness, and referential
@@ -476,6 +512,25 @@ object Relational {
       """SELECT event_id, event_type,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "q_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n2.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey),
+        |g AS (SELECT yr, supp_nation, CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+        |      FROM j GROUP BY 1, 2)
+        |SELECT yr, supp_nation, rev_e4,
+        |  rev_e4 * 1000000 // CAST(sum(rev_e4) OVER (PARTITION BY yr) AS BIGINT) AS share_e6
+        |FROM g""".stripMargin,
 
     "q_dq_checks" ->
       """SELECT

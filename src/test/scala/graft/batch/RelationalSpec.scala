@@ -25,6 +25,24 @@ class RelationalSpec extends SparkSpec {
     assert(out.exists(r => r.getString(0) != "ALL" && r.getString(1) != "ALL"))
   }
 
+  test("market share: per-year shares telescope to 1e6 and dims broadcast") {
+    import org.apache.spark.sql.functions._
+    val q = Relational.queries("q_market_share")(spark, sf("sf0.01"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // integer-truncated shares: sum within [1e6 - nations, 1e6] per year
+    rows.groupBy(_.getLong(0)).foreach { case (yr, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s >= 1000000L - rs.length, s"year $yr shares sum $s")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    // every join is keyed: at sf0.01 AQE may legitimately broadcast even the
+    // lineitem⋈orders side (the documented bench-scale artifact, PLANS.md);
+    // what must NEVER appear is an unkeyed expansion
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dqChecks: planted violations each surface in their own metric") {
     import spark.implicits._
     // orders 1 (dup'd), 2; lineitems: ok(1), orphan(99), bad qty(1), bad disc(2)
