@@ -18,18 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** Equal-frequency binning (quantile bucketization — the feature-prep
-    * step for ML pipelines and the equal-mass histogram for skewed
-    * distributions, where `qualityHistogram`'s equal-width bins collapse).
-    * ntile over the (value, id) total order — one exchange + in-partition
-    * sort; per-bin count/lo/hi from one small agg over bin ids.
+  /** Per-group equal-frequency binning (quantile bucketization — the
+    * feature-prep step for ML pipelines and the equal-mass histogram for
+    * skewed distributions, where `qualityHistogram`'s equal-width bins
+    * collapse). ntile PARTITIONED BY the group over the (value, id) total
+    * order — one keyed exchange + in-partition sort, never a global
+    * single-partition sort (an unpartitioned ntile funnels the corpus into
+    * one task; for a corpus-global cut use the rank-selection thresholds of
+    * `Corpus.qualityThresholdsBucketed`, which is the scale path).
     */
   def quantileBins(docs: DataFrame, nBins: Int = QuantileBins): DataFrame = {
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
     docs
-      .select(col("doc_id"), col("n_chars"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("bin", ntile(nBins).over(w).cast("long"))
-      .groupBy(col("bin"))
+      .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
   }
 
@@ -217,12 +220,12 @@ object Stats {
         |      / CAST(n AS DOUBLE), 6) AS entropy
         |FROM g""".stripMargin,
     "q_quantile_bins" ->
-      s"""WITH b AS (SELECT n_chars,
-         |  ntile($QuantileBins) OVER (ORDER BY n_chars, doc_id) AS bin
+      s"""WITH b AS (SELECT source, n_chars,
+         |  ntile($QuantileBins) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bin
          |FROM documents)
-         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n,
          |  min(n_chars) AS lo, max(n_chars) AS hi
-         |FROM b GROUP BY 1""".stripMargin,
+         |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q_corr" ->
       """WITH m AS (SELECT count(*) AS n,

@@ -7,17 +7,22 @@ class StatsSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("quantileBins: equal-frequency bins, contiguous and ordered") {
-    val out = Stats.quantileBins(graft.Tables.documents(spark, sf("sf0.01")))
-      .orderBy("bin").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.length == Stats.QuantileBins)
-    // ntile: bin sizes differ by at most one
-    val sizes = out.map(_._2)
-    assert(sizes.max - sizes.min <= 1)
-    // bins tile the value axis in order (lo <= hi, next lo >= previous hi)
-    out.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
-    out.sliding(2).foreach { case Array(a, b) => assert(b._3 >= a._4); case _ => }
+  test("quantileBins: per-group equal-frequency bins, contiguous and ordered") {
+    val bySource = Stats.quantileBins(graft.Tables.documents(spark, sf("sf0.01")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rows) =>
+      val out = rows.sortBy(_._2)
+      assert(out.length == Stats.QuantileBins, s"$src: ${out.length} bins")
+      // ntile: bin sizes differ by at most one
+      val sizes = out.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes: ${sizes.toSeq}")
+      // bins tile the value axis in order (lo <= hi, next lo >= previous hi)
+      out.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      out.sliding(2).foreach { case Array(a, b) => assert(b._4 >= a._5); case _ => }
+    }
   }
 
   test("correlation: perfectly correlated and anti-correlated fixtures") {
