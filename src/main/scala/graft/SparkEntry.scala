@@ -36,7 +36,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    batch.Relational.queries ++
+    batch.Relational.queries ++ batch.DeepAnalytics.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
       ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
@@ -46,7 +46,7 @@ object SparkEntry {
       ops.Linkage.queries ++ ops.Stats.queries
 
   def oracleSql: Map[String, String] =
-    batch.Relational.oracleSql ++
+    batch.Relational.oracleSql ++ batch.DeepAnalytics.oracleSql ++
       ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++

@@ -1,0 +1,291 @@
+package graft.batch
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deep analytical join suite — the TPC-H-flavored decision-support shapes
+  * (Q2/Q3/Q4/Q14/Q17/Q18/Q21 adapted to this star schema) that exercise the
+  * engine's multi-table planning discipline beyond `q_market_share`'s Q8.
+  * The reference's EP2/EP3 batch analyses (SURVEY §3) are joins + aggregates
+  * over exactly this kind of star schema; these queries are the canonical
+  * hard cases for it.
+  *
+  * Shared scale discipline (same contract as q_market_share):
+  *   - every correlated subquery is rewritten as an aggregate-then-join —
+  *     a per-row subquery re-executed per fact row does not exist at 100 TB;
+  *   - "pick the best row per group" is a lexicographic struct-min fold
+  *     (map-side combinable), never a rank window over the fact;
+  *   - dimension filters land BEFORE their broadcast, so only surviving dim
+  *     rows ship and the fact side never shuffles for them;
+  *   - money stays in EXACT integer units (cents, cents·e4 for
+  *     price·(100−disc)) so partition order cannot wiggle a sum;
+  *   - every top-k output has a total-order tie-break and lowers to
+  *     TakeOrderedAndProject (bounded per-partition heaps, no global sort).
+  */
+object DeepAnalytics {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** Integer cents·e4 revenue: price_cents · (100 − disc_percent). */
+  private val revE4 = expr("cast(round(l_extendedprice * 100) as bigint)" +
+    " * (100L - cast(round(l_discount * 100) as bigint))")
+
+  /** Q2 shape (min-cost supplier, no partsupp table): for each STANDARD
+    * part, the supplier with the cheapest observed unit price in lineitem.
+    * The correlated `WHERE cost = (SELECT min(cost) ...)` becomes two hash
+    * aggregates: per (part, supplier) min price-cents over the fact, then a
+    * per-part struct-min electing (min cost, min suppkey) — no window, no
+    * re-scan, both aggs map-side combinable. Supplier/nation attach AFTER
+    * the election (k rows, not the fact), nation broadcast.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perPs = li(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cost_c"))
+    perPs
+      .groupBy(col("p_partkey"), col("p_brand"))
+      .agg(min(struct(col("cost_c"), col("l_suppkey").as("sk"))).as("m"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("m.cost_c").as("cost_c"), col("m.sk").as("s_suppkey"))
+      .join(Tables.supplier(spark, dir), "s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("cost_c"),
+        col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("cost_c").asc, col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** Q3 shape (top unshipped orders): revenue still in flight at the cutoff
+    * for one market segment. Both date predicates push to the parquet scans
+    * (row-group skipping on o_orderdate / l_shipdate); customer is a keyed
+    * join that AQE may broadcast after its segment filter; the top-10 lowers
+    * to TakeOrderedAndProject.
+    */
+  def topUnshipped(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .filter(col("l_shipdate") > lit(Cutoff).cast("timestamp"))
+      .join(ord(spark, dir).filter(col("o_orderdate") < lit(Cutoff).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  val Cutoff = "1998-07-01"
+
+  /** Q4 shape (order-priority check): per priority, how many orders had at
+    * least one lineitem shipped more than `LateDays` after the order date.
+    * The EXISTS is a left-semi join on the order key with the lateness
+    * predicate inside the join condition — each order emits at most once
+    * from the join, so no distinct pass runs over the fact.
+    */
+  def orderPriorityLate(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    o.join(li(spark, dir),
+        o("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > o("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+  }
+
+  val LateDays = 60
+
+  /** Q14 shape (promo revenue share): per ship month, the e6 share of
+    * revenue from PROMO parts. One broadcast dim join (only p_partkey/p_type
+    * ship), conditional integer sums, share by exact integer division —
+    * a single partial+final agg over the fact, no window.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ship_month"),
+        revE4.as("rev_e4"), (col("p_type") === "PROMO").as("promo"))
+      .groupBy(col("ship_month"))
+      .agg(sum(when(col("promo"), col("rev_e4")).otherwise(0L)).as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .select(col("ship_month"), col("promo_e4"), col("total_e4"),
+        expr("promo_e4 * 1000000L div total_e4").as("promo_share_e6"))
+
+  /** Q17 shape (small-quantity revenue): revenue locked in orders whose
+    * quantity is under 20% of the part's average, for one brand. The
+    * correlated per-part average becomes ONE per-part aggregate joined back;
+    * the 20%-of-average test is the EXACT integer cross-multiplication
+    * 5·q·n < Σq (quantities are integral in this data), so no float
+    * threshold can disagree across engines. The brand filter lands before
+    * the broadcast, and the per-part aggregate of one brand is small enough
+    * to broadcast back against the same filtered fact.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val fact = li(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === Q17Brand)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), expr("cast(l_quantity as bigint)").as("q"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+      .localCheckpoint()
+    val perPart = fact.groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_p"), sum(col("q")).as("sum_q"))
+    fact.join(broadcast(perPart), "p_partkey")
+      .filter(col("q") * 5L * col("n_p") < col("sum_q"))
+      .agg(coalesce(sum(col("price_c")), lit(0L)).as("small_qty_revenue_c"),
+        count(lit(1)).as("n"))
+  }
+
+  val Q17Brand = "Brand#23"
+
+  /** Q18 shape (large-volume orders): orders whose total quantity exceeds
+    * `BigQty`, with their customer. Aggregate-before-join: the HAVING runs
+    * on the lineitem aggregate FIRST, so only qualifying order keys (a few
+    * hundred per million orders) reach the orders/customer joins — never
+    * the reverse order, which would join the whole fact to customers and
+    * filter last. Quantities are integral → the sum is an exact BIGINT.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("total_qty"))
+      .filter(col("total_qty") > BigQty)
+      .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val BigQty = 200L
+
+  /** Q21 shape (suppliers who held up multi-supplier orders): per order,
+    * if EXACTLY ONE distinct supplier shipped a returned item while other
+    * suppliers shipped clean, blame that supplier; rank suppliers by blame
+    * count. Classic Q21 is two correlated EXISTS/NOT EXISTS self-joins of
+    * the fact; here a two-level aggregate computes it: first the DISTINCT
+    * (order, supplier, shipped-R?) pairs — a map-side-combinable group, not
+    * a COUNT(DISTINCT) expand, so the fact's multi-lineitem fan collapses
+    * before the exchange and nothing is duplicated ×2 for two distinct
+    * counters — then per-order counts over the pair table. One shuffle on
+    * the pair key, one tiny one on the order key, one on the supplier key;
+    * no self-join of the fact at all.
+    */
+  def blameSupplier(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_returnflag") === "R").as("has_r"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("has_r").cast("long")).as("n_r_supp"),
+        max(when(col("has_r"), col("l_suppkey"))).as("blamed"))
+      .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+      .groupBy(col("blamed").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_blamed"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")), "s_suppkey")
+      .orderBy(col("n_blamed").desc, col("s_suppkey").asc)
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_min_cost_supplier" -> ((s, d) => minCostSupplier(s, d)),
+    "q_top_unshipped" -> ((s, d) => topUnshipped(s, d)),
+    "q_order_priority" -> ((s, d) => orderPriorityLate(s, d)),
+    "q_promo_share" -> ((s, d) => promoShare(s, d)),
+    "q_small_qty_revenue" -> ((s, d) => smallQtyRevenue(s, d)),
+    "q_big_orders" -> ((s, d) => bigOrders(s, d)),
+    "q_blame_supplier" -> ((s, d) => blameSupplier(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT p_partkey, p_brand, cost_c, l_suppkey AS s_suppkey,
+        |    row_number() OVER (PARTITION BY p_partkey ORDER BY cost_c, l_suppkey) AS rk
+        |  FROM ps)
+        |SELECT b.p_partkey, b.p_brand, b.cost_c, b.s_suppkey, s.s_name, n.n_name
+        |FROM best b
+        |JOIN supplier s ON s.s_suppkey = b.s_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE b.rk = 1
+        |ORDER BY b.cost_c ASC, b.p_partkey ASC LIMIT 100""".stripMargin,
+
+    "q_top_unshipped" ->
+      s"""SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+         |FROM lineitem l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '$Cutoff'
+         |  AND l.l_shipdate > TIMESTAMP '$Cutoff'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_order_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS n_late
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
+         |GROUP BY 1""".stripMargin,
+
+    "q_promo_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+        |    p.p_type = 'PROMO' AS promo
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT ship_month,
+        |  CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+        |  CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) * 1000000
+        |       // sum(rev_e4) AS BIGINT) AS promo_share_e6
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      s"""WITH f AS (
+         |  SELECT p.p_partkey, CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE p.p_brand = '$Q17Brand'),
+         |pp AS (SELECT p_partkey, count(*) AS n_p, sum(q) AS sum_q FROM f GROUP BY 1)
+         |SELECT CAST(coalesce(sum(f.price_c), 0) AS BIGINT) AS small_qty_revenue_c,
+         |  count(*) AS n
+         |FROM f JOIN pp ON pp.p_partkey = f.p_partkey
+         |WHERE f.q * 5 * pp.n_p < pp.sum_q""".stripMargin,
+
+    "q_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > $BigQty)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+         |FROM big b
+         |JOIN orders o ON o.o_orderkey = b.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |ORDER BY b.total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_blame_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp,
+        |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blamed
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.blamed AS s_suppkey, count(*) AS n_blamed, s.s_name
+        |FROM per_order p JOIN supplier s ON s.s_suppkey = p.blamed
+        |WHERE p.n_supp > 1 AND p.n_r_supp = 1
+        |GROUP BY 1, 3
+        |ORDER BY n_blamed DESC, s_suppkey ASC LIMIT 100""".stripMargin)
+}

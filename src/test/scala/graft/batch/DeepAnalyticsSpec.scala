@@ -1,0 +1,119 @@
+package graft.batch
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape checks for the TPC-H-flavored deep-join suite.
+  * Correctness vs DuckDB is the driver's oracle gate; these specs pin the
+  * invariants the oracle can't see: which plan shapes run, and the
+  * aggregate-before-join / struct-min disciplines that make each query
+  * survive 100× data.
+  */
+class DeepAnalyticsSpec extends SparkSpec {
+
+  test("min-cost supplier: election is a struct-min fold, not a rank window") {
+    val q = DeepAnalytics.minCostSupplier(spark, sf("sf0.01"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-part election must not run a rank window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // elected cost really is the per-(part) minimum over every supplier
+    val perPart = Tables.lineitem(spark, sf("sf0.01"))
+      .join(Tables.part(spark, sf("sf0.01")).filter(col("p_type") === "STANDARD"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)")).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == perPart(r.getLong(0)),
+      s"part ${r.getLong(0)}: elected ${r.getLong(2)} != min ${perPart(r.getLong(0))}"))
+  }
+
+  test("top unshipped: both date filters push to the scans; top-10 is TakeOrdered") {
+    val q = DeepAnalytics.topUnshipped(spark, sf("sf0.01"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    val fmt = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("GreaterThan(l_shipdate") && fmt.contains("LessThan(o_orderdate"),
+      "date predicates must reach the parquet readers")
+    val rows = q.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)), "descending revenue")
+  }
+
+  test("order-priority lateness: EXISTS lowers to one left-semi join, counts once per order") {
+    val q = DeepAnalytics.orderPriorityLate(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must be a semi join")
+    val total = q.collect().map(_.getLong(1)).sum
+    val direct = Tables.orders(spark, sf("sf0.001")).join(
+      Tables.lineitem(spark, sf("sf0.001")),
+      col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("o_orderkey")).distinct().count()
+    assert(total == direct, s"semi-join count $total != distinct-late-orders $direct")
+  }
+
+  test("promo share: exact-integer shares stay in [0, 1e6] and reconcile with totals") {
+    val rows = DeepAnalytics.promoShare(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (promo, total, share) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(promo <= total)
+      assert(share == promo * 1000000L / total, "share must be the exact integer quotient")
+      assert(share >= 0 && share <= 1000000L)
+    }
+  }
+
+  test("small-qty revenue: integer cross-multiplication equals the 20%-of-avg predicate") {
+    // planted fixture: part 1 has quantities (1, 10, 10, 10) → avg 7.75,
+    // 20% = 1.55 → only the q=1 row qualifies; its price lands in the sum
+    import spark.implicits._
+    val fact = Seq((1L, 1L, 100L), (1L, 10L, 999L), (1L, 10L, 999L), (1L, 10L, 999L))
+      .toDF("p_partkey", "q", "price_c")
+    val perPart = fact.groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_p"), sum(col("q")).as("sum_q"))
+    val kept = fact.join(perPart, "p_partkey")
+      .filter(col("q") * 5L * col("n_p") < col("sum_q"))
+      .collect()
+    assert(kept.length == 1 && kept.head.getLong(2) == 100L)
+    val out = DeepAnalytics.smallQtyRevenue(spark, sf("sf0.01")).collect().head
+    assert(out.getLong(1) > 0, "brand filter must leave qualifying rows at sf0.01")
+  }
+
+  test("big orders: HAVING runs before the orders/customer joins") {
+    val q = DeepAnalytics.bigOrders(spark, sf("sf0.01"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    // the quantity aggregate must sit BELOW the joins in the optimized plan:
+    // the join inputs are (filtered aggregate, orders, customer) — if the
+    // filter floated above the join the aggregate would join every order
+    val joinIdx = opt.indexOf("Join")
+    val aggIdx = opt.indexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx, "aggregate must be a join INPUT (below the join)")
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(4) > DeepAnalytics.BigQty))
+  }
+
+  test("blame supplier: no fact self-join; blame requires multi-supplier + single-R") {
+    val q = DeepAnalytics.blameSupplier(spark, sf("sf0.01"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the fact appears ONCE: the only joins attach the supplier dim
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, "lineitem must not self-join")
+    import spark.implicits._
+    // planted: order 1 = supp 1 (R) + supp 2 (N) → blame 1;
+    // order 2 = supp 1 (R) + supp 2 (R) → no single culprit;
+    // order 3 = supp 3 alone (R) → single-supplier, excluded
+    val li = Seq((1L, 1L, "R"), (1L, 2L, "N"), (2L, 1L, "R"), (2L, 2L, "R"), (3L, 3L, "R"))
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val per = li.select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", col("l_suppkey")).as("r_supp"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("r_supp")).as("n_r_supp"),
+        max(col("r_supp")).as("blamed"))
+      .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+      .collect()
+    assert(per.length == 1 && per.head.getLong(0) == 1L && per.head.getLong(3) == 1L)
+  }
+}
