@@ -240,6 +240,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom gate missing from plan:\n${plan.take(600)}")
   }
 
+  test("prefix-filtered join == all-pairs ngram baseline (zero false negatives)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = keyed(Dedup.ngramJaccardPairs(docs))
+    val pref = keyed(Dedup.prefixFilteredPairs(docs))
+    assert(pref == exact, s"prefix join must equal the all-pairs baseline; " +
+      s"missing=${exact.keySet -- pref.keySet} extra=${pref.keySet -- exact.keySet}")
+    // and it must get there without any unkeyed expansion in the plan
+    val plan = Dedup.prefixFilteredPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("prefix filter: rare-first order keeps frequent tokens out of the index") {
+    val s = spark
+    import s.implicits._
+    // docs share a 7-token stem (5 shared 3-gram shingles) plus 3 unique
+    // tokens each -> 8 distinct shingles per doc
+    val base = "alpha beta gamma delta epsilon zeta eta"
+    val docs = (1L to 8L).map(i => (i, s"$base word$i extra$i more$i", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.prefixFilteredPairs(docs).collect()
+    // jaccard = 5 / (8 + 8 - 5) ≈ 0.4545 < 0.5 -> candidates exist, none pass
+    assert(out.isEmpty)
+    val hit = Dedup.prefixFilteredPairs(docs, threshold = 0.4).collect()
+    assert(hit.length == 8 * 7 / 2, "at t=0.4 all pairs clear the threshold")
+  }
+
   test("priorityDedup: preferred source wins the duplicate election, ties by id") {
     val s = spark
     import s.implicits._
