@@ -133,9 +133,45 @@ object Graph {
 
   val LpaIterations = 3
 
+  /** Triangle count over the co-occurrence graph by degree-ordered edge
+    * orientation (Schank & Wagner 2005; the MapReduce form is Suri &
+    * Vassilvitskii WWW'11). Each undirected edge points from its smaller
+    * endpoint to its larger under the total order (degree, node) — so every
+    * triangle {x≺y≺z} is counted exactly once, as the wedge (x→y, x→z)
+    * closed by the oriented edge y→z.
+    *
+    * Scale shape: the wedge fan is Σ_u out-deg(u)², and orienting AWAY from
+    * high-degree nodes caps out-degree at O(√m) for any graph — a celebrity
+    * node with 10⁸ neighbors contributes NO wedges from its own fan-out
+    * (every edge points at it), which is the whole trick; the naive
+    * neighbor-join fans Σ deg² and dies on exactly that node. Three
+    * equi-joins total: two degree attachments (node-table sized) and the
+    * wedge self-join + closing semi-join on compact (node, node) keys.
+    */
+  def triangles(docs: DataFrame): DataFrame = {
+    val (edges, deg) = edgeList(docs)
+    val oriented = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .filter(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"), col("deg_b").as("deg_v"))
+      .localCheckpoint() // three consumers: two wedge sides + the closing probe
+    val wedges = oriented.select(col("u"), col("v"), col("deg_v"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), Seq("u"))
+      .filter(col("deg_v") < col("deg_w") ||
+        (col("deg_v") === col("deg_w") && col("v") < col("w")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_textrank" -> ((s, d) => textrank(Tables.documents(s, d))),
-    "q_graph_communities" -> ((s, d) => communities(Tables.documents(s, d))))
+    "q_graph_communities" -> ((s, d) => communities(Tables.documents(s, d))),
+    "q_graph_triangles" -> ((s, d) => triangles(Tables.documents(s, d))))
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -180,6 +216,24 @@ object Graph {
            |r0 AS (SELECT node, deg, (SELECT $RankScale // n FROM n) AS rank FROM deg),
            |$rounds
            |SELECT node AS term, CAST(rank AS BIGINT) AS score_e12, CAST(deg AS BIGINT) AS deg
-           |FROM r$Iterations ORDER BY rank DESC, node LIMIT $TopK""".stripMargin)
+           |FROM r$Iterations ORDER BY rank DESC, node LIMIT $TopK""".stripMargin,
+      "q_graph_triangles" ->
+        s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+           |inst AS (SELECT unnest([{'a': toks[i], 'b': toks[i + 1]} for i in range(1, len(toks))]) AS p
+           |         FROM t WHERE len(toks) >= 2),
+           |und AS (SELECT DISTINCT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM inst
+           |        WHERE len(p.a) >= $MinTokenLen AND len(p.b) >= $MinTokenLen AND p.a <> p.b),
+           |edges AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+           |deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY 1),
+           |o AS (SELECT e.a AS u, e.b AS v, db.deg AS deg_v
+           |      FROM edges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+           |      WHERE da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)),
+           |w AS (SELECT o1.u, o1.v, o2.v AS w
+           |      FROM o o1 JOIN o o2 ON o1.u = o2.u
+           |      WHERE o1.deg_v < o2.deg_v OR (o1.deg_v = o2.deg_v AND o1.v < o2.v)),
+           |tri AS (SELECT 1 FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.v AND o.v = w.w))
+           |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           |       (SELECT count(*) FROM o) AS n_edges,
+           |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin)
   }
 }

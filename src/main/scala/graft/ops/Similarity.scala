@@ -499,7 +499,54 @@ object Similarity {
         round(col("dot") / (sqrt(col("nm")) * sqrt(col("ng"))), 6).as("cos_to_global"))
   }
 
+  /** Recall@k of the IVF index against the exact brute-force ground truth —
+    * the calibration metric that turns "approximate" into a number an index
+    * owner can tune (nprobe/cells trade recall for probe cost). Both sides
+    * are deterministic pipelines over the same normalized projection; the
+    * join is per-(query, neighbor) on the k·|Q| result rows, so the metric
+    * costs nothing beyond the two searches it grades. Missing queries can't
+    * drop out: the truth side anchors the left join (a query with zero IVF
+    * hits scores recall 0, not absence).
+    */
+  def annRecall(embs: DataFrame): DataFrame = {
+    val truth = bruteTopK(embs).select(col("q_id"), col("n_id"))
+    val approx = ivfTopK(embs).select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        expr(s"n_hits * 1000000L div $TopK").as("recall_e6"))
+  }
+
+  /** Int8 scalar quantization fidelity — the 4× memory compression every
+    * production vector store applies before PQ: per-vector (min, max) range
+    * mapped to 0..255 codes, reconstruction error reported per label. The
+    * quantize→dequantize→error loop is MAP-ONLY (one pass, no shuffle of
+    * vectors); only the 12-byte (label, mse_e12) rows reach the aggregate.
+    * Error sums fold left-to-right inside each vector (deterministic
+    * association) and are integer micro-units across vectors, so partition
+    * order cannot wiggle the per-label average. The epsilon floor on the
+    * range keeps a constant vector (scale 0) at zero error instead of NaN.
+    */
+  def int8Quantization(embs: DataFrame): DataFrame = {
+    val dequant = "(lo + round((x - lo) * 255.0 / scale) * scale / 255.0)"
+    embs
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("scale", greatest(array_max(col("v")) - col("lo"), lit(1e-12)))
+      .select(col("label"), expr(
+        "cast(round(aggregate(v, cast(0.0 as double), (acc, x) -> acc + " +
+          s"(x - $dequant) * (x - $dequant)) / 64.0 * 1e12) as bigint)").as("mse_e12"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(mse_e12) div count(1)").as("avg_mse_e12"),
+        max(col("mse_e12")).as("max_mse_e12"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d))),
+    "q_embed_int8" -> ((s, d) => int8Quantization(Tables.embeddings(s, d))),
     "q_embed_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
     "q_knn_brute" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
@@ -551,6 +598,53 @@ object Similarity {
       }).mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_knn_recall" ->
+      s"""WITH $duckNormCte,
+         |bp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         list_sum([q.nv[i] * c.nv[i] for i in range(1, 65)]) AS cos
+         |       FROM nv q JOIN nv c ON q.vec_id < $QueryCount AND c.vec_id != q.vec_id),
+         |br AS (SELECT q_id, n_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |       FROM bp),
+         |truth AS (SELECT q_id, n_id FROM br WHERE rank <= $TopK),
+         |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT e.vec_id, e.nv, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c),
+         |corpus AS (SELECT cell, vec_id AS n_id, nv AS nvec FROM assigned WHERE crk = 1),
+         |probes AS (SELECT cell, vec_id AS q_id, nv AS qv FROM assigned
+         |           WHERE vec_id < $QueryCount AND crk <= $IvfProbes),
+         |s AS (SELECT q_id, n_id, list_sum([qv[i] * nvec[i] for i in range(1, 65)]) AS cos
+         |      FROM probes q JOIN corpus c ON q.cell = c.cell AND c.n_id != q.q_id),
+         |r AS (SELECT q_id, n_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s),
+         |approx AS (SELECT q_id, n_id FROM r WHERE rank <= $TopK),
+         |h AS (SELECT t.q_id, count(a.n_id) AS n_hits
+         |      FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+         |      GROUP BY 1)
+         |SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 1000000 // $TopK AS BIGINT) AS recall_e6
+         |FROM h""".stripMargin,
+
+    "q_embed_int8" -> {
+      val dq = "(lo + round((x - lo) * 255.0 / scale) * scale / 255.0)"
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |b AS (SELECT label, v, list_min(v) AS lo,
+         |        greatest(list_max(v) - list_min(v), 1e-12) AS scale FROM e),
+         |m AS (SELECT label,
+         |        CAST(round(list_sum([(x - $dq) * (x - $dq) for x in v])
+         |          / 64.0 * 1e12) AS BIGINT) AS mse_e12
+         |      FROM b)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(mse_e12) // count(*) AS BIGINT) AS avg_mse_e12,
+         |  CAST(max(mse_e12) AS BIGINT) AS max_mse_e12
+         |FROM m GROUP BY 1""".stripMargin
+    },
+
     "q_embed_drift" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, i AS idx,
         |             CAST(embedding[i] AS DOUBLE) AS v

@@ -80,4 +80,34 @@ class GraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("triangles: planted 3-cycle counted once, dangling edge ignored") {
+    // tokens must clear MinTokenLen=4; "aaaa bbbb cccc aaaa" closes the
+    // cycle (adjacent pairs aaaa-bbbb, bbbb-cccc, cccc-aaaa)
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc aaaa", "en", "src", 1L),
+      (2L, "dddd aaaa", "en", "src", 1L)) // dangling edge, no new triangle
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Graph.triangles(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)),
+      s"expected 4 nodes / 4 oriented edges / 1 triangle, got $r")
+  }
+
+  test("triangles: orientation keeps each undirected edge exactly once (corpus)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sf())
+    val r = Graph.triangles(d).collect().head
+    // independent recount of the undirected co-occurrence edge set
+    val und = d.select(graft.ops.Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= Graph.MinTokenLen &&
+        length(col("b")) >= Graph.MinTokenLen && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct().count()
+    assert(r.getLong(1) == und, s"oriented edges ${r.getLong(1)} != undirected $und")
+    assert(r.getLong(2) > 0, "corpus graph should contain triangles")
+  }
 }

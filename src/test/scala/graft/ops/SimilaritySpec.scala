@@ -220,4 +220,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
   }
+
+  test("ann recall: hits equal the brute∩ivf intersection, bounded by [0, 1e6]") {
+    val embs = graft.Tables.embeddings(spark, sf())
+    val truth = Similarity.bruteTopK(embs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = Similarity.ivfTopK(embs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val out = Similarity.annRecall(embs).collect()
+    assert(out.length == Similarity.QueryCount)
+    out.foreach { r =>
+      val (q, hits, rec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = truth(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == expect, s"query $q: $hits hits vs recomputed $expect")
+      assert(rec == hits * 1000000L / Similarity.TopK && rec >= 0 && rec <= 1000000L)
+    }
+  }
+
+  test("int8 quantization: constant vector is errorless, ramp error matches replica") {
+    val s = spark
+    import s.implicits._
+    val ramp = (0 until 64).map(i => i / 63.0f).toArray
+    val embs = Seq(
+      (0L, Array.fill(64)(0.5f), 7),
+      (1L, ramp, 8)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.int8Quantization(embs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(7L) == ((1L, 0L, 0L)), "constant vector must quantize losslessly")
+    // local replica of the same arithmetic for the ramp vector
+    val v = ramp.map(_.toDouble)
+    val (lo, hi) = (v.min, v.max)
+    val scale = math.max(hi - lo, 1e-12)
+    val mse = v.map { x =>
+      val d = lo + math.round((x - lo) * 255.0 / scale).toDouble * scale / 255.0
+      (x - d) * (x - d)
+    }.sum / 64.0
+    assert(out(8L)._2 == math.round(mse * 1e12), s"ramp mse ${out(8L)._2}")
+  }
 }
