@@ -2,6 +2,7 @@ package graft.batch
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deep analytical join suite — the TPC-H-flavored decision-support shapes
@@ -191,7 +192,71 @@ object DeepAnalytics {
       .orderBy(col("n_blamed").desc, col("s_suppkey").asc)
       .limit(100)
 
+  /** ANALYZE-style column profile of lineitem — the statistics-collection
+    * pass every warehouse runs before planning (null rates, cardinalities,
+    * min/max bounds feed CBO estimates and zone-map skipping). Two passes:
+    * one aggregate computes every column's count/min/max at once (reshaped
+    * long by a driver-free `stack`), and the cardinalities come from ONE
+    * melted (column, 60-bit md5 hash) projection aggregated twice — the
+    * map-side combine of the first level collapses repeated values inside
+    * each task, so the shuffle carries only distinct (column, hash) pairs,
+    * never the fact. A multi-column COUNT(DISTINCT) in one agg would
+    * instead EXPAND the fact ×|columns| through the exchange (measured 7 s
+    * vs 1 s at sf0.1). The hash stands in for the value per the engine-wide
+    * md5-60-bit discipline (`Dedup.exact`'s fingerprint contract); min/max
+    * are computed TYPED and cast to string only for the uniform schema.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val fact = li(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
+    val wide = fact.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ProfileCols.length}, " +
+        ProfileCols.map(c => s"'$c', n_rows, nn_$c, mn_$c, mx_$c").mkString(", ") +
+        ") as (col_name, n_rows, n_nonnull, min_s, max_s)"))
+    val nd = fact
+      .select(explode(array(ProfileCols.map(c => struct(lit(c).as("col_name"),
+        conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long").as("h"))): _*))
+        .as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.h").as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("col_name"), col("h")).agg(lit(1))
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    wide.join(broadcast(nd), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+
+  val ProfileCols =
+    Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
+  /** Year-over-year revenue growth per nation — the period-over-period
+    * reporting shape. The only fact-sized work is one keyed aggregate to
+    * (nation, year) cells; the lag window runs over that ~25×7-row grid,
+    * partitioned by nation so no global sort exists. Revenue is exact
+    * integer cents; growth is exact integer e6 against the prior year.
+    */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    ord(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev_c"))
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      // sign·(abs·1e6 div prev): floor-vs-truncate division diverges across
+      // engines on NEGATIVE growth, so divide magnitudes only
+      .select(col("n_name"), col("yr"), col("rev_c"),
+        expr("case when prev_c > 0 then cast(sign(rev_c - prev_c) as bigint)" +
+          " * (abs(rev_c - prev_c) * 1000000L div prev_c) end").as("growth_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> ((s, d) => profile(s, d)),
+    "q_yoy" -> ((s, d) => yoyGrowth(s, d)),
     "q_min_cost_supplier" -> ((s, d) => minCostSupplier(s, d)),
     "q_top_unshipped" -> ((s, d) => topUnshipped(s, d)),
     "q_order_priority" -> ((s, d) => orderPriorityLate(s, d)),
@@ -201,6 +266,31 @@ object DeepAnalytics {
     "q_blame_supplier" -> ((s, d) => blameSupplier(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile" ->
+      ProfileCols
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |  count(DISTINCT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT)
+             |    AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+             |FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"),
+
+    "q_yoy" ->
+      """WITH g AS (
+        |  SELECT n.n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT n_name, yr, rev_c,
+        |        lag(rev_c) OVER (PARTITION BY n_name ORDER BY yr) AS prev_c FROM g)
+        |SELECT n_name, yr, rev_c,
+        |  CASE WHEN prev_c > 0 THEN CAST(sign(rev_c - prev_c) AS BIGINT)
+        |       * CAST(abs(rev_c - prev_c) * 1000000 // prev_c AS BIGINT) END AS growth_e6
+        |FROM l""".stripMargin,
+
     "q_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT p.p_partkey, p.p_brand, l.l_suppkey,

@@ -131,6 +131,39 @@ object Behavior {
         col("observed"))
   }
 
+  /** Exponentially weighted moving average of each user's daily event count
+    * (α = 1/2) — the smoothing primitive behind activity trending and decay
+    * scoring. Computed in the bias-corrected "adjust" form
+    * ewma = Σ xₖ·wₖ / Σ wₖ with wₖ = 0.5^(n−k) (pandas `adjust=True`; NOT
+    * the plain recurrence ewmaₖ = (ewmaₖ₋₁+xₖ)/2, which overweights the
+    * seed) — two fixed-order folds instead of a stateful scan.
+    *
+    * Determinism (the transcendental-sum discipline of `Stats.entropy`):
+    * weights are exact powers of two, products of integer counts by them are
+    * exact doubles, and both engines fold the SAME day-sorted list
+    * left-to-right — so the one rounding per addition happens identically.
+    * A plain SUM over a weight window would accumulate in partition order.
+    *
+    * Scale shape: one (user, day) count agg — 16-byte shuffle rows — then
+    * one per-user fold over a list bounded by the CALENDAR (days active),
+    * never by event volume; the same domain bound as `stickiness`.
+    */
+  def ewma(events: DataFrame): DataFrame = {
+    val day = expr("__time__ div 86400000")
+    events
+      .groupBy(col("user_id"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .select(col("user_id"), size(col("cs")).cast("long").as("n_days"),
+        expr("round(" +
+          "aggregate(transform(cs, (s, i) -> cast(s.n as double)" +
+          " * pow(0.5, cast(size(cs) - 1 - i as double))), cast(0.0 as double), (a, b) -> a + b)" +
+          " / aggregate(transform(cs, (s, i) ->" +
+          " pow(0.5, cast(size(cs) - 1 - i as double))), cast(0.0 as double), (a, b) -> a + b)" +
+          ", 6)").as("ewma"))
+  }
+
   /** Rolling z-score anomaly detection: flag events whose `value` deviates
     * from the SAME USER's trailing window by more than `zThreshold` standard
     * deviations. The trailing frame excludes the current row (an outlier
@@ -480,7 +513,8 @@ object Behavior {
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
-    "q_gapfill" -> ((s, d) => gapfill(Tables.events(s, d))))
+    "q_gapfill" -> ((s, d) => gapfill(Tables.events(s, d))),
+    "q_ewma" -> ((s, d) => ewma(Tables.events(s, d))))
 
   private val msSql = "epoch_ms(ts)"
 
@@ -668,6 +702,16 @@ object Behavior {
          |           FROM events)
          |SELECT event_type AS from_type, to_type, count(*) AS n
          |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_ewma" ->
+      s"""WITH daily AS (SELECT user_id, $msSql // 86400000 AS day, count(*) AS n
+         |               FROM events GROUP BY 1, 2),
+         |g AS (SELECT user_id, list(CAST(n AS DOUBLE) ORDER BY day) AS cs
+         |      FROM daily GROUP BY 1)
+         |SELECT user_id, CAST(len(cs) AS BIGINT) AS n_days,
+         |  round(list_sum([cs[i] * pow(0.5, len(cs) - i) for i in range(1, len(cs) + 1)])
+         |      / list_sum([pow(0.5, len(cs) - i) for i in range(1, len(cs) + 1)]), 6) AS ewma
+         |FROM g""".stripMargin,
 
     "q_gapfill" ->
       s"""WITH daily AS (

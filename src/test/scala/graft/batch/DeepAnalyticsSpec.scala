@@ -95,6 +95,44 @@ class DeepAnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getLong(4) > DeepAnalytics.BigQty))
   }
 
+  test("profile: two passes over the fact (stats + melted distinct), no expand") {
+    val q = DeepAnalytics.profile(spark, sf("sf0.001"))
+    // one scan for count/min/max, one for the melted cardinality pass —
+    // never a per-column scan and never an Expand of the fact
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 2, "profiler must scan exactly twice")
+    assert(!plan.contains("Expand"), "multi-distinct expand must not appear")
+    val rows = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val n = li.count()
+    assert(rows.keySet == Set("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate"))
+    assert(rows.values.forall(_._1 == n))
+    val ndOrder = li.select(col("l_orderkey")).distinct().count()
+    assert(rows("l_orderkey")._3 == ndOrder)
+    assert(rows("l_returnflag")._3 == 3L) // A / N / R
+  }
+
+  test("yoy growth: sign-split integer division matches on negative growth years") {
+    val rows = DeepAnalytics.yoyGrowth(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getString(0))
+    byNation.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.isNullAt(3), "first year has no prior -> null growth")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if !cur.isNullAt(3) =>
+          val (p, c, g) = (prev.getLong(2), cur.getLong(2), cur.getLong(3))
+          val expect = math.signum(c - p) * (math.abs(c - p) * 1000000L / p)
+          assert(g == expect, s"${cur.getString(0)} ${cur.getLong(1)}: $g vs $expect")
+        case _ =>
+      }
+    }
+    // the data contains at least one shrinking year so the sign path is real
+    assert(rows.exists(r => !r.isNullAt(3) && r.getLong(3) < 0), "need a negative-growth year")
+  }
+
   test("blame supplier: no fact self-join; blame requires multi-supplier + single-R") {
     val q = DeepAnalytics.blameSupplier(spark, sf("sf0.01"))
     val plan = q.queryExecution.executedPlan.toString

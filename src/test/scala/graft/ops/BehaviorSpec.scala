@@ -319,6 +319,23 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.changepoints(d).collect().isEmpty)
   }
 
+  test("ewma: adjust-form weights match a local replica; order-of-arrival immaterial") {
+    // user 1: daily counts (day 0 -> 3, day 1 -> 1, day 2 -> 2)
+    // ewma = (3*0.25 + 1*0.5 + 2*1) / (0.25 + 0.5 + 1)
+    val evs = (Seq.fill(3)(0L) ++ Seq(1L) ++ Seq.fill(2)(2L)).zipWithIndex.map {
+      case (day, i) => (200L + i, 1L, day * 86400000L + i + 1, 1.0)
+    }.toDF("event_id", "user_id", "__time__", "value")
+    val out = Behavior.ewma(evs).collect().head
+    val expect = // the operator rounds to 6 dp
+      math.round((3.0 * 0.25 + 1.0 * 0.5 + 2.0 * 1.0) / (0.25 + 0.5 + 1.0) * 1e6) / 1e6
+    assert(out.getLong(1) == 3L)
+    assert(out.getDouble(2) == expect, s"got ${out.getDouble(2)} expected $expect")
+    // shuffled arrival order must not change the day-sorted fold
+    val out2 = Behavior.ewma(evs.orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(5)).collect().head
+    assert(out2.getDouble(2) == out.getDouble(2))
+  }
+
   test("anomalies: windows never cross users") {
     // user 4 priors would flag the spike, but the spike belongs to user 5
     // with no history of its own
