@@ -111,7 +111,45 @@ object Cdc {
     survivors.union(added)
   }
 
+  /** Additive daily rollup of the event stream — the materialized aggregate
+    * `mergeRollup` maintains. Exact integer cells: (count, Σ value·e4).
+    */
+  def rollup(events: DataFrame): DataFrame =
+    events
+      .select(expr("__time__ div 86400000").as("day"), col("event_type"),
+        expr("cast(round(value * 10000) as bigint)").as("v"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v_e4"))
+
+  /** Incremental view maintenance of an additive rollup: yesterday's
+    * materialized cells + a rollup of ONLY the new increment, merged by
+    * re-aggregating the partials — exactly the mergeable-state property that
+    * lets a 100 TB history never be rescanned (the refresh cost is the
+    * increment plus the CELL table, day×type-sized, not history-sized).
+    * Correct because every cell statistic is a semigroup fold (counts and
+    * exact integer sums re-add; avg/variance would first be decomposed into
+    * these same moments). The driver oracle recomputes the rollup from the
+    * full log — merge == full recompute IS the IVM contract, checked on
+    * every run.
+    */
+  def mergeRollup(state: DataFrame, delta: DataFrame): DataFrame =
+    state.union(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v_e4")).as("sum_v_e4"))
+
+  /** Increment boundary for `q_rollup_incr`: the last week of the event
+    * window (epoch days; the generator's range is 19723..19752 at every sf).
+    */
+  val RollupSplitDay = 19745L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_incr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val day = expr("__time__ div 86400000")
+      mergeRollup(
+        rollup(ev.filter(day <= RollupSplitDay)),
+        rollup(ev.filter(day > RollupSplitDay)))
+    }),
     "q_table_diff" -> ((s, d) => {
       val a = Tables.documents(s, d).select(col("doc_id"), col("text"))
       tableDiff(a, mutatedDocs(a), "doc_id", Seq("text"))
@@ -141,6 +179,12 @@ object Cdc {
           col("effective_from"), col("effective_to"), col("is_current"))))
 
   def oracleSql: Map[String, String] = Map(
+    // full recompute from the raw log — the merge must equal it exactly
+    "q_rollup_incr" ->
+      """SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_v_e4
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_table_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents),
         |b AS (SELECT doc_id,

@@ -78,4 +78,22 @@ class CdcSpec extends SparkSpec {
     val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
     assert(!joinLine.contains("text"), s"payload crossed the join: $joinLine")
   }
+
+  test("mergeRollup: merge of partials == full recompute for ANY split") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf("sf0.01"))
+    val full = Cdc.rollup(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // three different split predicates, including an empty delta
+    val splits = Seq(
+      expr("__time__ div 86400000") <= Cdc.RollupSplitDay,
+      col("user_id") % 3 === 0,
+      lit(true))
+    splits.foreach { p =>
+      val merged = Cdc.mergeRollup(Cdc.rollup(ev.filter(p)), Cdc.rollup(ev.filter(!p)))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(merged == full, s"split $p broke the merge")
+    }
+  }
 }
