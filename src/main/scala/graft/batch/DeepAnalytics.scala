@@ -215,7 +215,14 @@ object DeepAnalytics {
       .select(expr(s"stack(${ProfileCols.length}, " +
         ProfileCols.map(c => s"'$c', n_rows, nn_$c, mn_$c, mx_$c").mkString(", ") +
         ") as (col_name, n_rows, n_nonnull, min_s, max_s)"))
+    // Explicit spread before the per-cell md5 melt: the bench fixture is ONE
+    // parquet split, which would serialize 5×|fact| hash computations into a
+    // single task (ngramJaccardPairs' documented artifact — a floor, not a
+    // ceiling; at production scale the reader's many splits already provide
+    // the parallelism and this exchange is a same-size rebalance).
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val nd = fact
+      .select(ProfileCols.map(col): _*).repartition(n)
       .select(explode(array(ProfileCols.map(c => struct(lit(c).as("col_name"),
         conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long").as("h"))): _*))
         .as("m"))
