@@ -203,6 +203,76 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-image perceptual hash row (bits as a 64-char '0'/'1' string — the
+    * cross-engine-trivial form; production packs it into an int64).
+    */
+  case class PHashed(doc_id: Long, phash: String)
+
+  /** Partition-local dHash (difference hash — the standard cheap perceptual
+    * image fingerprint): REAL codec round-trip, then an 9×8 sample grid
+    * reduced to 64 horizontal-gradient bits. Sampling is nearest-neighbor
+    * with exact integer index math (x_i = i·W div 9, y_j = j·H div 8) and
+    * grayscale is the integer (r+g+b) div 3 — deliberately NOT a codec
+    * resize, whose interpolation no oracle could replay. Non-image payloads
+    * are skipped (perceptual dedup is defined on decodable images only).
+    */
+  def phashImagePartition(rows: Iterator[MediaPayload]): Iterator[PHashed] =
+    rows.flatMap { m =>
+      if (m.payload == null) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              def gray(x: Int, y: Int): Int = {
+                val p = img.getRGB(x, y)
+                (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              }
+              val sb = new java.lang.StringBuilder(64)
+              var j = 0
+              while (j < 8) {
+                val y = j * h / 8
+                var i = 0
+                while (i < 8) {
+                  sb.append(if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y)) '1' else '0')
+                  i += 1
+                }
+                j += 1
+              }
+              Some(PHashed(m.doc_id, sb.toString))
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      }
+    }
+
+  /** Perceptual dedup groups over the image corpus: dHash each decodable
+    * image (map-only; payloads never shuffle — only the 64-bit fingerprint
+    * and the id move), then the `Dedup.exact` grouping contract (n_copies,
+    * min-id representative). Visually-identical-structure images collapse
+    * regardless of codec (the PNG and BMP encodings of the same pixels hash
+    * identically — spec'd). The oracle PREDICTS every hash analytically
+    * from the shared pixel formula, so a decode or sampling bug on the
+    * engine side cannot hash-match arithmetic.
+    */
+  def phashGroups(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    imageTable(docs)
+      .select(col("doc_id"), col("payload")).as[MediaPayload]
+      .mapPartitions(phashImagePartition)
+      .toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+  }
+
   val EmbedDims = 16
   val EmbedCells = 8
 
@@ -251,6 +321,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
     "q_media_decode" -> ((s, d) => decodedReal(Tables.documents(s, d))),
+    "q_media_phash" -> ((s, d) => phashGroups(Tables.documents(s, d))),
     "q_media_embed" -> ((s, d) => embedAssign(Tables.documents(s, d))))
 
   /** Analytic replay of `decodeImagePartition` over `imageTable`'s
@@ -291,6 +362,26 @@ object Multimodal {
     // formula (it cannot parse PNG/BMP bytes): a decode bug on the Spark
     // side cannot hash-match arithmetic.
     "q_media_decode" -> (s"WITH $decodeCte\nSELECT * FROM dec"),
+
+    // analytic dHash replay: same sample grid, same integer grayscale, over
+    // the pixel FORMULA instead of decoded bytes
+    "q_media_phash" -> {
+      def g(ix: String, j: String) = {
+        val x = s"(($ix) * (1 + doc_id % 7)) // 9"
+        val y = s"(($j) * (1 + doc_id % 5)) // 8"
+        s"(((doc_id * 31 + ($x) * 7 + ($y) * 13) % 256)" +
+          s" + ((doc_id * 31 + ($x) * 7 + ($y) * 13 + 97) % 256)" +
+          s" + ((doc_id * 31 + ($x) * 7 + ($y) * 13 + 193) % 256)) // 3"
+      }
+      s"""WITH ph AS (SELECT doc_id,
+         |  array_to_string(flatten(list_transform(range(0, 8),
+         |    j -> list_transform(range(0, 8),
+         |      i -> CASE WHEN ${g("i + 1", "j")} > ${g("i", "j")}
+         |           THEN '1' ELSE '0' END))), '') AS phash
+         |FROM documents WHERE doc_id % 10 <> 9)
+         |SELECT phash, count(*) AS n_copies, min(doc_id) AS keep_id
+         |FROM ph GROUP BY 1""".stripMargin
+    },
 
     "q_media_embed" ->
       s"""WITH $decodeCte,

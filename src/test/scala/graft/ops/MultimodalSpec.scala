@@ -96,4 +96,30 @@ class MultimodalSpec extends SparkSpec {
       assert(cell == id && math.abs(ccos - 1.0) < 1e-6, s"doc $id -> cell $cell ($ccos)")
     }
   }
+
+  test("phash: PNG and BMP encodings of the same pixels collapse to one group") {
+    // doc 70 (png branch) and doc 71 (bmp branch) differ; instead re-encode
+    // the SAME pixels both ways and hash via the partition fn directly
+    val id = 70L // even -> synthImageBytes emits png
+    val png = Multimodal.synthImageBytes(id)
+    // re-encode the same decoded pixels as BMP
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val hashes = Multimodal.phashImagePartition(Iterator(
+      Multimodal.MediaPayload(1L, png),
+      Multimodal.MediaPayload(2L, bos.toByteArray))).toSeq
+    assert(hashes.length == 2)
+    assert(hashes(0).phash == hashes(1).phash, "codec must not change the perceptual hash")
+    assert(hashes.head.phash.length == 64 && hashes.head.phash.forall(c => c == '0' || c == '1'))
+  }
+
+  test("phash groups: non-images skipped, representatives are group minima") {
+    val docs = graft.Tables.documents(spark, sf())
+    val nImages = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 10 <> 9")).count()
+    val groups = Multimodal.phashGroups(docs).collect()
+    assert(groups.map(_.getLong(1)).sum == nImages, "every image lands in exactly one group")
+    assert(groups.exists(_.getLong(1) > 1), "synthetic gradients must produce real collisions")
+    assert(groups.forall(_.getLong(2) % 10 != 9), "no fallback doc may represent a group")
+  }
 }
