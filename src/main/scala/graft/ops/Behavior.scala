@@ -164,6 +164,30 @@ object Behavior {
           ", 6)").as("ewma"))
   }
 
+  /** Audience overlap matrix: for every unordered pair of event types, how
+    * many distinct users do both, plus the exact-integer Jaccard — the
+    * segment-venn primitive behind "viewers who also purchase" analyses.
+    * Same self-join discipline as `copurchase`: DISTINCT (user, type) first
+    * (map-side collapsing, multiplicity cannot inflate overlap), then the
+    * pair fan per user is bounded by the TYPE DOMAIN (≤ |types|²), never by
+    * event volume; per-type audience sizes join back on the 10-row pair
+    * table, not the corpus.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val both = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both")) // (user, pair) rows are unique post-distinct
+    both
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000000L div (n_a + n_b - n_both)").as("jaccard_e6"))
+  }
+
   /** Rolling z-score anomaly detection: flag events whose `value` deviates
     * from the SAME USER's trailing window by more than `zThreshold` standard
     * deviations. The trailing frame excludes the current row (an outlier
@@ -514,7 +538,8 @@ object Behavior {
     "q_retention" -> ((s, d) => retention(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
     "q_gapfill" -> ((s, d) => gapfill(Tables.events(s, d))),
-    "q_ewma" -> ((s, d) => ewma(Tables.events(s, d))))
+    "q_ewma" -> ((s, d) => ewma(Tables.events(s, d))),
+    "q_audience_overlap" -> ((s, d) => audienceOverlap(Tables.events(s, d))))
 
   private val msSql = "epoch_ms(ts)"
 
@@ -702,6 +727,17 @@ object Behavior {
          |           FROM events)
          |SELECT event_type AS from_type, to_type, count(*) AS n
          |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS n_both
+        |      FROM ut a JOIN ut c ON a.user_id = c.user_id AND a.event_type < c.event_type
+        |      GROUP BY 1, 2)
+        |SELECT b.type_a, b.type_b, sa.n AS n_a, sb.n AS n_b, b.n_both,
+        |  CAST(b.n_both * 1000000 // (sa.n + sb.n - b.n_both) AS BIGINT) AS jaccard_e6
+        |FROM b JOIN sz sa ON sa.event_type = b.type_a
+        |       JOIN sz sb ON sb.event_type = b.type_b""".stripMargin,
 
     "q_ewma" ->
       s"""WITH daily AS (SELECT user_id, $msSql // 86400000 AS day, count(*) AS n
