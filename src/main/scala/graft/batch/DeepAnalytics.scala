@@ -230,9 +230,11 @@ object DeepAnalytics {
       .filter(col("h").isNotNull)
       .groupBy(col("col_name"), col("h")).agg(lit(1))
       .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
-    wide.join(broadcast(nd), Seq("col_name"))
+    // left join: an empty fact still profiles (0 rows, 0 distinct, null
+    // bounds) instead of vanishing through an inner join against no pairs
+    wide.join(broadcast(nd), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"), col("min_s"), col("max_s"))
   }
 
   val ProfileCols =

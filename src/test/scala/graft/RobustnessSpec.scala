@@ -48,4 +48,26 @@ class RobustnessSpec extends SparkSpec {
     assert(failures.isEmpty,
       failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
   }
+
+  test("session additions execute on EMPTY inputs (zero-row tables)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"${sf()}/$t.parquet").limit(0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+    val targets = Seq("q_min_cost_supplier", "q_top_unshipped", "q_order_priority",
+      "q_promo_share", "q_small_qty_revenue", "q_big_orders", "q_blame_supplier",
+      "q_dedup_prefix", "q_graph_triangles", "q_knn_recall", "q_embed_int8",
+      "q_ewma", "q_profile", "q_yoy", "q_join_typos", "q_rollup_incr",
+      "q_media_phash", "q_audience_overlap")
+    val failures = targets.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).count(); None }
+      catch { case e: Throwable => Some(name -> e.toString.linesIterator.next()) }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
+    // the profiler must still DESCRIBE the empty table, not vanish
+    assert(SparkEntry.queries("q_profile")(spark, dir).count() == 5L)
+  }
 }
