@@ -522,7 +522,42 @@ object Behavior {
       .select(col("day"), col("dau"), col("new_users"), col("cum_reach"))
   }
 
+  /** Time-weighted average (TWAP) of `value` per (user, UTC day): the event
+    * value holds from its timestamp until the next event that day (step
+    * function / last-observation-carried-forward), the day's last value
+    * holds to midnight; the average weights each value by its holding time.
+    * The arithmetic-mean of irregular samples over-weights bursts — TWAP is
+    * the standard fix for feature pipelines over telemetry.
+    *
+    * Exactness: values in integer e4 units, weights in ms; `num = Σ v_e4·w`
+    * stays in Long (v_e4 ≤ ~5e6, w ≤ 8.64e7, day row count bounded), so the
+    * hash compare is partition-order-proof; `twap_e4 = num div den` with
+    * both non-negative, where truncation == floor on both engines.
+    *
+    * Scale: ONE hash exchange by (user, day) serves both the lead() window
+    * and the aggregate — per-key state is a scalar, never an event list.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val DayMs = 86400000L
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ms"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("__time__").as("ms"),
+        expr(s"__time__ div $DayMs").as("day"),
+        expr("cast(round(value * 10000) as bigint)").as("v_e4"))
+      .withColumn("hold_until",
+        coalesce(lead(col("ms"), 1).over(w), (col("day") + 1) * lit(DayMs)))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v_e4") * (col("hold_until") - col("ms"))).as("num"),
+        ((col("day").cast("long") + 1L) * lit(DayMs) - min(col("ms"))).as("den"))
+      .select(col("user_id"), col("day"), col("n"),
+        expr("num div den").as("twap_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> ((s, d) => twap(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_itemsets" -> ((s, d) => itemsets(Tables.events(s, d))),
     "q_reach" -> ((s, d) => reach(Tables.events(s, d))),
@@ -544,6 +579,18 @@ object Behavior {
   private val msSql = "epoch_ms(ts)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_twap" ->
+      s"""WITH e AS (SELECT event_id, user_id, $msSql AS ms,
+         |  $msSql // 86400000 AS day,
+         |  CAST(round(value * 10000) AS BIGINT) AS v_e4 FROM events),
+         |h AS (SELECT user_id, day, ms, v_e4,
+         |        coalesce(lead(ms) OVER (PARTITION BY user_id, day
+         |                                ORDER BY ms, event_id),
+         |                 (day + 1) * 86400000) AS hold_until
+         |      FROM e)
+         |SELECT user_id, day, count(*) AS n,
+         |  CAST(sum(v_e4 * (hold_until - ms)) // ((day + 1) * 86400000 - min(ms)) AS BIGINT) AS twap_e4
+         |FROM h GROUP BY user_id, day""".stripMargin,
     // the oracle deliberately uses the quadratic purchases×touches
     // row_number formulation as an independent cross-check of the engine's
     // single-window carry-forward

@@ -201,6 +201,49 @@ object Curation {
     domainCap(urls.withColumn("domain", domainOf(col("url"))),
       maxPerDomain, domainCol = "domain")
 
+  /** K-anonymity audit with one generalization step: group rows by their
+    * quasi-identifier tuple (nation, market segment, account-balance bucket
+    * of width 100 currency units) and classify each group —
+    * `ok` if its size reaches `k`, else `generalized` if widening the
+    * balance bucket 10× (width 1000) pools enough peers, else `suppressed`
+    * (rows only publishable with the QI withheld). The release-gating
+    * primitive for PII-bearing training data: a group below k re-identifies
+    * its members by QI alone (Sweeney's k-anonymity; the [[q_dq_checks]]
+    * family's privacy sibling).
+    *
+    * Determinism: balance in integer cents shifted by +100000 so every
+    * bucket division has a non-negative dividend — truncating and flooring
+    * division agree, and no engine-specific negative-division rule is in
+    * play.
+    *
+    * Scale shape: aggregate-then-aggregate-then-join — the fine groupBy
+    * collapses map-side; the parent table re-aggregates the FINE table (a
+    * value-domain-bounded ~nations·segments·buckets rows, never the fact)
+    * and broadcasts back onto it. One fact shuffle total, and the second
+    * aggregate + join touch only domain-sized data at any corpus scale.
+    */
+  def kAnonymity(customers: DataFrame, k: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // cents + 100000 >= 1 for TPC-H balances (>= -999.99)
+    val shifted = "cast(round(c_acctbal * 100) as bigint) + 100000"
+    val fine = customers
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"($shifted) div 10000").as("bal_b"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_b"))
+      .agg(count(lit(1)).as("n"))
+    val parent = fine
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("bal_b div 10").as("bal_p"))
+      .agg(sum(col("n")).as("pn"))
+    fine
+      .withColumn("bal_p", expr("bal_b div 10"))
+      .join(broadcast(parent), Seq("c_nationkey", "c_mktsegment", "bal_p"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_b"), col("n"),
+        when(col("n") >= k, lit("ok"))
+          .when(col("pn") >= k, lit("generalized"))
+          .otherwise(lit("suppressed")).as("status"))
+  }
+
   // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24;
   // domain cap below the per-source doc count so the cap provably bites.
   val BenchmarkFilter = "doc_id < 20"
@@ -220,7 +263,11 @@ object Curation {
     "q_domain_cap" -> ((s, d) =>
       domainCap(Tables.documents(s, d), MaxPerDomain)),
     "q_domain_url" -> ((s, d) =>
-      domainCapUrls(urlFixture(Tables.documents(s, d)), UrlMaxPerDomain)))
+      domainCapUrls(urlFixture(Tables.documents(s, d)), UrlMaxPerDomain)),
+    "q_k_anonymity" -> ((s, d) =>
+      kAnonymity(Tables.customer(s, d), KAnonymityK)))
+
+  val KAnonymityK = 5L
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -295,5 +342,20 @@ object Curation {
          |                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
          |                 FROM documents))
          |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
-         |FROM r WHERE rnk <= $MaxPerDomain""".stripMargin)
+         |FROM r WHERE rnk <= $MaxPerDomain""".stripMargin,
+
+    "q_k_anonymity" ->
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+         |             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS bal_b
+         |           FROM customer),
+         |f AS (SELECT c_nationkey, c_mktsegment, bal_b, count(*) AS n
+         |      FROM c GROUP BY 1, 2, 3),
+         |p AS (SELECT c_nationkey, c_mktsegment, bal_b // 10 AS bal_p, sum(n) AS pn
+         |      FROM f GROUP BY 1, 2, 3)
+         |SELECT f.c_nationkey, f.c_mktsegment, f.bal_b, f.n,
+         |  CASE WHEN f.n >= $KAnonymityK THEN 'ok'
+         |       WHEN p.pn >= $KAnonymityK THEN 'generalized'
+         |       ELSE 'suppressed' END AS status
+         |FROM f JOIN p ON f.c_nationkey = p.c_nationkey
+         |  AND f.c_mktsegment = p.c_mktsegment AND f.bal_b // 10 = p.bal_p""".stripMargin)
 }

@@ -62,6 +62,46 @@ object RangeJoin {
       .drop(b)
   }
 
+  /** Interval × interval OVERLAP join: pairs where `[l.start, l.end)` and
+    * `[r.start, r.end)` intersect — the feature-pipeline primitive behind
+    * "which campaigns ran during this session", downtime attribution, and
+    * label-window × observation-window joins. Spark plans the raw
+    * `l.start < r.end AND r.start < l.end` predicate as a nested-loop join;
+    * this is the grid-bucketed equi-join form that shuffles instead.
+    *
+    * Shape: BOTH sides explode into the grid cells they cover (fan =
+    * len/bucket + 1 each), equi-join on (keys..., cell), post-filter the
+    * exact overlap. A pair overlapping k shared cells would emit k times;
+    * the OWNERSHIP rule dedups without a distinct-shuffle: the overlap's
+    * start `max(l.start, r.start)` lies inside both intervals, so exactly
+    * one shared cell contains it — emit the pair only from that cell. The
+    * dedup is a map-side filter, not an extra exchange.
+    *
+    * 100 TB: cost = rows × (interval/bucket) on each side, an ordinary
+    * shuffled equi-join; nothing is quadratic in either input. Callers pick
+    * `bucketMs` near the typical interval length to bound the fan.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketMs: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val b = "__cell"
+    def fdiv(e: String): String =
+      s"(($e) div $bucketMs - (CASE WHEN ($e) % $bucketMs < 0 THEN 1 ELSE 0 END))"
+    def fan(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) > col(s)) // empty/corrupt intervals contain nothing
+      .withColumn(b, explode(sequence(expr(fdiv(s)), expr(fdiv(s"$e - 1")))))
+    fan(left, lStart, lEnd)
+      .join(fan(right, rStart, rEnd), keys :+ b)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col(b) === expr(fdiv(s"greatest($lStart, $rStart)")))
+      .drop(b)
+  }
+
   /** Demo: attribute every event to its 8h-gap session interval (sessions
     * from `WindowsBatch.session` — a genuinely derived interval table, one
     * row per (user, session)). Every event lands in exactly one session by
@@ -79,8 +119,30 @@ object RangeJoin {
         col("session_start"), col("session_end"))
   }
 
+  /** Demo: user sessions × per-type daily activity spans. The span table
+    * (one `[first, last+1)` interval per (event_type, UTC day) with events)
+    * is |types|·days rows — dimension-sized at any corpus scale, so Spark
+    * broadcasts it and the overlap join is map-side; the session side never
+    * re-shuffles. `overlap_ms` = width of the intersection.
+    */
+  def sessionTypeOverlaps(events: DataFrame): DataFrame = {
+    val DayMs = 86400000L
+    val sessions = WindowsBatch.session(events)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val spans = events
+      .groupBy(expr(s"__time__ div $DayMs").as("day"), col("event_type"))
+      .agg(min(col("__time__")).as("span_start"),
+        (max(col("__time__")) + lit(1L)).as("span_end"))
+    overlapJoin(sessions, spans,
+      "session_start", "session_end", "span_start", "span_end", bucketMs = DayMs)
+      .select(col("user_id"), col("session_start"), col("event_type"), col("day"),
+        (least(col("session_end"), col("span_end"))
+          - greatest(col("session_start"), col("span_start"))).as("overlap_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_range" -> ((s, d) => eventsWithSession(Tables.events(s, d))))
+    "q_join_range" -> ((s, d) => eventsWithSession(Tables.events(s, d))),
+    "q_join_overlap" -> ((s, d) => sessionTypeOverlaps(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_join_range" ->
@@ -99,5 +161,26 @@ object RangeJoin {
          |         FROM si GROUP BY user_id, sid)
          |SELECT e.event_id, e.user_id, e.ms AS t, s.session_start, s.session_end
          |FROM e JOIN sess s ON e.user_id = s.user_id
-         |  AND e.ms >= s.session_start AND e.ms < s.session_end""".stripMargin)
+         |  AND e.ms >= s.session_start AND e.ms < s.session_end""".stripMargin,
+    "q_join_overlap" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+         |g AS (SELECT user_id, ms,
+         |        CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > ${WindowsBatch.SessionGapMs}
+         |             OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+         |        THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |si AS (SELECT user_id, ms,
+         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+         |                       ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM g),
+         |sess AS (SELECT user_id, min(ms) AS session_start,
+         |           max(ms) + ${WindowsBatch.SessionGapMs} AS session_end
+         |         FROM si GROUP BY user_id, sid),
+         |spans AS (SELECT ms // 86400000 AS day, event_type,
+         |            min(ms) AS span_start, max(ms) + 1 AS span_end
+         |          FROM e GROUP BY 1, 2)
+         |SELECT s.user_id, s.session_start, p.event_type, p.day,
+         |  least(s.session_end, p.span_end) - greatest(s.session_start, p.span_start) AS overlap_ms
+         |FROM sess s JOIN spans p
+         |  ON s.session_start < p.span_end AND p.span_start < s.session_end""".stripMargin)
 }

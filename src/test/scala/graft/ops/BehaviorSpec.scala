@@ -343,4 +343,39 @@ class BehaviorSpec extends SparkSpec {
       .union(valueEvents(5L, Seq(100.0), idBase = 400))
     assert(Behavior.anomalies(d).collect().isEmpty)
   }
+
+  test("twap: holding-time weights, day-end carry, and same-ms zero weight") {
+    val day = 86400000L
+    // user 1, day 0: v=10 holds [1000, 2000), v=20 holds [2000, day end).
+    // num = 10e4*1000 + 20e4*(day-2000); den = day-1000
+    val e = Seq(
+      (1L, 1L, 1000L, 10.0), (2L, 1L, 2000L, 20.0),
+      // user 2: single event — constant value, twap == value exactly
+      (3L, 2L, day / 2, 7.5),
+      // user 3: two events at the SAME ms — first gets zero weight (tie
+      // broken by event_id), second holds to midnight
+      (4L, 3L, 5000L, 100.0), (5L, 3L, 5000L, 1.0))
+      .toDF("event_id", "user_id", "__time__", "value")
+    val out = Behavior.twap(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val num1 = 100000L * 1000L + 200000L * (day - 2000L)
+    assert(out == Set(
+      (1L, 0L, 2L, num1 / (day - 1000L)),
+      (2L, 0L, 1L, 75000L),
+      (3L, 0L, 2L, 10000L)))
+  }
+
+  test("twap: per-day isolation and partition-order independence on real events") {
+    val out = Behavior.twap(events)
+    assert(out.count() > 0)
+    // a day's TWAP must sit inside that day's [min, max] value envelope
+    val env = events.select(col("user_id"), expr("__time__ div 86400000").as("day"),
+        expr("cast(round(value * 10000) as bigint)").as("v"))
+      .groupBy("user_id", "day").agg(min("v").as("lo"), max("v").as("hi"))
+    val bad = out.join(env, Seq("user_id", "day"))
+      .filter(col("twap_e4") < col("lo") || col("twap_e4") > col("hi"))
+    assert(bad.count() == 0)
+    val again = Behavior.twap(events.repartition(13))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }

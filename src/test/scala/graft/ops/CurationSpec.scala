@@ -128,4 +128,42 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.toSet == again.toSet)
   }
+
+  test("kAnonymity: ok / generalized / suppressed classification and negative balances") {
+    import spark.implicits._
+    // bucket width = 100 currency units on the shifted-cents axis.
+    // nation 1 / AUTO: five customers at ~500 -> one fine group of 5 = ok.
+    // nation 1 / CARS: 3 at ~210 + 2 at ~310 -> two small fine groups whose
+    //   shared width-1000 parent pools 5 = generalized.
+    // nation 2 / RAIL: 2 at ~-950, nothing else in the parent -> suppressed.
+    val rows =
+      (1 to 5).map(i => (1L, "AUTO", 500.00 + i * 0.01)) ++
+        (1 to 3).map(i => (1L, "CARS", 210.00 + i * 0.01)) ++
+        (1 to 2).map(i => (1L, "CARS", 310.00 + i * 0.01)) ++
+        (1 to 2).map(i => (2L, "RAIL", -950.00 - i * 0.01))
+    val df = rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Curation.kAnonymity(df, k = 5L).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)), (r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.size == 4)
+    val statuses = out.toSeq.map { case ((nat, seg, _), (n, st)) => (nat, seg, n, st) }
+    assert(statuses.count(_ == ((1L, "AUTO", 5L, "ok"))) == 1)
+    assert(statuses.count(_ == ((1L, "CARS", 3L, "generalized"))) == 1)
+    assert(statuses.count(_ == ((1L, "CARS", 2L, "generalized"))) == 1)
+    assert(statuses.count(_ == ((2L, "RAIL", 2L, "suppressed"))) == 1)
+    // negative balance buckets come from the SHIFTED axis (floor, not
+    // truncate-toward-zero): -950.xx cents+100000 = 4949.xx -> bucket 0
+    assert(out.keys.exists { case (nat, _, b) => nat == 2L && b == 0L })
+    // group sizes add back to the input row count — nothing lost or doubled
+    assert(out.values.map(_._1).sum == rows.size)
+  }
+
+  test("kAnonymity: every input row classified; counts reconcile on real customers") {
+    val cust = graft.Tables.customer(spark, sf())
+    val out = Curation.kAnonymity(cust, Curation.KAnonymityK)
+    assert(out.agg(sum("n")).head.getLong(0) == cust.count())
+    // no fine group may be both >= k and not 'ok'
+    assert(out.filter(col("n") >= Curation.KAnonymityK &&
+      col("status") =!= "ok").count() == 0)
+  }
 }

@@ -60,4 +60,52 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
   }
+
+  test("overlap join == brute-force theta join; multi-cell pairs emit exactly once") {
+    import spark.implicits._
+    // intervals deliberately span 1..12 cells at bucket=100 so the ownership
+    // rule (emit from the cell holding max(starts)) is exercised hard
+    val left = Seq(
+      (1L, 0L, 1200L),    // 12 cells
+      (2L, 150L, 250L),   // crosses one boundary
+      (3L, 500L, 501L),   // 1 ms
+      (4L, -350L, -50L),  // negative coords
+      (5L, 999L, 1000L)
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 100L, 1100L), // overlaps 1,2,3,5
+      (11L, 240L, 260L),  // overlaps 1,2
+      (12L, -100L, 10L),  // overlaps 1 (at [0,10)) and 4
+      (13L, 1200L, 1300L) // touches 1 at 1200 — half-open, NO match
+    ).toDF("rid", "rs", "re")
+    val got = RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re", bucketMs = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val brute = left.join(right, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.length == got.toSet.size, "a pair emitted more than once")
+    assert(got.toSet == brute)
+    assert(brute.contains((1L, 10L)) && brute.contains((4L, 12L)) &&
+      !brute.exists(_._2 == 13L)) // fixture sanity: multi-cell, negative, touch
+  }
+
+  test("overlap join respects extra equi-keys and stays an equi-join plan") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 0L, 300L), (2L, "b", 0L, 300L)).toDF("lid", "k", "ls", "le")
+    val right = Seq(("a", 100L, 200L, 20L), ("b", 250L, 400L, 21L)).toDF("k", "rs", "re", "rid")
+    val j = RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re", 100L, keys = Seq("k"))
+    assert(j.select("lid", "rid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 20L), (2L, 21L)))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$plan")
+  }
+
+  test("sessionTypeOverlaps: every overlap width positive and bounded by both intervals") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = RangeJoin.sessionTypeOverlaps(events)
+    assert(out.count() > 0)
+    assert(out.filter(col("overlap_ms") <= 0).count() == 0)
+    // a span lives inside one UTC day, so no overlap can exceed 24h
+    assert(out.filter(col("overlap_ms") > 86400000L).count() == 0)
+  }
 }
