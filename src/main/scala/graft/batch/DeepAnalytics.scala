@@ -206,8 +206,10 @@ object DeepAnalytics {
     * md5-60-bit discipline (`Dedup.exact`'s fingerprint contract); min/max
     * are computed TYPED and cast to string only for the uniform schema.
     */
-  def profile(spark: SparkSession, dir: String): DataFrame = {
-    val fact = li(spark, dir)
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(spark, li(spark, dir))
+
+  def profileOf(spark: SparkSession, fact: DataFrame): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
       min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
@@ -240,6 +242,46 @@ object DeepAnalytics {
   val ProfileCols =
     Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
 
+  /** Profile DRIFT between two snapshots of the fact: per column, the row
+    * delta, null-rate delta (exact integer e6), distinct-count delta, and
+    * whether the min/max envelope moved — the data-contract monitor a
+    * pipeline runs when "today's" partition lands, catching schema rot
+    * (nulls creeping in, a categorical growing values, a bound jumping)
+    * before training consumes the drop. Snapshot v1 here = the fact minus
+    * one modulo slice of orders (a deterministic stand-in for yesterday).
+    *
+    * Scale: two profile scans (each one pass + the melted-distinct shape
+    * [[profileOf]] documents) joined on the 5-row column table; null-rate
+    * division is non-negative integer e6, engine-exact.
+    */
+  def profileDiff(spark: SparkSession, dir: String): DataFrame = {
+    val fact = li(spark, dir)
+    profileDiffOf(spark, fact.filter(expr("l_orderkey % 10 <> 7")), fact)
+  }
+
+  def profileDiffOf(spark: SparkSession, v1: DataFrame, v2: DataFrame): DataFrame = {
+    val p1 = profileOf(spark, v1)
+    val p2 = profileOf(spark, v2)
+    // non-negative integer e6 rate: `div` (not `/`, which promotes to double)
+    def nullRateE6(rows: String, nn: String): String =
+      s"CASE WHEN $rows = 0 THEN 0 ELSE ($rows - $nn) * 1000000 div $rows END"
+    val a = p1.select(col("col_name"), col("n_rows").as("rows1"),
+      col("n_nonnull").as("nn1"), col("n_distinct").as("nd1"),
+      col("min_s").as("min1"), col("max_s").as("max1"))
+    val b = p2.select(col("col_name"), col("n_rows").as("rows2"),
+      col("n_nonnull").as("nn2"), col("n_distinct").as("nd2"),
+      col("min_s").as("min2"), col("max_s").as("max2"))
+    a.join(b, Seq("col_name"))
+      .select(col("col_name"),
+        (col("rows2") - col("rows1")).as("rows_delta"),
+        expr(s"${nullRateE6("rows2", "nn2")} - ${nullRateE6("rows1", "nn1")}")
+          .as("nullrate_delta_e6"),
+        (col("nd2") - col("nd1")).as("distinct_delta"),
+        (coalesce(col("min1"), lit("")) =!= coalesce(col("min2"), lit("")) ||
+          coalesce(col("max1"), lit("")) =!= coalesce(col("max2"), lit("")))
+          .as("bounds_changed"))
+  }
+
   /** Year-over-year revenue growth per nation — the period-over-period
     * reporting shape. The only fact-sized work is one keyed aggregate to
     * (nation, year) cells; the lag window runs over that ~25×7-row grid,
@@ -265,6 +307,7 @@ object DeepAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> ((s, d) => profile(s, d)),
+    "q_profile_diff" -> ((s, d) => profileDiff(s, d)),
     "q_yoy" -> ((s, d) => yoyGrowth(s, d)),
     "q_min_cost_supplier" -> ((s, d) => minCostSupplier(s, d)),
     "q_top_unshipped" -> ((s, d) => topUnshipped(s, d)),
@@ -284,6 +327,26 @@ object DeepAnalytics {
              |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
              |FROM lineitem""".stripMargin)
         .mkString("\nUNION ALL\n"),
+
+    "q_profile_diff" -> {
+      def prof(where: String) = ProfileCols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           |  count(DISTINCT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT)
+           |    AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem$where""".stripMargin).mkString("\nUNION ALL\n")
+      def rate(p: String) =
+        s"CASE WHEN $p.n_rows = 0 THEN 0 ELSE ($p.n_rows - $p.n_nonnull) * 1000000 // $p.n_rows END"
+      s"""WITH p1 AS (${prof(" WHERE l_orderkey % 10 <> 7")}),
+         |p2 AS (${prof("")})
+         |SELECT p1.col_name,
+         |  p2.n_rows - p1.n_rows AS rows_delta,
+         |  CAST((${rate("p2")}) - (${rate("p1")}) AS BIGINT) AS nullrate_delta_e6,
+         |  p2.n_distinct - p1.n_distinct AS distinct_delta,
+         |  (coalesce(p1.min_s, '') <> coalesce(p2.min_s, '')
+         |    OR coalesce(p1.max_s, '') <> coalesce(p2.max_s, '')) AS bounds_changed
+         |FROM p1 JOIN p2 ON p1.col_name = p2.col_name""".stripMargin
+    },
 
     "q_yoy" ->
       """WITH g AS (

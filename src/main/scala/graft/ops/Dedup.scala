@@ -761,7 +761,37 @@ object Dedup {
 
   // -------------------------------------------------------------------------
 
+  /** Leakage-safe train/val/test split: assign each document to a split by
+    * hashing its near-dup CLUSTER representative, not its own id — every
+    * member of an LSH-verified near-dup cluster lands in the same split, so
+    * a paraphrase of a training document can never leak into eval (the
+    * contamination mode document-level random splits silently have).
+    * Singleton docs hash their own id. 80/10/10 by default via
+    * `hash(group) mod 100` against the md5-convention hash, so the split is
+    * deterministic, engine-independent, and stable under re-runs and corpus
+    * repartitioning.
+    *
+    * Scale: clustering is the existing large-star/small-star CC over banded
+    * LSH pairs (id-only shuffles); the assignment itself is an id-only left
+    * join + map-side hash — document text never moves.
+    */
+  def leakageSafeSplit(docs: DataFrame, pctVal: Int = 10, pctTest: Int = 10): DataFrame = {
+    require(pctVal >= 0 && pctTest >= 0 && pctVal + pctTest < 100,
+      s"val+test must leave room for train, got $pctVal/$pctTest")
+    val comp = connectedComponents(lshVerifiedPairs(docs))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(group_key as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .select(col("doc_id"), col("group_key"),
+        when(col("h") < 100 - pctVal - pctTest, lit("train"))
+          .when(col("h") < 100 - pctTest, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_safe" -> ((s, d) => leakageSafeSplit(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_priority" -> ((s, d) => priorityDedup(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashCandidates(Tables.documents(s, d))),
@@ -945,6 +975,18 @@ object Dedup {
       s"""WITH RECURSIVE perms AS ($duckPerms),
          |${duckClusterCtes("documents", "_d")}
          |SELECT doc_id, cluster_id FROM cc_d""".stripMargin,
+
+    "q_split_safe" ->
+      s"""WITH RECURSIVE perms AS ($duckPerms),
+         |${duckClusterCtes("documents", "_d")},
+         |g AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_key
+         |      FROM documents d LEFT JOIN cc_d cc ON cc.doc_id = d.doc_id),
+         |h AS (SELECT doc_id, group_key,
+         |        ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+         |      FROM g)
+         |SELECT doc_id, group_key,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM h""".stripMargin,
 
     "q_dedup_incr_exact" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)

@@ -154,4 +154,25 @@ class DeepAnalyticsSpec extends SparkSpec {
       .collect()
     assert(per.length == 1 && per.head.getLong(0) == 1L && per.head.getLong(3) == 1L)
   }
+
+  test("profileDiffOf: planted null creep, new category, and bound jump are reported") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq(
+      (1L, Option(1.0), 10.0, "A", "1996-01-01"),
+      (2L, Option(2.0), 10.0, "N", "1996-01-02"))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+    val v2 = v1.union(Seq(
+      (3L, Option.empty[Double], 50.0, "R", "1996-01-02"))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+    val out = DeepAnalytics.profileDiffOf(spark, v1, v2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out == Map(
+      "l_orderkey" -> ((1L, 0L, 1L, true)),          // new id extends the max
+      "l_quantity" -> ((1L, 333333L, 0L, false)),    // null creep: 0 -> 1/3 e6
+      "l_extendedprice" -> ((1L, 0L, 1L, true)),     // 50.0 jumps the max
+      "l_returnflag" -> ((1L, 0L, 1L, true)),        // new category R
+      "l_shipdate" -> ((1L, 0L, 0L, false))))        // inside the old envelope
+  }
 }

@@ -281,4 +281,29 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
     assert(out == Map(11L -> ("src2", 3L), 13L -> ("src5", 1L)))
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits; every doc assigned") {
+    val split = Dedup.leakageSafeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == docs.select("doc_id").distinct().count())
+    val byDoc = split.map(s => s._1 -> s).toMap
+    // clustered docs carry their CC root as group_key and inherit ITS split —
+    // a paraphrase can never land in a different split than its original
+    val clusters = Dedup.connectedComponents(Dedup.lshVerifiedPairs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (doc, cid) =>
+      assert(byDoc(doc)._2 == cid, s"doc $doc group_key != cluster root $cid")
+      assert(byDoc(doc)._3 == byDoc(cid)._3, s"doc $doc split differs from root $cid")
+    }
+    // split fractions over GROUPS sit near 80/10/10 (hash-mod, loose bounds)
+    val groups = split.map(s => (s._2, s._3)).distinct
+    val frTrain = groups.count(_._2 == "train").toDouble / groups.size
+    assert(frTrain > 0.6 && frTrain < 0.95, s"train fraction $frTrain")
+    assert(groups.exists(_._2 == "val") && groups.exists(_._2 == "test"))
+    // deterministic under repartitioning — re-runs of the pipeline agree
+    val again = Dedup.leakageSafeSplit(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(split.map(s => (s._1, s._3)).toSet == again)
+  }
 }
