@@ -100,6 +100,68 @@ object AsOf {
     }
   }
 
+  /** NEAREST-event join: attach the right row temporally closest to each
+    * left row (looking BOTH ways) within `toleranceMs`, ties preferring the
+    * backward (at-or-before) match — sensor/log alignment semantics, where
+    * plain as-of silently picks a stale reading over a fresher one that
+    * arrived just after. Equal-time rights count as backward with Δ=0.
+    *
+    * Same single-shuffle union+window shape as [[asofJoin]]: ONE exchange
+    * on the key serves two frames over the same sort — `last(ignoreNulls)
+    * ROWS UNBOUNDED PRECEDING` (backward carry) and `first(ignoreNulls)
+    * ROWS UNBOUNDED FOLLOWING` (forward carry) — then a map-side argmin
+    * picks the direction. No second join, no candidate fan-out, per-key
+    * window state is two scalars at any scale.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      toleranceMs: Long,
+      suffix: String = "_r"): DataFrame = {
+    require(toleranceMs >= 0, "toleranceMs must be non-negative")
+    val leftCols = left.columns.toSeq
+    val sideT = "__near_t"
+    val sideFlag = "__near_left"
+    val sideVals = valueCols :+ rightTime
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as(sideT), lit(false).as(sideFlag)) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        sideVals.map(c => col(c).as(c + "__rv")): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as(sideT), lit(true).as(sideFlag)) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        sideVals.map(c => lit(null).cast(taggedRight.schema(c + "__rv").dataType).as(c + "__rv")): _*)
+
+    // Right rows sort before left rows at equal time, so the backward frame
+    // sees an equal-time right (>= semantics) and the forward frame starts
+    // strictly after it — Δ=0 is claimed exactly once, as backward.
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(sideT).asc, col(sideFlag).asc)
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = sideVals.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
+      df.withColumn(c + "__b", last(col(c + "__rv"), ignoreNulls = true).over(wB))
+        .withColumn(c + "__f", first(col(c + "__rv"), ignoreNulls = true).over(wF))
+    }
+    val tB = col(rightTime + "__b")
+    val tF = col(rightTime + "__f")
+    val t = col(sideT)
+    val backOk = tB.isNotNull && (t - tB <= toleranceMs)
+    val fwdOk = tF.isNotNull && (tF - t <= toleranceMs)
+    // backward wins when in-tolerance and at least as close as the forward
+    val useB = backOk && (!fwdOk || (t - tB) <= (tF - t))
+    filled.filter(col(sideFlag))
+      .select(leftCols.map(col) ++ sideVals.map(c =>
+        when(useB, col(c + "__b")).when(fwdOk, col(c + "__f")).as(c + suffix)): _*)
+  }
+
   val AsofToleranceMs: Long = 24L * 3600 * 1000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -112,6 +174,18 @@ object AsOf {
         .groupBy(col("user_id"), col("__time__").as("err_time"))
         .agg(round(max(col("value")), 2).as("err_value"))
       asofJoinWithin(clicks, errors, Seq("user_id"), "__time__", "err_time",
+        Seq("err_value"), AsofToleranceMs)
+        .select(col("event_id"), col("user_id"), col("__time__").as("t"),
+          col("err_value_r").as("err_value"), col("err_time_r").as("err_time"))
+    }),
+    "q_join_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("__time__"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("__time__").as("err_time"))
+        .agg(round(max(col("value")), 2).as("err_value"))
+      nearestJoin(clicks, errors, Seq("user_id"), "__time__", "err_time",
         Seq("err_value"), AsofToleranceMs)
         .select(col("event_id"), col("user_id"), col("__time__").as("t"),
           col("err_value_r").as("err_value"), col("err_time_r").as("err_time"))
@@ -136,5 +210,24 @@ object AsOf {
          |SELECT event_id, user_id, t,
          |  CASE WHEN t - err_time <= $AsofToleranceMs THEN err_value END AS err_value,
          |  CASE WHEN t - err_time <= $AsofToleranceMs THEN err_time END AS err_time
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin,
+
+    // independent quadratic-candidate formulation: every in-tolerance error
+    // ranked by (|Δ|, backward-first) — must equal the two-frame window pick
+    "q_join_nearest" ->
+      s"""WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS t
+         |           FROM events WHERE event_type = 'click'),
+         |r AS (SELECT user_id, epoch_ms(ts) AS err_time, round(max(value), 2) AS err_value
+         |      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+         |cand AS (SELECT l.event_id, l.user_id, l.t, r.err_value, r.err_time,
+         |           abs(r.err_time - l.t) AS ad,
+         |           CASE WHEN r.err_time <= l.t THEN 0 ELSE 1 END AS dir
+         |         FROM l JOIN r ON r.user_id = l.user_id
+         |           AND abs(r.err_time - l.t) <= $AsofToleranceMs),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |        ORDER BY ad, dir) AS rn FROM cand)
+         |SELECT event_id, user_id, t, err_value, err_time FROM p WHERE rn = 1
+         |UNION ALL
+         |SELECT l.event_id, l.user_id, l.t, NULL::DOUBLE, NULL::BIGINT
+         |FROM l WHERE NOT EXISTS (SELECT 1 FROM cand WHERE cand.event_id = l.event_id)""".stripMargin)
 }

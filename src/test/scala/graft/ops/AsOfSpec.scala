@@ -57,4 +57,38 @@ class AsOfSpec extends SparkSpec {
       s"asof must not expand a range join:\n$plan")
     assert(plan.contains("Window"), "asof rides the window operator")
   }
+
+  test("nearestJoin: closer forward beats stale backward; ties prefer backward; tolerance cuts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, 100L), // back at 90 (d10) vs fwd at 105 (d5) -> fwd
+      (2L, 1L, 200L), // back at 195 (d5) vs fwd at 205 (d5) -> tie, backward
+      (3L, 1L, 400L), // only a right at 700 (d300) > tol -> null
+      (4L, 2L, 50L),  // equal-time right -> d0 backward
+      (5L, 3L, 10L)   // key with no rights at all -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 90L, 9.0), (1L, 105L, 5.0), (1L, 195L, 19.5), (1L, 205L, 20.5),
+      (1L, 700L, 70.0), (2L, 50L, 1.0))
+      .toDF("k", "rt", "rv")
+    val out = AsOf.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("rv"), toleranceMs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), Option(r.get(4)))).toMap
+    assert(out(1L) == (Some(5.0), Some(105L)))
+    assert(out(2L) == (Some(19.5), Some(195L)))
+    assert(out(3L) == (None, None))
+    assert(out(4L) == (Some(1.0), Some(50L)))
+    assert(out(5L) == (None, None))
+  }
+
+  test("nearestJoin is join-free: one keyed window, both frames on one sort") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val right = Seq((1L, 90L, 9.0)).toDF("k", "rt", "rv")
+    val q = AsOf.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("rv"), 100L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"nearest must ride the union+window, not a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
 }
