@@ -37,4 +37,33 @@ class DocQuickstartSpec extends SparkSpec {
     val model = ops.Classifier.train(docs, rounds = 1)
     assert(model.count() == 1)
   }
+
+  test("governance additions compose end-to-end on the smallest fixture") {
+    // split the corpus leakage-safely, keep the train slice
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val split = ops.Dedup.leakageSafeSplit(docs)
+    assert(split.count() == docs.count())
+    val train = docs.join(
+      split.filter(col("split") === "train").select("doc_id"), Seq("doc_id"))
+    assert(train.count() > 0 && train.count() < docs.count())
+
+    // gate a PII-bearing table release on its k-anonymity audit
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+    val audit = ops.Curation.kAnonymity(cust, k = 5L)
+    assert(audit.count() > 0)
+    assert(audit.select("status").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("ok", "generalized", "suppressed")))
+
+    // telemetry features: per-day TWAP + nearest-error alignment
+    val ev = Tables.events(spark, sf())
+    assert(ops.Behavior.twap(ev).count() > 0)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("__time__"))
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("__time__").as("rt"))
+      .agg(max(col("value")).as("rv"))
+    val aligned = ops.AsOf.nearestJoin(clicks, errs, Seq("user_id"),
+      "__time__", "rt", Seq("rv"), toleranceMs = 24L * 3600 * 1000)
+    assert(aligned.count() == clicks.count())
+  }
 }
