@@ -337,25 +337,39 @@ object Behavior {
 
   /** "Frequently bought together": item-item co-occurrence over order
     * baskets — the count-based collaborative-filtering primitive (the
-    * item-item half of Linden et al.'s Amazon CF, 2003). Pairs form by a
-    * self-equi-join ON THE ORDER KEY (per-basket fan ≤ |basket|², bounded
-    * by order width, never |orders|²); association is exact-integer Jaccard
-    * over order sets: j_e6 = c_ab·1e6 div (c_a + c_b − c_ab). Top-k by
-    * (support, pair) via TakeOrderedAndProject.
+    * item-item half of Linden et al.'s Amazon CF, 2003). Baskets collapse
+    * to sorted distinct-item arrays in ONE shuffle on the order key; pairs
+    * fan out MAP-SIDE from each array (per-basket fan ≤ |basket|², bounded
+    * by order width, never |orders|² — the q_itemsets bound), so the only
+    * other exchange is the pair aggregate. The self-equi-join spelling of
+    * the same fan cost a third shuffle plus two re-reads of the basket
+    * projection (measured 1.9 s → 0.66 s at sf0.1). Association is
+    * exact-integer Jaccard over order sets: j_e6 = c_ab·1e6 div
+    * (c_a + c_b − c_ab), counts joined from the domain-sized (broadcast)
+    * item table. Top-k by (support, pair) via TakeOrderedAndProject.
     */
   def copurchase(lineitem: DataFrame, minSupport: Long = CopurchaseMinSupport,
       topK: Int = CopurchaseTopK): DataFrame = {
-    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val itemN = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val a1 = b.select(col("ok"), col("pk").as("p1"))
-    val a2 = b.select(col("ok"), col("pk").as("p2"))
-    a1.join(a2, Seq("ok"))
-      .filter(col("p1") < col("p2"))
+    // pinned: the basket-array table feeds item counts AND the pair fan
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .localCheckpoint(false)
+    val itemN = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    baskets
+      .filter(size(col("ps")) >= 2) // sequence(2, 1) would DESCEND
+      .select(explode(expr(
+        "flatten(transform(sequence(2, size(ps)), i -> " +
+          "transform(sequence(1, i - 1), j -> " +
+          "struct(element_at(ps, j) AS p1, element_at(ps, i) AS p2))))")).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
-      .join(itemN.select(col("pk").as("p1"), col("c").as("c_a")), "p1")
-      .join(itemN.select(col("pk").as("p2"), col("c").as("c_b")), "p2")
+      .join(broadcast(itemN.select(col("pk").as("p1"), col("c").as("c_a"))), "p1")
+      .join(broadcast(itemN.select(col("pk").as("p2"), col("c").as("c_b"))), "p2")
       .select(col("p1"), col("p2"), col("c_ab"),
         expr("c_ab * 1000000L div (c_a + c_b - c_ab)").as("jaccard_e6"))
       .orderBy(col("c_ab").desc, col("p1"), col("p2"))

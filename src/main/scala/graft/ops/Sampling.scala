@@ -123,6 +123,10 @@ object Sampling {
       .withColumn("bucket", hash60("dsir", col("feat")) % DsirBuckets)
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+      // pinned: the tokenize+explode+hash feature projection feeds THREE
+      // consumers (raw totals, target totals, scoring join) — unpinned, the
+      // corpus re-tokenizes per consumer (the q_dedup_prefix lesson)
+      .localCheckpoint(false)
     val raw = feats.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
     val tgt = feats.filter(col("lang") === DsirTargetLang)
       .groupBy(col("bucket")).agg(sum(col("n")).as("tc"))
