@@ -58,6 +58,52 @@ object Stats {
           " * sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 6)")
           .as("r"))
 
+  /** Pairwise Pearson correlation MATRIX over the fact's numeric columns
+    * (the ANALYZE companion to [[correlation]]'s single pair): ALL 15
+    * moments (n, 4 sums, 10 product sums) fold in ONE map-side aggregate —
+    * a single fact pass and a 1-row exchange regardless of column count —
+    * then the 6 unordered pairs unstack from the moment row with the same
+    * shared IEEE expression shape as `q_corr` (engine-identical given
+    * identical moments).
+    *
+    * Scales are chosen so every product sum stays inside Long at 10⁹ rows
+    * (price in WHOLE currency units — cents would overflow Σx² at scale;
+    * the coarser rounding changes r only through identically-rounded inputs
+    * on both engines, so the hash compare is unaffected).
+    */
+  val CorrMatrixCols: Seq[(String, String, Long)] = Seq(
+    ("l_quantity", "qty", 100L), ("l_extendedprice", "price", 1L),
+    ("l_discount", "disc", 10000L), ("l_tax", "tax", 10000L))
+
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    val cols = CorrMatrixCols
+    val proj = lineitem.select(cols.map { case (c, a, s) =>
+      expr(s"cast(round($c * $s) as bigint)").as(a) }: _*)
+    val aggs =
+      (count(lit(1)).as("n") +:
+        cols.map { case (_, a, _) => sum(col(a)).as(s"s_$a") }) ++
+        (for { i <- cols.indices; j <- i until cols.length } yield {
+          val (ai, aj) = (cols(i)._2, cols(j)._2)
+          sum(col(ai) * col(aj)).as(s"s_${ai}_${aj}")
+        })
+    val m = proj.agg(aggs.head, aggs.tail: _*)
+    val pairs =
+      for { i <- cols.indices; j <- (i + 1) until cols.length }
+        yield (cols(i)._2, cols(j)._2)
+    m.select(expr(s"stack(${pairs.length}, " +
+      pairs.map { case (a, b) => s"'$a', '$b', n, ${corrExprSql(a, b)}" }
+        .mkString(", ") + ") as (col_x, col_y, n, r)"))
+  }
+
+  /** The shared Pearson expression over named moment columns — ONE shape
+    * for every pair and (modulo cast spelling) for the DuckDB oracle, so
+    * cross-engine equality reduces to equality of the integer moments.
+    */
+  private def corrExprSql(a: String, b: String): String =
+    s"round((cast(n as double) * cast(s_${a}_${b} as double) - cast(s_$a as double) * cast(s_$b as double))" +
+      s" / (sqrt(cast(n as double) * cast(s_${a}_${a} as double) - cast(s_$a as double) * cast(s_$a as double))" +
+      s" * sqrt(cast(n as double) * cast(s_${b}_${b} as double) - cast(s_$b as double) * cast(s_$b as double))), 6)"
+
   /** Per-group mode with a deterministic tie (largest count, then smallest
     * value): one count agg on the (group, value) domain, then a min(struct)
     * fold — the negated count makes lexicographic struct-min pick exactly
@@ -175,6 +221,7 @@ object Stats {
     "q_entropy" -> ((s, d) => entropy(Tables.events(s, d))),
     "q_quantile_bins" -> ((s, d) => quantileBins(Tables.documents(s, d))),
     "q_corr" -> ((s, d) => correlation(Tables.lineitem(s, d))),
+    "q_corr_matrix" -> ((s, d) => corrMatrix(Tables.lineitem(s, d))),
     "q_mode" -> ((s, d) => mode(Tables.documents(s, d))),
     "q_abtest" -> ((s, d) => abTest(Tables.events(s, d))))
 
@@ -238,6 +285,28 @@ object Stats {
         |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
         |FROM m""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val cols = CorrMatrixCols
+      val sel = cols.map { case (c, a, s) => s"CAST(round($c * $s) AS BIGINT) AS $a" }
+        .mkString(", ")
+      val sums = (cols.map { case (_, a, _) => s"sum($a) AS s_$a" } ++
+        (for { i <- cols.indices; j <- i until cols.length } yield {
+          val (ai, aj) = (cols(i)._2, cols(j)._2)
+          s"sum($ai * $aj) AS s_${ai}_${aj}"
+        })).mkString(", ")
+      def r(a: String, b: String) =
+        s"round((CAST(n AS DOUBLE) * CAST(s_${a}_${b} AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))" +
+          s" / (sqrt(CAST(n AS DOUBLE) * CAST(s_${a}_${a} AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))" +
+          s" * sqrt(CAST(n AS DOUBLE) * CAST(s_${b}_${b} AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)"
+      val pairs =
+        for { i <- cols.indices; j <- (i + 1) until cols.length }
+          yield (cols(i)._2, cols(j)._2)
+      s"WITH m AS (SELECT count(*) AS n, $sums FROM (SELECT $sel FROM lineitem))\n" +
+        pairs.map { case (a, b) =>
+          s"SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n, ${r(a, b)} AS r FROM m"
+        }.mkString("\nUNION ALL\n")
+    },
 
     "q_mode" ->
       """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),

@@ -102,4 +102,29 @@ class StatsSpec extends SparkSpec {
     val degenerate = Stats.abTest(ev((0L, "view"), (1L, "click"))).collect().head
     assert(degenerate.isNullAt(4))
   }
+
+  test("corrMatrix: planted perfect/anti correlations exact; all pairs in [-1, 1]") {
+    val s = spark
+    import s.implicits._
+    // price = 2*qty (r=+1), disc = -qty/1e4 scaled (r=-1 vs qty, -1 vs price);
+    // tax varies non-monotonically so no variance degenerates
+    val li = Seq(1, 2, 3, 4, 5).map(i =>
+      (i.toDouble, 2.0 * i, -0.0001 * i, if (i % 2 == 0) 0.0002 else 0.0001))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Stats.corrMatrix(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.size == 6)
+    assert(out(("qty", "price")) == 1.0)
+    assert(out(("qty", "disc")) == -1.0)
+    assert(out(("price", "disc")) == -1.0)
+    out.values.foreach(r => assert(r >= -1.0 && r <= 1.0))
+    // real data: every pair finite and bounded, n identical across rows
+    val real = Stats.corrMatrix(graft.Tables.lineitem(spark, sf())).collect()
+    assert(real.length == 6)
+    assert(real.map(_.getLong(2)).distinct.length == 1)
+    real.foreach { r =>
+      val v = r.getDouble(3)
+      assert(!v.isNaN && v >= -1.0 && v <= 1.0, s"${r.getString(0)}-${r.getString(1)}: $v")
+    }
+  }
 }
