@@ -94,14 +94,22 @@ object Relational {
         explode(split(col("p_name"), " ")).as("token"))),
 
     // --- aggregation -------------------------------------------------------
+    // Exact integer units, NOT round(sum(double), 2): this query's 6 cells
+    // each sum ~n/6 prices, and at sf10 (60M rows, cell sums ~1e11) the
+    // engines' different summation orders accumulate enough IEEE error to
+    // land on opposite sides of a .xx5 rounding boundary — the one
+    // hash-mismatch of the sf10 ramp. Integer cents are partition-order-
+    // and scale-proof; avg is an exact integer division of the same sums.
     "q_groupby_agg" -> ((s, d) =>
       li(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          sum(expr("cast(round(l_quantity * 100) as bigint)")).as("sum_qty_e2"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("sum_base_c"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)" +
+            " * (100 - cast(round(l_discount * 100) as bigint))")).as("sum_disc_e4"),
+          expr("sum(cast(round(l_quantity * 100) as bigint)) * 10000 div count(1)")
+            .as("avg_qty_e6"),
           max(col("l_quantity")).as("max_qty"),
           min(col("l_shipdate")).as("min_ship"),
           count(lit(1)).as("cnt"))),
@@ -415,10 +423,14 @@ object Relational {
       "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part",
 
     "q_groupby_agg" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        |round(sum(l_extendedprice), 2) AS sum_base,
-        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
-        |round(avg(l_quantity), 6) AS avg_qty, max(l_quantity) AS max_qty,
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+        |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+        |CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 // count(*) AS BIGINT)
+        |  AS avg_qty_e6,
+        |max(l_quantity) AS max_qty,
         |min(l_shipdate) AS min_ship, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
