@@ -305,9 +305,31 @@ object DeepAnalytics {
           " * (abs(rev_c - prev_c) * 1000000L div prev_c) end").as("growth_e6"))
   }
 
+  /** Daily revenue with a trailing 7-day moving average — the dashboard
+    * smoothing staple. The only fact-sized work is ONE keyed aggregate to
+    * exact-integer-cent day cells; the moving window runs over the
+    * calendar-sized day table with `rangeBetween(-6, 0)` on the day number
+    * (RANGE, not ROWS: a missing calendar day must shrink the window, not
+    * silently stretch it over 8+ days). The average divides two exact
+    * integers (`div`, non-negative) so partition order cannot move it.
+    */
+  def dailyRevenueMa(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .groupBy(expr("cast(datediff(o_orderdate, date'1992-01-01') as long)").as("day"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev_c"),
+        count(lit(1)).as("n_orders"))
+      .select(col("day"), col("rev_c"), col("n_orders"),
+        sum(col("rev_c")).over(w).as("rev_7d_c"),
+        count(lit(1)).over(w).as("d_in_window"))
+      .select(col("day"), col("rev_c"), col("n_orders"),
+        expr("rev_7d_c div d_in_window").as("ma7_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> ((s, d) => profile(s, d)),
     "q_profile_diff" -> ((s, d) => profileDiff(s, d)),
+    "q_revenue_ma" -> ((s, d) => dailyRevenueMa(s, d)),
     "q_yoy" -> ((s, d) => yoyGrowth(s, d)),
     "q_min_cost_supplier" -> ((s, d) => minCostSupplier(s, d)),
     "q_top_unshipped" -> ((s, d) => topUnshipped(s, d)),
@@ -347,6 +369,17 @@ object DeepAnalytics {
          |    OR coalesce(p1.max_s, '') <> coalesce(p2.max_s, '')) AS bounds_changed
          |FROM p1 JOIN p2 ON p1.col_name = p2.col_name""".stripMargin
     },
+
+    "q_revenue_ma" ->
+      """WITH d AS (SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+        |             count(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT day, rev_c, n_orders,
+        |  CAST(sum(rev_c) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    // count(*) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS ma7_c
+        |FROM d""".stripMargin,
 
     "q_yoy" ->
       """WITH g AS (

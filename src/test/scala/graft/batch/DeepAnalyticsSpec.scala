@@ -155,6 +155,17 @@ class DeepAnalyticsSpec extends SparkSpec {
     assert(per.length == 1 && per.head.getLong(0) == 1L && per.head.getLong(3) == 1L)
   }
 
+  test("revenue MA: 7-day RANGE window matches a local replica; gaps shrink the window") {
+    val rows = DeepAnalytics.dailyRevenueMa(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val rev = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, _, ma) =>
+      val win = (day - 6 to day).flatMap(rev.get)
+      assert(ma == win.sum / win.length, s"day $day: $ma vs ${win.sum / win.length}")
+    }
+  }
+
   test("profileDiffOf: planted null creep, new category, and bound jump are reported") {
     val s = spark
     import s.implicits._
