@@ -104,6 +104,15 @@ object DeepAnalytics {
     * revenue from PROMO parts. One broadcast dim join (only p_partkey/p_type
     * ship), conditional integer sums, share by exact integer division —
     * a single partial+final agg over the fact, no window.
+    *
+    * Magnitude bound: the share is computed at currency units (e4 sums
+    * `div 10000` first), NOT `promo_e4 * 1e6` directly — monthly promo_e4
+    * reaches 6.7e12 at sf1, leaving only 1.4x headroom before the x1e6
+    * multiply wraps Long. After the div the multiplicand is <= ~7e8 at sf1
+    * (~7e12 at sf10k), keeping >1e4x headroom at any plausible monthly
+    * volume. The coarser quotient differs from the exact e4 quotient by
+    * < 1e-3 of one e6 unit at these magnitudes (denominator >= 1e8), and
+    * both engines compute the identical integer expression.
     */
   def promoShare(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir)
@@ -116,7 +125,8 @@ object DeepAnalytics {
       .agg(sum(when(col("promo"), col("rev_e4")).otherwise(0L)).as("promo_e4"),
         sum(col("rev_e4")).as("total_e4"))
       .select(col("ship_month"), col("promo_e4"), col("total_e4"),
-        expr("promo_e4 * 1000000L div total_e4").as("promo_share_e6"))
+        expr("(promo_e4 div 10000L) * 1000000L div (total_e4 div 10000L)")
+          .as("promo_share_e6"))
 
   /** Q17 shape (small-quantity revenue): revenue locked in orders whose
     * quantity is under 20% of the part's average, for one brand. The
@@ -445,8 +455,9 @@ object DeepAnalytics {
         |SELECT ship_month,
         |  CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
         |  CAST(sum(rev_e4) AS BIGINT) AS total_e4,
-        |  CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) * 1000000
-        |       // sum(rev_e4) AS BIGINT) AS promo_share_e6
+        |  CAST((CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) AS BIGINT) // 10000)
+        |       * 1000000
+        |       // (CAST(sum(rev_e4) AS BIGINT) // 10000) AS BIGINT) AS promo_share_e6
         |FROM f GROUP BY 1""".stripMargin,
 
     "q_small_qty_revenue" ->

@@ -42,29 +42,35 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val sideT = "__asof_t"
     val sideFlag = "__asof_left"
-    val rightVals = (valueCols :+ rightTime).map(c => c + suffix)
+    val rvT = "__asof_rv"
+    val sideVals = valueCols :+ rightTime
 
+    // One STRUCT per right row, not per-column carries: the struct is
+    // non-null for every right row even when individual value columns are
+    // null, so `last(ignoreNulls)` elects a single right row atomically —
+    // per-column carries could stitch values (and the carried rightTime)
+    // from DIFFERENT right rows when value columns are nullable.
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as(sideT), lit(false).as(sideFlag)) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (valueCols.map(col) :+ col(rightTime)).zip(rightVals).map { case (c, n) => c.as(n) }: _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(sideVals.map(col): _*).as(rvT): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as(sideT), lit(true).as(sideFlag)) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightVals.map(n => lit(null).cast(taggedRight.schema(n).dataType).as(n)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(taggedRight.schema(rvT).dataType).as(rvT): _*)
 
     // Right rows sort BEFORE left rows at equal time (false < true), so an
     // equal-time right row is visible to the left row — ASOF `>=` semantics.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(sideT).asc, col(sideFlag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = taggedLeft.unionByName(taggedRight)
+      .withColumn(rvT, last(col(rvT), ignoreNulls = true).over(w))
     filled.filter(col(sideFlag))
-      .select((leftCols ++ rightVals).map(col): _*)
+      .select(leftCols.map(col) ++
+        sideVals.map(c => col(rvT)(c).as(c + suffix)): _*)
   }
 
   /** Demo query: each click event annotated with the user's most recent
@@ -126,18 +132,22 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val sideT = "__near_t"
     val sideFlag = "__near_left"
+    val rvT = "__near_rv"
     val sideVals = valueCols :+ rightTime
 
+    // One STRUCT carry per direction (see asofJoin): elects a single right
+    // row atomically per direction, so nullable right value columns can
+    // never mix values — or the tolerance-checked rightTime — across rows.
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as(sideT), lit(false).as(sideFlag)) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        sideVals.map(c => col(c).as(c + "__rv")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(sideVals.map(col): _*).as(rvT): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as(sideT), lit(true).as(sideFlag)) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        sideVals.map(c => lit(null).cast(taggedRight.schema(c + "__rv").dataType).as(c + "__rv")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(taggedRight.schema(rvT).dataType).as(rvT): _*)
 
     // Right rows sort before left rows at equal time, so the backward frame
     // sees an equal-time right (>= semantics) and the forward frame starts
@@ -146,12 +156,11 @@ object AsOf {
       .orderBy(col(sideT).asc, col(sideFlag).asc)
     val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = sideVals.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
-      df.withColumn(c + "__b", last(col(c + "__rv"), ignoreNulls = true).over(wB))
-        .withColumn(c + "__f", first(col(c + "__rv"), ignoreNulls = true).over(wF))
-    }
-    val tB = col(rightTime + "__b")
-    val tF = col(rightTime + "__f")
+    val filled = taggedLeft.unionByName(taggedRight)
+      .withColumn("__b", last(col(rvT), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col(rvT), ignoreNulls = true).over(wF))
+    val tB = col("__b")(rightTime)
+    val tF = col("__f")(rightTime)
     val t = col(sideT)
     val backOk = tB.isNotNull && (t - tB <= toleranceMs)
     val fwdOk = tF.isNotNull && (tF - t <= toleranceMs)
@@ -159,7 +168,7 @@ object AsOf {
     val useB = backOk && (!fwdOk || (t - tB) <= (tF - t))
     filled.filter(col(sideFlag))
       .select(leftCols.map(col) ++ sideVals.map(c =>
-        when(useB, col(c + "__b")).when(fwdOk, col(c + "__f")).as(c + suffix)): _*)
+        when(useB, col("__b")(c)).when(fwdOk, col("__f")(c)).as(c + suffix)): _*)
   }
 
   val AsofToleranceMs: Long = 24L * 3600 * 1000

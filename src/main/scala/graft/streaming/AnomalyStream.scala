@@ -61,17 +61,21 @@ object AnomalyStream {
         col(tsCol)) // keep the watermark attribute flowing into the stateful op
       .as[AEvent]
 
+    implicit val foldOrder: Ordering[AEvent] = Ordering.by(e => (e.time, e.id))
     typed.groupByKey(_.user)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[AEvent], gs: GroupState[AnomalyState]) =>
           val prev = gs.getOption.getOrElse(AnomalyState(Nil, Nil))
           val wm = gs.getCurrentWatermarkMs()
-          val all = prev.buffer ++ (if (gs.hasTimedOut) Nil else rows.toList)
-          val (ripe, wait) = all.partition(_.time <= wm)
+          // STRICT maturity: an equal-time peer folding before this event in
+          // (time, id) order could still arrive while wm == time.
+          val (ripe, wait) = ReorderBuffer.drain(
+            prev.buffer, if (gs.hasTimedOut) Iterator.empty else rows,
+            wm, (_: AEvent).time, strict = true)
 
           val out = List.newBuilder[AnomalyRow]
           var hist = prev.hist // newest-first trailing values, ≤ frame of them
-          for (ev <- ripe.sortBy(e => (e.time, e.id))) {
+          for (ev <- ripe) {
             val n = hist.size.toLong
             if (n >= minN) {
               val s = hist.sum
@@ -88,8 +92,9 @@ object AnomalyStream {
           gs.update(AnomalyState(wait, hist))
           if (wait.nonEmpty) {
             // ripen the earliest buffered event as soon as the watermark
-            // can have passed it (clamped strictly ahead of the watermark)
-            gs.setTimeoutTimestamp(wait.map(_.time).min max (wm + 1))
+            // is strictly past it (clamped ahead of the watermark)
+            gs.setTimeoutTimestamp(
+              ReorderBuffer.wakeAt(wait.map(_.time), wm, strict = true, orElse = wm + 1))
           }
           out.result().iterator
       }

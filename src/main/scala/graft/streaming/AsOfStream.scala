@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -61,37 +59,14 @@ object AsOfStream {
     val inRights = newEvents.iterator.collect { case (t, false, p) => (t, p) }
       .toArray.sortBy(_._1) // stable: equal-time keeps arrival order
 
-    // merge rights, replacing on equal time (incoming, then later-arrival wins)
-    val rights = new ArrayBuffer[(Long, Row)](rights0.length + inRights.length)
-    def push(e: (Long, Row)): Unit =
-      if (rights.nonEmpty && rights.last._1 == e._1) rights(rights.length - 1) = e
-      else rights += e
-    var i = 0; var j = 0
-    while (i < rights0.length || j < inRights.length) {
-      if (j >= inRights.length) { push(rights0(i)); i += 1 }
-      else if (i >= rights0.length || rights0(i)._1 > inRights(j)._1) { push(inRights(j)); j += 1 }
-      else if (rights0(i)._1 < inRights(j)._1) { push(rights0(i)); i += 1 }
-      else { i += 1 } // equal time: buffered row is replaced by incoming
-    }
+    // rights: replace on equal time (incoming / later-arrival wins — the
+    // "unique per (key, time)" right-side contract); pending lefts: keep
+    // equal-time duplicates, buffered-first (distinct lefts may share a time)
+    val rights = ReorderBuffer.mergeSorted(rights0, inRights.toIndexedSeq, replaceEqual = true)
+    val pending = ReorderBuffer.mergeSorted(pending0, inLefts.toIndexedSeq, replaceEqual = false)
 
-    // merge pending lefts (duplicates kept — distinct lefts may share a time)
-    val pending = new ArrayBuffer[(Long, Row)](pending0.length + inLefts.length)
-    var a = 0; var b = 0
-    while (a < pending0.length || b < inLefts.length) {
-      if (b >= inLefts.length) { pending += pending0(a); a += 1 }
-      else if (a >= pending0.length || pending0(a)._1 > inLefts(b)._1) { pending += inLefts(b); b += 1 }
-      else { pending += pending0(a); a += 1 }
-    }
-
-    // first index with rights(idx).t > t
-    def upperBound(t: Long): Int = {
-      var lo = 0; var hi = rights.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (rights(mid)._1 <= t) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
+    val rightTimes = rights.map(_._1)
+    def upperBound(t: Long): Int = ReorderBuffer.upperBound(rightTimes, t)
 
     // mature lefts with t STRICTLY below the watermark: any right <= t that
     // the watermark would still accept has arrived (ties at t == wm wait one
@@ -198,11 +173,12 @@ object AsOfStream {
       else {
         state.update(encode(pending, rights))
         if (streaming) {
-          // wake when the watermark can mature the oldest pending left; a
-          // key with only rights expires after idleTimeoutMs of silence
-          val at =
-            if (pending.nonEmpty) math.max(pending.head._1, wm + 1)
-            else math.max(rights.last._1 + idleTimeoutMs, wm + 1)
+          // wake when the watermark is strictly past the oldest pending
+          // left (its maturity grade); a key with only rights expires
+          // after idleTimeoutMs of silence
+          val at = ReorderBuffer.wakeAt(
+            pending.headOption.map(_._1), wm, strict = true,
+            orElse = rights.last._1 + idleTimeoutMs)
           state.setTimeoutTimestamp(at)
         }
       }

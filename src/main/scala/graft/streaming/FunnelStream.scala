@@ -84,6 +84,7 @@ object FunnelStream {
         col(tsCol)) // keep the watermark attribute flowing into the stateful op
       .as[FEvent]
 
+    implicit val foldOrder: Ordering[FEvent] = Ordering.by(e => (e.time, e.etype))
     typed.groupByKey(_.user)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[FEvent], gs: GroupState[FunnelState]) =>
@@ -91,9 +92,12 @@ object FunnelStream {
           val wm = gs.getCurrentWatermarkMs()
           val prev = gs.getOption.getOrElse(empty)
           // Timeout invocations carry no rows; data invocations fold new
-          // arrivals into the same reorder buffer either way.
-          val all = prev.buffer ++ (if (gs.hasTimedOut) Nil else rows.toList)
-          val (ripe, wait) = all.partition(_.time <= wm)
+          // arrivals into the same reorder buffer either way. STRICT
+          // maturity: an equal-time peer folding earlier in (time, etype)
+          // order could still arrive while wm == time.
+          val (ripe, wait) = ReorderBuffer.drain(
+            prev.buffer, if (gs.hasTimedOut) Iterator.empty else rows,
+            wm, (_: FEvent).time, strict = true)
 
           // Drain in time order; emit-and-restart whenever an event crosses
           // the open window's deadline or lands the final stage — so the
@@ -101,7 +105,7 @@ object FunnelStream {
           // micro-batch delivered them.
           val out = List.newBuilder[FunnelResult]
           var st = prev.copy(buffer = Nil)
-          for (ev <- ripe.sortBy(e => (e.time, e.etype))) {
+          for (ev <- ripe) {
             if (st.t1.exists(t1 => ev.time > t1 + windowMs)) {
               out ++= result(user, st); st = empty
             }
@@ -118,11 +122,17 @@ object FunnelStream {
             gs.remove()
           } else {
             gs.update(st)
-            // Open funnel: fire exactly when its window shuts (clamped
-            // ahead of the watermark — a just-drained entry may have a
-            // deadline barely in the future). Idle buffer: one horizon.
-            gs.setTimeoutTimestamp(
-              st.t1.map(_ + windowMs).getOrElse(wm + windowMs) max (wm + 1))
+            // Wake at the earliest of: the open funnel's window shutting,
+            // or the watermark maturing the earliest buffered event —
+            // whichever resolves something first (clamped ahead of the
+            // watermark; no open funnel and an empty buffer GC at one idle
+            // horizon).
+            val deadline = st.t1.map(_ + windowMs).getOrElse(wm + windowMs)
+            val wake =
+              if (st.buffer.isEmpty) deadline
+              else math.min(deadline,
+                ReorderBuffer.wakeAt(st.buffer.map(_.time), wm, strict = true, orElse = deadline))
+            gs.setTimeoutTimestamp(wake max (wm + 1))
           }
           out.result().iterator
       }

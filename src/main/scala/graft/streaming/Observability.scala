@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, concat, explode}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -93,8 +93,11 @@ object StateInspector {
     */
   def overWindowRows(spark: SparkSession, checkpoint: String): Dataset[OverWindows.Event] = {
     import spark.implicits._
+    // Buffered rows = final frame context (`rows`) plus the watermark
+    // reorder buffer (`pend`) — together, exactly what the reference's
+    // Window.getRows exposes: everything the operator currently holds.
     stateSnapshot(spark, checkpoint)
-      .select(explode(col("value.groupState.rows")).as("r"))
+      .select(explode(concat(col("value.groupState.rows"), col("value.groupState.pend"))).as("r"))
       .select(col("r.key"), col("r.time"), col("r.value"))
       .as[OverWindows.Event]
   }

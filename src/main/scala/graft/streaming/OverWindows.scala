@@ -31,7 +31,13 @@ object OverWindows {
 
   case class Event(key: Long, time: Long, value: Double)
   case class OverOut(key: Long, time: Long, value: Double, n: Long, sum: Double, min: Double, max: Double)
-  case class Buffer(rows: List[Event])
+
+  /** Per-key state: `rows` = already-final frame context (time-sorted),
+    * `pend` = the reorder buffer — arrivals the watermark has not yet
+    * passed, whose frames are not final (an equal-or-earlier-time peer may
+    * still legally arrive in a later micro-batch).
+    */
+  case class Buffer(rows: List[Event], pend: List[Event])
 
   private def stats(frame: Seq[Event], e: Event): OverOut = {
     var n = 0L; var sum = 0.0
@@ -44,51 +50,46 @@ object OverWindows {
     OverOut(e.key, e.time, e.value, n, sum, mn, mx)
   }
 
-  /** One micro-batch step for the duration frame: merge, sort, emit one
-    * output row per input row (frame = rows of the key with time in
-    * (t - sizeMs, t]), evict state older than (maxTime - sizeMs].
+  /** One drain step for the duration frame: `ripe` events (watermark-final,
+    * already in (time, value) order) are merged with the retained frame
+    * context and emitted with frame = rows of the key with time in
+    * (t - sizeMs, t]. Retained context = rows a FUTURE event could still
+    * frame: future arrivals have time >= wm, so only rows with
+    * time > wm - sizeMs survive.
     *
     * Frame bounds come from binary search over the time-sorted buffer —
     * O((b+s)·log) per batch instead of O(b·s) — the same structure the
     * reference's `SortedTable.countLessThan` gives its windows
     * (SortedTableByTimeTest.java:13-60, SlideTableByColumn.java:64-126).
     */
-  private[streaming] def durationStep(
-      sizeMs: Long)(buffered: List[Event], incoming: Iterator[Event]): (Iterator[OverOut], Buffer) = {
-    val newEvents = incoming.toVector.sortBy(e => (e.time, e.value))
-    val all = (buffered ++ newEvents).sortBy(e => (e.time, e.value)).toIndexedSeq
+  private[streaming] def durationStep(sizeMs: Long)(
+      history: List[Event], ripe: Seq[Event], wm: Long): (Seq[OverOut], List[Event]) = {
+    val all = (history ++ ripe).sortBy(e => (e.time, e.value)).toIndexedSeq
     val times = all.map(_.time)
-    // first index with times(i) > t (upper bound)
-    def upperBound(t: Long): Int = {
-      var lo = 0; var hi = times.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (times(mid) <= t) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
-    val out = newEvents.map { e =>
-      stats(all.slice(upperBound(e.time - sizeMs), upperBound(e.time)), e)
+    val out = ripe.map { e =>
+      stats(all.slice(
+        ReorderBuffer.upperBound(times, e.time - sizeMs),
+        ReorderBuffer.upperBound(times, e.time)), e)
     }
     val kept =
-      if (all.isEmpty) all
-      else all.drop(upperBound(times.last - sizeMs))
-    (out.iterator, Buffer(kept.toList))
+      if (wm == Long.MaxValue) Nil // batch: nothing can still arrive
+      else all.drop(ReorderBuffer.upperBound(times, wm - sizeMs)).toList
+    (out, kept)
   }
 
-  /** One micro-batch step for the count frame: emit stats over the trailing
-    * `n` rows (by (time, value) order within the key), keep only the last
-    * n-1 rows in state.
+  /** One drain step for the count frame: emit stats over the trailing
+    * `n` rows (by (time, value) order within the key — all history rows
+    * precede all ripe rows in time, so appending preserves the order),
+    * keep only the last n-1 rows as future-frame context.
     */
-  private[streaming] def sizeStep(
-      n: Int)(buffered: List[Event], incoming: Iterator[Event]): (Iterator[OverOut], Buffer) = {
-    val newEvents = incoming.toVector.sortBy(e => (e.time, e.value))
-    var window = buffered.toVector
-    val out = newEvents.map { e =>
+  private[streaming] def sizeStep(n: Int)(
+      history: List[Event], ripe: Seq[Event], wm: Long): (Seq[OverOut], List[Event]) = {
+    var window = history.toVector
+    val out = ripe.map { e =>
       window = (window :+ e).takeRight(n)
       stats(window, e)
     }
-    (out.iterator, Buffer(window.takeRight(n - 1).toList))
+    (out, window.takeRight(n - 1).toList)
   }
 
   /** Event plus the TimestampType column the watermark is declared on.
@@ -101,70 +102,100 @@ object OverWindows {
     */
   val DefaultWatermark = "1 second"
 
-  /** Stateful runner with watermark-driven state expiry.
+  /** Stateful runner: ReorderBuffer drain (STRICT maturity — a frame
+    * includes equal-time peers, so an event's row is final only once the
+    * watermark is strictly past its own time) + watermark-driven state
+    * expiry.
+    *
+    * Per-row frames are computed in EVENT-TIME order once the watermark
+    * passes each event — the reference's watermark reorder-buffer semantics
+    * (window/TimeWindow.java:72-136) — so an older event arriving in a
+    * LATER micro-batch (legal within the allowed lateness) lands in the
+    * frames of every event that follows it, and the emitted rows equal the
+    * batch formulation bit-for-bit for ANY admissible arrival order
+    * (ReorderLawSpec). The cost is emission latency of about the watermark
+    * delay — the same trade Spark's own append-mode windowed aggregates
+    * make, and the trade the reference makes inside its windows.
     *
     * The reference drops a key's per-partition window table once it drains
-    * (window/OverWindowByDuration.java:29-98 eviction); here the equivalent is
-    * an `EventTimeTimeout`: each update arms a timeout at
-    * `lastEventTime + expireMs`, and when the watermark passes it the key's
-    * buffer is removed from the state store. Without this, a churning key
+    * (window/OverWindowByDuration.java:29-98 eviction); here the equivalent
+    * is an `EventTimeTimeout`: with events pending the timeout fires when
+    * the watermark can mature the earliest one, otherwise it is an idle-GC
+    * horizon at `lastEventTime + expireMs`. Without the GC, a churning key
     * space (user_id at 100 TB) grows state without bound — idle keys would
     * pin their last frame forever.
     *
     * Late rows (behind `watermarkDelay`) are dropped by the exec, matching
-    * the documented D4 delta for the other streaming windows.
+    * the documented D2 late-row contract.
     */
   private def runStateful(
       events: Dataset[Event],
-      step: (List[Event], Iterator[Event]) => (Iterator[OverOut], Buffer),
+      step: (List[Event], Seq[Event], Long) => (Seq[OverOut], List[Event]),
       expireMs: Long,
-      watermarkDelay: String): Dataset[OverOut] = {
+      watermarkDelay: String,
+      heartbeat: Option[DataFrame]): Dataset[OverOut] = {
     import events.sparkSession.implicits._
+    implicit val foldOrder: Ordering[Event] = Ordering.by(e => (e.time, e.value))
     if (!events.isStreaming) {
-      // Batch execution: the whole key arrives in one call and timeouts never
-      // fire, so state bookkeeping is a no-op — keep the simple path.
+      // Batch execution: the whole key arrives in one call; wm = MaxValue
+      // ripens everything and no frame context needs to survive.
       events
         .groupByKey(_.key)
         .flatMapGroupsWithState[Buffer, OverOut](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           (_: Long, it: Iterator[Event], state: GroupState[Buffer]) =>
-            val buffered = state.getOption.map(_.rows).getOrElse(Nil)
-            val (out, next) = step(buffered, it)
-            state.update(next)
-            out
+            val (ripe, _) = ReorderBuffer.drain(Nil, it, Long.MaxValue, (_: Event).time, strict = true)
+            step(Nil, ripe, Long.MaxValue)._1.iterator
         }
     } else {
-      events
-        .withColumn("eventTime", timestamp_millis(col("time")))
-        .withWatermark("eventTime", watermarkDelay)
+      // Heartbeat rows (D3 noDataDelay) advance the watermark through the
+      // shared pinned-above-the-watermark filter, so pending reorder-buffer
+      // rows mature during input silence — then never reach the state op.
+      StreamWindows.watermarked(
+        events.withColumn("eventTime", timestamp_millis(col("time"))),
+        "eventTime", watermarkDelay, heartbeat)
         .as[TsEvent]
         .groupByKey(_.key)
         .flatMapGroupsWithState[Buffer, OverOut](
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
           (_: Long, it: Iterator[TsEvent], state: GroupState[Buffer]) =>
-            if (state.hasTimedOut) {
-              // Watermark passed lastEventTime + expireMs with no new rows:
-              // no future row can still see this frame — drop it.
+            val wm = state.getCurrentWatermarkMs()
+            val prev = state.getOption.getOrElse(Buffer(Nil, Nil))
+            val incoming =
+              if (state.hasTimedOut) Iterator.empty[Event]
+              else it.map(t => Event(t.key, t.time, t.value))
+            val (ripe, wait) =
+              ReorderBuffer.drain(prev.pend, incoming, wm, (_: Event).time, strict = true)
+            if (state.hasTimedOut && ripe.isEmpty && wait.isEmpty) {
+              // Pure idle-GC firing: the watermark passed the expiry horizon
+              // with nothing pending — no future row can still frame this
+              // key's rows.
               state.remove()
               Iterator.empty
             } else {
-              val buffered = state.getOption.map(_.rows).getOrElse(Nil)
-              val (out, next) =
-                step(buffered, it.map(t => Event(t.key, t.time, t.value)))
-              if (next.rows.isEmpty) state.remove()
+              val (out, kept) = step(prev.rows, ripe, wm)
+              if (kept.isEmpty && wait.isEmpty) state.remove()
               else {
-                state.update(next)
-                val lastTime = next.rows.iterator.map(_.time).max
-                // Timeout must be strictly later than the current watermark
-                // (another key may have advanced it past this key's frame).
+                state.update(Buffer(kept, wait))
+                val idleAt =
+                  if (kept.isEmpty) wm + expireMs
+                  else kept.iterator.map(_.time).max + expireMs
                 state.setTimeoutTimestamp(
-                  math.max(lastTime + expireMs, state.getCurrentWatermarkMs() + 1))
+                  ReorderBuffer.wakeAt(wait.map(_.time), wm, strict = true, orElse = idleAt))
               }
-              out
+              out.iterator
             }
         }
     }
   }
+
+  /** The event-time column name a `heartbeat` DataFrame must carry (e.g.
+    * `StreamWindows.heartbeatRate(spark, OverWindows.HeartbeatTs)`) for the
+    * D3 idle-advance: heartbeat rows move the watermark during input
+    * silence — maturing buffered rows and expiring idle keys — and are
+    * filtered before the state operator.
+    */
+  val HeartbeatTs = "eventTime"
 
   /** Streaming RANGE BETWEEN (size-1) PRECEDING AND CURRENT ROW.
     * State for a key expires once the watermark passes its newest row + size.
@@ -172,8 +203,9 @@ object OverWindows {
   def byDuration(
       events: Dataset[Event],
       sizeMs: Long,
-      watermarkDelay: String = DefaultWatermark): Dataset[OverOut] =
-    runStateful(events, durationStep(sizeMs), sizeMs, watermarkDelay)
+      watermarkDelay: String = DefaultWatermark,
+      heartbeat: Option[DataFrame] = None): Dataset[OverOut] =
+    runStateful(events, durationStep(sizeMs), sizeMs, watermarkDelay, heartbeat)
 
   /** Streaming ROWS BETWEEN (n-1) PRECEDING AND CURRENT ROW.
     * Count frames have no intrinsic duration, so idle keys expire after
@@ -183,8 +215,9 @@ object OverWindows {
       events: Dataset[Event],
       n: Int,
       idleTimeoutMs: Long = 3600000L,
-      watermarkDelay: String = DefaultWatermark): Dataset[OverOut] =
-    runStateful(events, sizeStep(n), idleTimeoutMs, watermarkDelay)
+      watermarkDelay: String = DefaultWatermark,
+      heartbeat: Option[DataFrame] = None): Dataset[OverOut] =
+    runStateful(events, sizeStep(n), idleTimeoutMs, watermarkDelay, heartbeat)
 
   /** Batch equivalents via flatMapGroups — same step functions, no state
     * (whole key group in one call). Used to cross-check streaming results.
@@ -192,14 +225,14 @@ object OverWindows {
   def byDurationBatch(events: Dataset[Event], sizeMs: Long): Dataset[OverOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key).flatMapGroups { (_: Long, it: Iterator[Event]) =>
-      durationStep(sizeMs)(Nil, it)._1
+      durationStep(sizeMs)(Nil, it.toVector.sortBy(e => (e.time, e.value)), Long.MaxValue)._1.iterator
     }
   }
 
   def bySizeBatch(events: Dataset[Event], n: Int): Dataset[OverOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key).flatMapGroups { (_: Long, it: Iterator[Event]) =>
-      sizeStep(n)(Nil, it)._1
+      sizeStep(n)(Nil, it.toVector.sortBy(e => (e.time, e.value)), Long.MaxValue)._1.iterator
     }
   }
 

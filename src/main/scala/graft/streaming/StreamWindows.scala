@@ -69,7 +69,11 @@ object StreamWindows {
     */
   private val dropHeartbeats = udf((hb: Boolean) => !hb).asNondeterministic()
 
-  private def watermarked(
+  /** Public so every event-time stateful operator (windows here, the
+    * over-window family, custom pipelines) shares ONE idle-advance
+    * implementation — the D3 `noDataDelay` counterpart.
+    */
+  def watermarked(
       df: DataFrame, ts: String, watermark: String, heartbeat: Option[DataFrame]): DataFrame =
     heartbeat match {
       case None => df.withWatermark(ts, watermark)

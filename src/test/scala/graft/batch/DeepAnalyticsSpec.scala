@@ -61,7 +61,12 @@ class DeepAnalyticsSpec extends SparkSpec {
     rows.foreach { r =>
       val (promo, total, share) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(promo <= total)
-      assert(share == promo * 1000000L / total, "share must be the exact integer quotient")
+      // overflow-safe coarser-units quotient (currency units, not e4) —
+      // must stay within 1 e6-unit of the exact e4 quotient
+      assert(share == (promo / 10000L) * 1000000L / (total / 10000L),
+        "share must be the documented coarser-units integer quotient")
+      assert(math.abs(share - promo * 1000000L / total) <= 1,
+        "coarsening must not move the share by more than one e6 unit")
       assert(share >= 0 && share <= 1000000L)
     }
   }

@@ -81,6 +81,27 @@ class AsOfSpec extends SparkSpec {
     assert(out(5L) == (None, None))
   }
 
+  test("nullable right value columns: one right row is elected atomically, never stitched") {
+    import spark.implicits._
+    // The elected right row (t=300) has a NULL value column; an earlier row
+    // (t=200) has a value. A per-column carry would stitch rv=2.0 from t=200
+    // with rt=300 — a row that never existed. Atomic election must surface
+    // the t=300 row as-is: rv NULL, rt 300.
+    val left = Seq((1L, 350L, "x")).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, 200L, Some(2.0)),
+      (1L, 300L, None: Option[Double])
+    ).toDF("k", "rt", "rv")
+
+    val asof = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv")).collect().head
+    assert(asof.isNullAt(asof.fieldIndex("rv_r")), "asof: elected row's null value must stay null")
+    assert(asof.getLong(asof.fieldIndex("rt_r")) == 300L, "asof: rt comes from the SAME elected row")
+
+    val near = AsOf.nearestJoin(left, right, Seq("k"), "t", "rt", Seq("rv"), 1000L).collect().head
+    assert(near.isNullAt(near.fieldIndex("rv_r")), "nearest: elected row's null value must stay null")
+    assert(near.getLong(near.fieldIndex("rt_r")) == 300L, "nearest: rt comes from the SAME elected row")
+  }
+
   test("nearestJoin is join-free: one keyed window, both frames on one sort") {
     import spark.implicits._
     val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")

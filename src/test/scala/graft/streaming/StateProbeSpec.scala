@@ -29,10 +29,13 @@ class StateProbeSpec extends SparkSpec {
         OverWindows.Event(1, 100000, 1.0), OverWindows.Event(1, 101000, 2.0),
         OverWindows.Event(2, 100500, 5.0)))
 
-      // Overflow the frame: only the n-1 rows a future frame can still see
-      // stay buffered, so key 1 retains its newest two events.
+      // Overflow the frame, then mature everything with a far-ahead key:
+      // once the watermark passes the rows, only the n-1 rows a future
+      // frame can still see stay buffered — key 1 retains its newest two.
       src.addData(Seq(
         OverWindows.Event(1, 102000, 3.0), OverWindows.Event(1, 103000, 4.0)))
+      q.processAllAvailable()
+      src.addData(Seq(OverWindows.Event(3, 110000, 0.0)))
       q.processAllAvailable()
       val after = StateInspector.overWindowRows(spark, ckp)
         .filter(_.key == 1L).collect().toSet
