@@ -73,6 +73,7 @@ object StreamBench {
       case "admit"  => runAdmit(spark, total, batchSize, cpus.toInt)
       case "cdc"    => runCdc(spark, total, batchSize)
       case "soak"   => runSoak(spark, total, batchSize, cpus.toInt)
+      case "soak_over" => runSoakOver(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -268,6 +269,24 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_SOAK_EXPLAIN").contains("1")) q.explain(extended = true)
     val progress = q.recentProgress.toSeq
     q.stop()
+    soakReport(progress)
+    (total.toLong, secs)
+  }
+
+  /** Shared soak telemetry: one JSON line per micro-batch (input rows,
+    * per-operator state rows/bytes), then the plateau verdict comparing
+    * peak state over the middle vs final third of the run — bounded stores
+    * plateau after warm-up, leaks keep climbing. Judged on BOTH row counts
+    * and bytes because they disagree under RocksDB: its numRowsTotal is
+    * the estimate-num-keys property, which keeps counting watermark-evicted
+    * keys until their tombstones compact away (so the row curve climbs
+    * monotonically on a perfectly bounded store), while bytes (memory +
+    * SST files) plateau. HDFS-backed runs report exact rows and the two
+    * curves agree. Verdict: bounded iff EITHER curve plateaus — a real
+    * leak grows both.
+    */
+  private def soakReport(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit = {
     progress.lastOption.foreach { p =>
       val names = p.stateOperators.map(so => s""""${so.operatorName}"""")
       println(s"""{"soak_operators":${names.mkString("[", ",", "]")}}""")
@@ -287,15 +306,6 @@ object StreamBench {
     perBatch.foreach { case (id, in, rowsSum, bytes, rowsArr, memArr) =>
       println(s"""{"soak_batch":$id,"input_rows":$in,"state_rows_total":$rowsSum,"state_bytes_total":$bytes,"state_rows":$rowsArr,"state_mem":$memArr}""")
     }
-    // verdict: peak state over the MIDDLE third vs the FINAL third — a
-    // bounded store plateaus after warm-up, a leak keeps climbing. Judged
-    // on BOTH row counts and bytes because they disagree under RocksDB:
-    // its numRowsTotal is the estimate-num-keys property, which keeps
-    // counting watermark-evicted keys until their tombstones compact away
-    // (so the row curve climbs monotonically on a perfectly bounded
-    // store), while bytes (memory + SST files) plateau. HDFS-backed runs
-    // report exact rows and the two curves agree. Verdict: bounded iff
-    // EITHER curve plateaus — a real leak grows both.
     val n = perBatch.size
     if (n >= 6) {
       def thirds(sel: ((Long, Long, Long, Long, String, String)) => Long): (Long, Long, Double) = {
@@ -308,8 +318,65 @@ object StreamBench {
       val verdict = if (rowsRatio < 1.15 || bytesRatio < 1.15) "bounded" else "growing"
       println(f"""{"soak_verdict":"$verdict","peak_state_rows_mid_third":$rowsMid,"peak_state_rows_final_third":$rowsFin,"rows_final_vs_mid":$rowsRatio%.3f,"peak_state_bytes_mid_third":$bytesMid,"peak_state_bytes_final_third":$bytesFin,"bytes_final_vs_mid":$bytesRatio%.3f}""")
     }
+  }
+
+  /** Over-window state soak (round-11): `OverWindows.byDuration` over a
+    * CHURNING key space — each key lives for `SoakKeyLife` consecutive
+    * rows then never returns, so bounded state depends on the idle-GC
+    * eviction-timeout path, the one branch the admit soak does not
+    * exercise (its dedup keys are re-hit continuously). A deterministic
+    * per-row jitter inside the watermark keeps the reorder buffer
+    * non-trivially draining every batch. Live state at any instant ≈ keys
+    * within (watermark delay + frame + jitter) of the stream head —
+    * constant in stream length; the plateau verdict proves it.
+    */
+  private def runSoakOver(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    val dir = java.nio.file.Files.createTempDirectory("streambench-soakover").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    // key churns every SoakKeyLife rows; event time advances 3 ms/row with
+    // a jitter of up to 1.5 s — inside the 2 s watermark, so nothing is
+    // late but every batch carries genuine disorder
+    def overDf(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(
+        (col("id") / SoakKeyLife).cast("long").as("key"),
+        (lit(Epoch) + col("id") * 3L - pmod(col("id") * 2654435761L, lit(1500L))).as("time"),
+        (col("id") % 997).cast("double").as("value"))
+    var from = 0L
+    while (from < total) {
+      val n = math.min(batchSize.toLong, total - from)
+      overDf(from, n).repartition(filesPerChunk).write.mode("append").parquet(dir)
+      from += n
+    }
+    val src = spark.readStream.schema(overDf(0, 1).schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false")
+      .parquet(dir)
+      .as[graft.streaming.OverWindows.Event]
+    val outDir = java.nio.file.Files.createTempDirectory("streambench-soakover-out").toString
+    val t0 = System.nanoTime()
+    val q = graft.streaming.OverWindows.byDuration(src, sizeMs = 5000, watermarkDelay = "2 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("streambench-soakover-ckp").toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    soakReport(progress)
+    // every matured row emits exactly once: rows still pending at shutdown
+    // are the watermark-horizon tail, which must be batch-sized, not
+    // stream-sized
+    val emitted = spark.read.parquet(outDir).count()
+    println(s"""{"soak_over_emitted":$emitted,"input_total":$total,"pending_tail":${total - emitted}}""")
     (total.toLong, secs)
   }
+
+  /** Rows per key in the churning over-window soak. */
+  val SoakKeyLife = 50L
 
   /** Partitioned-ingest shape: each event-time-contiguous chunk is written as
     * `filesPerChunk` parquet files (so a micro-batch scans in parallel), and

@@ -68,8 +68,8 @@ class GTable(val df: DataFrame) {
     * Compat path: `rows.toSeq` materializes each whole group in one task,
     * faithful to the reference's `List<Row>` contract (Table.java:436-467) —
     * a skewed key's group must fit in executor memory. For heavy/skewed
-    * groups use a streaming `functions.Aggregators` Aggregator (partial agg,
-    * constant state) or the native column aggregates instead.
+    * groups use [[groupByAgg]] (Aggregator bridge: constant per-group state
+    * AND map-side partial aggregation) or the native column aggregates.
     */
   def groupBy(keys: Seq[String], schema: StructType)(
       fn: (Seq[Any], Seq[Row]) => Seq[Any]): GTable = {
@@ -88,9 +88,11 @@ class GTable(val df: DataFrame) {
     * (Table.java:490-506).
     *
     * Compat path: each partition materializes as a sorted `Seq` in one task
-    * (the reference's contract). For large/skewed partitions prefer the
-    * native window functions (`batch.Relational` over/rank/running) or the
-    * frame engines in `ops.WindowsBatch` — both stream with bounded state.
+    * (the reference's contract). For large/skewed partitions prefer
+    * [[overStreaming]] (same sort, rows stream through a per-key state
+    * machine with O(state) residency), the native window functions
+    * (`batch.Relational` over/rank/running), or the frame engines in
+    * `ops.WindowsBatch` — all stream with bounded state.
     */
   def over(partitionBy: Seq[String], orderBy: Seq[String], newCols: StructType)(
       fn: Seq[Row] => Seq[Seq[Any]]): GTable = {
@@ -122,6 +124,76 @@ class GTable(val df: DataFrame) {
       require(extra.length == sorted.length,
         s"over function must return one row per input row (${extra.length} != ${sorted.length})")
       sorted.lazyZip(extra).map((r, vs) => Row.fromSeq(r.toSeq ++ vs)).toSeq
+    }(enc(outSchema)).toDF())
+  }
+
+  /** STREAMING variant of [[groupBy]] — removes the whole-group memory
+    * cliff. The lambda contract becomes an Aggregator bridge
+    * (zero/reduce/merge/finish) instead of `(key, Seq[Row])`, which buys
+    * two scale properties the compat path cannot have:
+    *
+    *   - constant state per group: only the buffer `B` is resident, never
+    *     the group's rows — a hot key costs one buffer, not an OOM;
+    *   - map-side partial aggregation: `reduce` runs before the shuffle and
+    *     `merge` combines partials after it (the plan shows a
+    *     partial/final aggregate pair), so a skewed key ships its partials,
+    *     not its rows.
+    *
+    * `finish` returning null drops the group — the same HAVING idiom as
+    * [[groupBy]] (reference Table.java:455-459). Any aggregation expressible
+    * as a fold (sum/count/min/max/top-k/moments/sketches — everything the
+    * reference's AggregationFunction examples do) ports directly; a
+    * genuinely holistic function (exact median over unsorted rows) needs
+    * the compat path or a two-pass formulation.
+    */
+  def groupByAgg[B: Encoder](keys: Seq[String], schema: StructType)(
+      zeroV: B,
+      reduceF: (B, Row) => B,
+      mergeF: (B, B) => B,
+      finishF: B => Seq[Any]): GTable = {
+    val agg = new GTable.BridgeAggregator[B](
+      zeroV, reduceF, mergeF, finishF, implicitly[Encoder[B]], enc(schema))
+    val u = udaf(agg, enc(df.schema))
+    val out = df.groupBy(keys.map(col): _*)
+      .agg(u(df.columns.map(col).toIndexedSeq: _*).as("__agg"))
+      .filter(col("__agg").isNotNull) // HAVING: null finish drops the group
+      .select(keys.map(col) ++ schema.fieldNames.map(f => col(s"__agg.$f").as(f)): _*)
+    new GTable(out)
+  }
+
+  /** STREAMING variant of [[over]] — removes the whole-partition memory
+    * cliff. Rows of each (partitionBy) key flow PRE-SORTED by `orderBy`
+    * (ascending, nulls first — the reference's comparator) through a
+    * per-key state machine: `stateFactory` is called once per key, and the
+    * resulting function sees each row exactly once, in order, returning
+    * that row's appended column values. Only the user's own state is
+    * resident — O(1) rows for running aggregates, O(frame) for trailing
+    * frames — where [[over]] materializes the whole partition.
+    *
+    * Plan shape: one hash exchange on the key + an in-partition sort —
+    * identical to the native window operator; the lambda then streams via
+    * `mapPartitions` with consecutive same-key runs detected on the fly
+    * (no per-key grouping state beyond the current run). Any prefix-
+    * computable OverWindowFunction (running sums/ranks/trailing frames —
+    * the reference's examples, window/OverWindowFunction.java) ports
+    * directly; a function needing the whole partition up front stays on
+    * the compat path.
+    */
+  def overStreaming(partitionBy: Seq[String], orderBy: Seq[String], newCols: StructType)(
+      stateFactory: () => Row => Seq[Any]): GTable = {
+    val outSchema = StructType(df.schema ++ newCols)
+    val keyIdx = partitionBy.map(df.schema.fieldIndex)
+    val sorted = df
+      .repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ orderBy).map(c => col(c).asc_nulls_first): _*)
+    new GTable(sorted.mapPartitions { it =>
+      var currentKey: Seq[Any] = null
+      var state: Row => Seq[Any] = null
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (state == null || k != currentKey) { currentKey = k; state = stateFactory() }
+        Row.fromSeq(r.toSeq ++ state(r))
+      }
     }(enc(outSchema)).toDF())
   }
 
@@ -168,4 +240,27 @@ class GTable(val df: DataFrame) {
 
 object GTable {
   def apply(df: DataFrame): GTable = new GTable(df)
+
+  /** Standalone (no outer pointer — must serialize to executors) Aggregator
+    * behind [[GTable.groupByAgg]]. Null `finish` output → null struct →
+    * the group is dropped (HAVING).
+    */
+  private[api] class BridgeAggregator[B](
+      zeroV: B,
+      reduceF: (B, Row) => B,
+      mergeF: (B, B) => B,
+      finishF: B => Seq[Any],
+      bufEnc: Encoder[B],
+      outEnc: Encoder[Row])
+    extends org.apache.spark.sql.expressions.Aggregator[Row, B, Row] {
+    def zero: B = zeroV
+    def reduce(b: B, a: Row): B = reduceF(b, a)
+    def merge(b1: B, b2: B): B = mergeF(b1, b2)
+    def finish(b: B): Row = {
+      val vs = finishF(b)
+      if (vs == null) null else Row.fromSeq(vs)
+    }
+    def bufferEncoder: Encoder[B] = bufEnc
+    def outputEncoder: Encoder[Row] = outEnc
+  }
 }

@@ -2,6 +2,7 @@ package graft.api
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.types._
 
 /** Ports the reference's operator unit tests (TableTest.java:26-233) to the
@@ -60,6 +61,50 @@ class GTableSpec extends SparkSpec {
       .map(r => (r.getAs[String]("name"), r.getAs[Int]("rk"))).toMap
     assert(got("alice") == 1 && got("bob") == 2)
     assert(got("erin") == 1 && got("carol") == 2 && got("dave") == 3)
+  }
+
+  test("groupByAgg streaming variant: equals compat groupBy, HAVING works, plan shows partial agg") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("n", LongType), StructField("sum", LongType)))
+    val out = people.groupByAgg[(Long, Long)](Seq("dept"), schema)(
+      (0L, 0L),
+      (b, r) => (b._1 + 1, b._2 + r.getAs[Int]("score")),
+      (a, b) => (a._1 + b._1, a._2 + b._2),
+      b => if (b._1 < 2) null else Seq(b._1, b._2))
+    val got = out.df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("eng", 2L, 180L), ("sales", 3L, 255L)))
+    // the bridge must aggregate BEFORE the shuffle (map-side partials)
+    val plan = out.df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"expected a partial/final aggregate pair:\n$plan")
+  }
+
+  test("overStreaming: equals compat over on a running rank; skewed key streams with O(1) state") {
+    import spark.implicits._
+    // running rank (1-based position in ascending score order) per dept
+    val newCols = StructType(Seq(StructField("pos", IntegerType)))
+    val stream = people.overStreaming(Seq("dept"), Seq("score"), newCols)(() => {
+      var i = 0
+      _ => { i += 1; Seq(i) }
+    })
+    val compat = people.over(Seq("dept"), Seq("score"), newCols)(
+      rows => rows.indices.map(i => Seq(i + 1)))
+    assert(stream.df.collect().map(r => (r.getString(0), r.getInt(3))).toSet ==
+      compat.df.collect().map(r => (r.getString(0), r.getInt(3))).toSet)
+
+    // deliberately skewed: ONE key holds 200k rows. The compat path would
+    // materialize all of them in a single task Seq; the streaming variant
+    // holds only the user's running state — assert it completes and the
+    // running sum over the sorted order is exact.
+    val skew = GTable(spark.range(200000).select(
+      lit(1L).as("k"), col("id").as("t"), (col("id") % 7).as("v")))
+    val summed = skew.overStreaming(Seq("k"), Seq("t"),
+      StructType(Seq(StructField("run", LongType))))(() => {
+      var acc = 0L
+      r => { acc += r.getAs[Long]("v"); Seq(acc) }
+    })
+    val last = summed.df.filter(col("t") === 199999L).collect().head.getLong(3)
+    val expect = spark.range(200000).select(sum(col("id") % 7)).collect().head.getLong(0)
+    assert(last == expect, "running sum over the full skewed key must be exact")
   }
 
   test("joins: inner/left/full row counts, null padding, rename maps") {
