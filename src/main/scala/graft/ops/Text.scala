@@ -446,8 +446,15 @@ object Text {
           s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
         .as("p"))
       .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
+    // perDoc feeds THREE consumers (c_bg, c_u, the scoring join): pin it,
+    // or Catalyst replays tokenize->explode->shuffle once per consumer —
+    // the multi-consumer rule that cost q_dedup_prefix 20x. The pinned
+    // table is the compact (doc, u, bg, nd) form, the smallest thing the
+    // whole family can share; at sf10 this cut the instance-stream passes
+    // from 3 to 1.
     val perDoc = inst.groupBy(col("doc_id"), col("u"), col("bg"))
       .agg(count(lit(1)).as("nd"))
+      .localCheckpoint(false)
     val cBg = perDoc.groupBy(col("bg")).agg(sum(col("nd")).as("c_bg"))
     val cU = perDoc.groupBy(col("u")).agg(sum(col("nd")).as("c_u"))
     val vocab = t.select(explode(col("toks")).as("w"))
@@ -479,9 +486,16 @@ object Text {
           s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
         .as("p"))
       .select(col("p.u").as("u"), col("p.bg").as("bg"))
+    // One instance-stream pass, not two: aggregate to the vocabulary-sized
+    // (u, bg, n) table once (pinned — two consumers), then both model
+    // tables are roll-ups OF it (the bg side re-groups rather than
+    // projecting, so a 60-bit bg collision across different heads still
+    // sums exactly like the one-table formulation it replaces).
+    val pairCounts = inst.groupBy(col("u"), col("bg"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(false)
     LmModel(
-      inst.groupBy(col("bg")).agg(count(lit(1)).as("c_bg")),
-      inst.groupBy(col("u")).agg(count(lit(1)).as("c_u")),
+      pairCounts.groupBy(col("bg")).agg(sum(col("n")).as("c_bg")),
+      pairCounts.groupBy(col("u")).agg(sum(col("n")).as("c_u")),
       t.select(explode(col("toks")).as("w")).agg(count_distinct(col("w")).as("v")))
   }
 
