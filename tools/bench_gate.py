@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate against the blessed reference artifact.
+
+Compares a fresh bench JSON (graft.Bench output) to the blessed gate
+artifact (default bench_r11_cleanroom.json, recorded in a quiet session —
+see BASELINE.md "round 11 CLEAN-ROOM GATE") and reports:
+
+  - WALL: queries whose median exceeds gate_ratio x the blessed median
+    (only where wall > min_wall — sub-100ms medians are scheduler noise);
+  - PLAN: queries whose shuffle_mb moved by more than shuffle_tol MB in
+    either direction — a plan-shape change (broadcast<->shuffle flip,
+    partitioning change), which is signal even when wall looks fine;
+  - ENV: the median wall ratio over ALL common queries. If the whole
+    distribution moved together, that is the rig, not the code (the
+    documented round-10/11 host slowdown); per-query verdicts use the
+    env-normalized ratio so a uniform shift never flags everything.
+
+Exit 0 iff no query fails the normalized wall gate and no plan deltas.
+
+Usage: python3 tools/bench_gate.py <fresh.json> [blessed.json]
+  GATE_RATIO (default 2.0), SHUFFLE_TOL_MB (default 2.0), MIN_WALL (0.1)
+"""
+import json
+import os
+import statistics
+import sys
+
+fresh_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+blessed_path = sys.argv[2] if len(sys.argv) > 2 else "bench_r11_cleanroom.json"
+GATE = float(os.environ.get("GATE_RATIO", "2.0"))
+SH_TOL = float(os.environ.get("SHUFFLE_TOL_MB", "2.0"))
+MIN_WALL = float(os.environ.get("MIN_WALL", "0.1"))
+
+fresh = json.load(open(fresh_path))["queries"]
+blessed = json.load(open(blessed_path))["queries"]
+
+
+def med(v):
+    return v["median"] if isinstance(v, dict) else float(v)
+
+
+def sh(v):
+    return v.get("shuffle_mb", 0.0) if isinstance(v, dict) else 0.0
+
+
+common = sorted(set(fresh) & set(blessed))
+if not common:
+    print("no common queries between artifacts")
+    sys.exit(2)
+
+env = statistics.median(med(fresh[k]) / max(med(blessed[k]), 1e-9) for k in common)
+
+wall_fails, plan_fails = [], []
+for k in common:
+    f, b = med(fresh[k]), med(blessed[k])
+    norm = (f / max(b, 1e-9)) / env
+    if norm > GATE and f > MIN_WALL:
+        wall_fails.append((k, b, f, round(norm, 2)))
+    d = sh(fresh[k]) - sh(blessed[k])
+    if abs(d) > SH_TOL:
+        plan_fails.append((k, round(sh(blessed[k]), 1), round(sh(fresh[k]), 1)))
+
+print(f"common={len(common)} env_wall_ratio={env:.3f} "
+      f"(uniform shift = rig, normalized out; gate={GATE}x normalized)")
+for k, b, f, r in sorted(wall_fails, key=lambda x: -x[3]):
+    print(f"WALL  {k}: {b:.2f}s -> {f:.2f}s ({r}x normalized)")
+for k, b, f in plan_fails:
+    print(f"PLAN  {k}: shuffle {b} MB -> {f} MB")
+missing = sorted(set(blessed) - set(fresh))
+extra = sorted(set(fresh) - set(blessed))
+if missing:
+    print(f"note: {len(missing)} blessed queries absent from fresh run")
+if extra:
+    print(f"note: {len(extra)} new queries (no gate yet): {', '.join(extra[:8])}{'...' if len(extra) > 8 else ''}")
+ok = not wall_fails and not plan_fails
+print("GATE", "PASS" if ok else "FAIL")
+sys.exit(0 if ok else 1)
