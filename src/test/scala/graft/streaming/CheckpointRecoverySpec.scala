@@ -96,4 +96,43 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
   }
+
+  test("over-window reorder buffer survives a restart: pre-restart pending rows fold in order") {
+    import spark.implicits._
+    val src = Sources.memoryStream[OverWindows.Event](spark)
+    val plan = OverWindows.byDuration(src.toDS(), sizeMs = 2000, watermarkDelay = "1 hour")
+    val ckpt = tmp("ckpt-over")
+    val out = tmp("out-over")
+
+    // run 1: two events arrive but the watermark (1 h delay) passes neither
+    // — both are parked in the reorder buffer, nothing emits
+    val q1 = plan.writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).outputMode("append").start()
+    try {
+      src.addData(Seq(OverWindows.Event(1, 1000, 1.0), OverWindows.Event(1, 2500, 2.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 0,
+      "pre-restart rows must still be pending (watermark has not passed them)")
+
+    // run 2, same checkpoint: an event OLDER than the buffered 2500 arrives,
+    // then a far-future flush matures everything. The recovered buffer must
+    // fold all three in event-time order — frames identical to batch.
+    val q2 = plan.writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).outputMode("append").start()
+    try {
+      src.addData(Seq(OverWindows.Event(1, 2000, 3.0)))
+      q2.processAllAvailable()
+      src.addData(Seq(OverWindows.Event(2, 4000000000000000L, 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val events = Seq(OverWindows.Event(1, 1000, 1.0), OverWindows.Event(1, 2500, 2.0),
+      OverWindows.Event(1, 2000, 3.0))
+    val got = spark.read.parquet(out).as[OverWindows.OverOut]
+      .collect().toSet.filter(_.key == 1)
+    val want = OverWindows.byDurationBatch(events.toDS(), 2000).collect().toSet
+    assert(got == want,
+      s"recovered pending rows must yield the batch frames exactly:\n got=$got\nwant=$want")
+  }
 }
