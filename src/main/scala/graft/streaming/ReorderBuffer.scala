@@ -30,6 +30,24 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Buffer size is rate x allowed-lateness per key — the watermark horizon —
   * independent of stream length; the state-bound specs pin this.
+  *
+  * Disorder policy per stateful operator (the engine's full inventory):
+  *   - drain()-based, STRICT: OverWindows (per-row frames), FunnelStream,
+  *     AnomalyStream — incremental folds whose per-event output depends on
+  *     everything at-or-before it.
+  *   - mergeSorted()-based, strict maturity: AsOfStream — sorted-array
+  *     state rebuilt at most once per batch.
+  *   - accumulate-then-sort-at-fire: WindowedTransform (tumble/slide/
+  *     session row-emitting UDFs) — windows fire once whole, so rows may
+  *     buffer unordered and sort at the firing; same law, cheaper form.
+  *   - natively order-safe: StreamWindows aggregates (Spark's windowed agg
+  *     state is commutative), IntervalJoinStream (symmetric hash join),
+  *     CdcStream (max_by lattice), HllStream/RollupStream (merges).
+  *   - order-SENSITIVE by contract: HeavyHitterStream (Misra-Gries counter
+  *     CONTENTS vary with arrival order inside the error bound — the
+  *     guarantee is the bound, not bit-equality), CorpusIngest admission
+  *     ("first seen wins" is arrival-order by design, like any online
+  *     admission gate; its soak/idempotence specs cover the contract).
   */
 object ReorderBuffer {
 

@@ -172,6 +172,36 @@ class ReorderLawSpec extends SparkSpec {
     assert(inOrder.nonEmpty, "the spike events must fire anomalies")
   }
 
+  test("law: WindowedTransform tumble — shuffled arrival equals in-order (accumulate-then-sort form)") {
+    import spark.implicits._
+    // WindowedTransform realizes the discipline differently from drain():
+    // rows accumulate unordered in window state and sort ONCE at fire time.
+    // Same law, same proof obligation.
+    val rnd = new Random(17)
+    val events = (1 to 40).map(i =>
+      StreamEvent(new java.sql.Timestamp(1000L + rnd.between(0L, 30000L)), (1 + i % 2).toString, i.toDouble))
+    def run(batches: Seq[Seq[StreamEvent]], name: String): Set[RankedOut] = {
+      val src = Sources.memoryStream[StreamEvent](spark)
+      val out = WindowedTransform.tumble[RankedOut](
+        src.toDS().toDF(), "ts", "key", "v", 10000, watermark = "1 minute") { (key, ws, we, rows) =>
+        rows.sortBy(e => (-e.value, e.time)).zipWithIndex.map { case (e, i) =>
+          RankedOut(key, ws, we, e.time, e.value, i + 1)
+        }
+      }
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => src.addData(b); q.processAllAvailable() }
+        src.addData(Seq(StreamEvent(new java.sql.Timestamp(4000000000000000L), "-1", 0.0)))
+        q.processAllAvailable()
+        spark.table(name).as[RankedOut].collect().toSet.filter(_.key >= 0)
+      } finally q.stop()
+    }
+    val inOrder = run(Seq(events.sortBy(_.ts.getTime)), "law_wt_a")
+    val shuffledRun = run(scatter(events, 4, seed = 29), "law_wt_b")
+    assert(shuffledRun == inOrder)
+    assert(inOrder.size == events.size)
+  }
+
   test("law: AsOfStream — shuffled arrival of both sides equals in-order arrival") {
     import spark.implicits._
     val rnd = new Random(13)
