@@ -244,6 +244,43 @@ object Curation {
           .otherwise(lit("suppressed")).as("status"))
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", ICDE 2006) — k-anonymity's necessary
+    * companion: a group can be large (k-anonymous) yet still leak if every
+    * member shares the SAME sensitive value, so an attacker who knows a
+    * target's quasi-identifiers learns the sensitive attribute without
+    * re-identifying the row. Audits each QI class (same nation / market
+    * segment / balance-bucket tuple as [[kAnonymity]], same +100000-shift
+    * determinism) against the sensitive attribute — here the member's
+    * order priorities — and classifies: `diverse` when the class carries
+    * >= l distinct sensitive values, else `homogeneous` (publishable only
+    * with the sensitive column withheld or the class suppressed). Distinct
+    * l-diversity (not entropy-) keeps the audit in exact integers, so the
+    * oracle cannot wobble.
+    *
+    * Scale shape: one fact join on the entity key (customer->orders,
+    * shuffled hash join on c_custkey at scale) feeding one partial+final
+    * aggregate; `count_distinct` of a 5-value attribute collapses map-side.
+    * Output is QI-domain-bounded (~nations x segments x buckets), never
+    * fact-sized.
+    */
+  def lDiversity(customers: DataFrame, orders: DataFrame, l: Long): DataFrame = {
+    require(l > 0, s"l must be positive, got $l")
+    val shifted = "cast(round(c_acctbal * 100) as bigint) + 100000"
+    customers
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr(s"($shifted) div 10000").as("bal_b"))
+      .join(orders.select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_b"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("o_orderpriority")).as("n_sensitive"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_b"),
+        col("n_rows"), col("n_sensitive"),
+        when(col("n_sensitive") >= l, lit("diverse"))
+          .otherwise(lit("homogeneous")).as("status"))
+  }
+
   // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24;
   // domain cap below the per-source doc count so the cap provably bites.
   val BenchmarkFilter = "doc_id < 20"
@@ -265,9 +302,12 @@ object Curation {
     "q_domain_url" -> ((s, d) =>
       domainCapUrls(urlFixture(Tables.documents(s, d)), UrlMaxPerDomain)),
     "q_k_anonymity" -> ((s, d) =>
-      kAnonymity(Tables.customer(s, d), KAnonymityK)))
+      kAnonymity(Tables.customer(s, d), KAnonymityK)),
+    "q_l_diversity" -> ((s, d) =>
+      lDiversity(Tables.customer(s, d), Tables.orders(s, d), LDiversityL)))
 
   val KAnonymityK = 5L
+  val LDiversityL = 3L
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -357,5 +397,17 @@ object Curation {
          |       WHEN p.pn >= $KAnonymityK THEN 'generalized'
          |       ELSE 'suppressed' END AS status
          |FROM f JOIN p ON f.c_nationkey = p.c_nationkey
-         |  AND f.c_mktsegment = p.c_mktsegment AND f.bal_b // 10 = p.bal_p""".stripMargin)
+         |  AND f.c_mktsegment = p.c_mktsegment AND f.bal_b // 10 = p.bal_p""".stripMargin,
+
+    "q_l_diversity" ->
+      s"""WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |              (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS bal_b
+         |            FROM customer)
+         |SELECT qi.c_nationkey, qi.c_mktsegment, qi.bal_b,
+         |  count(*) AS n_rows,
+         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+         |  CASE WHEN count(DISTINCT o_orderpriority) >= $LDiversityL
+         |       THEN 'diverse' ELSE 'homogeneous' END AS status
+         |FROM qi JOIN orders ON o_custkey = qi.c_custkey
+         |GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -166,4 +166,33 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("n") >= Curation.KAnonymityK &&
       col("status") =!= "ok").count() == 0)
   }
+
+  test("lDiversity: a large-but-homogeneous class leaks; a mixed class is diverse") {
+    import spark.implicits._
+    // class A: 6 customers, every order URGENT -> k-anonymous (n=6) yet
+    // homogeneous — the exact leak l-diversity exists to catch.
+    // class B: 3 customers whose orders span 3 priorities -> diverse.
+    val customers = ((1 to 6).map(i => (i.toLong, 1L, "AUTO", 500.01)) ++
+      (7 to 9).map(i => (i.toLong, 2L, "RAIL", 500.01)))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val orders = ((1 to 6).map(i => (i.toLong, "1-URGENT")) ++
+      Seq((7L, "1-URGENT"), (7L, "2-HIGH"), (8L, "3-MEDIUM"), (9L, "1-URGENT")))
+      .toDF("o_custkey", "o_orderpriority")
+    val out = Curation.lDiversity(customers, orders, l = 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out((1L, "AUTO")) == ((6L, 1L, "homogeneous")),
+      "six rows, one sensitive value: k-anonymity passes, l-diversity must not")
+    assert(out((2L, "RAIL")) == ((4L, 3L, "diverse")))
+  }
+
+  test("lDiversity: no class may be both >= l distinct and homogeneous on real data") {
+    val out = Curation.lDiversity(graft.Tables.customer(spark, sf()),
+      graft.Tables.orders(spark, sf()), Curation.LDiversityL)
+    assert(out.filter(col("n_sensitive") >= Curation.LDiversityL &&
+      col("status") =!= "diverse").count() == 0)
+    assert(out.filter(col("n_sensitive") > col("n_rows")).count() == 0,
+      "distinct sensitive values can never exceed the class's row count")
+    assert(out.count() > 0)
+  }
 }
