@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators that sit between cleaning and training:
@@ -281,6 +282,64 @@ object Curation {
           .otherwise(lit("homogeneous")).as("status"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness: Privacy
+    * Beyond k-Anonymity and l-Diversity", ICDE 2007) — the third rung of
+    * the release-gate ladder: a class can be diverse yet still leak when
+    * its sensitive-value DISTRIBUTION deviates from the corpus's (e.g. 90%
+    * URGENT in a class vs 20% overall reveals a strong posterior). Audits
+    * each QI class's priority distribution against the global one with the
+    * ordered-attribute Earth Mover's Distance — for a 1-D ordered domain,
+    * EMD = (1/(m−1)) · Σᵢ |cdf_class(i) − cdf_global(i)| — and classifies
+    * `within` when EMD <= t, else `skewed`.
+    *
+    * Exactness: the comparison is cross-multiplied into pure BIGINT —
+    * `tDenom · Σ|N·cumcᵢ − n_c·cumgᵢ| <= tNumer · n_c · N · (m−1)` —
+    * so no engine's floating summation order can flip a verdict.
+    * Magnitude bound: the largest intermediate is tDenom·N·n_c·(m−1)
+    * (N = total fact rows, n_c = class fact rows); with tDenom=4, m=5 that
+    * stays inside Long while N·n_c < 5.7e17 — any plausible deployment
+    * (1e11 orders with classes up to 5e6 member-rows); past that, coarsen
+    * units first (the q_promo_share rule).
+    *
+    * Scale shape: the (class, priority) count table is pinned once
+    * (multi-consumer rule) and everything else is domain-sized: the global
+    * distribution is m rows broadcast back, the cumulative windows run
+    * over the class×m grid (value-domain-window policy — the partition is
+    * m rows), and the final aggregate is class-domain-bounded. One fact
+    * join + one fact aggregate total.
+    */
+  def tCloseness(
+      customers: DataFrame, orders: DataFrame,
+      tNumer: Long, tDenom: Long): DataFrame = {
+    require(tNumer >= 0 && tDenom > 0, s"t must be a non-negative fraction, got $tNumer/$tDenom")
+    val qiCols = Seq("c_nationkey", "c_mktsegment", "bal_b")
+    val shifted = "cast(round(c_acctbal * 100) as bigint) + 100000"
+    val j = customers
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr(s"($shifted) div 10000").as("bal_b"))
+      .join(orders.select(col("o_custkey").as("c_custkey"), col("o_orderpriority").as("p")),
+        Seq("c_custkey"))
+    val cc = j.groupBy(qiCols.map(col) :+ col("p"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds class totals, global dist, and the grid
+    val cls = cc.groupBy(qiCols.map(col): _*).agg(sum(col("n")).as("n_c"))
+    val gw = cc.groupBy(col("p")).agg(sum(col("n")).as("ng"))
+      .withColumn("cumg", sum(col("ng")).over(Window.orderBy(col("p")))) // m rows
+    val tot = gw.agg(sum(col("ng")).as("gtot"), count(lit(1)).as("mdom")) // 1 row
+    val grid = cls.crossJoin(broadcast(gw.select(col("p"), col("cumg"))))
+      .join(cc, qiCols :+ "p", "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cumc",
+        sum(col("n")).over(Window.partitionBy(qiCols.map(col): _*).orderBy(col("p"))))
+    grid.crossJoin(broadcast(tot))
+      .groupBy(qiCols.map(col) :+ col("n_c") :+ col("gtot") :+ col("mdom"): _*)
+      .agg(sum(abs(col("gtot") * col("cumc") - col("n_c") * col("cumg"))).as("emd_scaled"))
+      .select(qiCols.map(col) :+ col("n_c") :+ col("emd_scaled") :+
+        when(lit(tDenom) * col("emd_scaled") <=
+          lit(tNumer) * col("n_c") * col("gtot") * (col("mdom") - 1), lit("within"))
+          .otherwise(lit("skewed")).as("status"): _*)
+  }
+
   // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24;
   // domain cap below the per-source doc count so the cap provably bites.
   val BenchmarkFilter = "doc_id < 20"
@@ -304,10 +363,16 @@ object Curation {
     "q_k_anonymity" -> ((s, d) =>
       kAnonymity(Tables.customer(s, d), KAnonymityK)),
     "q_l_diversity" -> ((s, d) =>
-      lDiversity(Tables.customer(s, d), Tables.orders(s, d), LDiversityL)))
+      lDiversity(Tables.customer(s, d), Tables.orders(s, d), LDiversityL)),
+    "q_t_closeness" -> ((s, d) =>
+      tCloseness(Tables.customer(s, d), Tables.orders(s, d), TClosenessNumer, TClosenessDenom)))
 
   val KAnonymityK = 5L
   val LDiversityL = 3L
+  // t = 1/4: classes whose priority distribution sits more than 0.25 EMD
+  // from the corpus's are skewed
+  val TClosenessNumer = 1L
+  val TClosenessDenom = 4L
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val duckToks = s"string_split($normSql, ' ')"
@@ -409,5 +474,35 @@ object Curation {
          |  CASE WHEN count(DISTINCT o_orderpriority) >= $LDiversityL
          |       THEN 'diverse' ELSE 'homogeneous' END AS status
          |FROM qi JOIN orders ON o_custkey = qi.c_custkey
-         |GROUP BY 1, 2, 3""".stripMargin)
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_t_closeness" ->
+      s"""WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |              (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS bal_b
+         |            FROM customer),
+         |j AS (SELECT qi.c_nationkey, qi.c_mktsegment, qi.bal_b, o_orderpriority AS p
+         |      FROM qi JOIN orders ON o_custkey = qi.c_custkey),
+         |cc AS (SELECT c_nationkey, c_mktsegment, bal_b, p, count(*) AS n
+         |       FROM j GROUP BY 1, 2, 3, 4),
+         |cls AS (SELECT c_nationkey, c_mktsegment, bal_b, CAST(sum(n) AS BIGINT) AS n_c
+         |        FROM cc GROUP BY 1, 2, 3),
+         |gw AS (SELECT p, CAST(sum(n) AS BIGINT) AS ng FROM cc GROUP BY 1),
+         |gc AS (SELECT p, CAST(sum(ng) OVER (ORDER BY p) AS BIGINT) AS cumg FROM gw),
+         |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS gtot, CAST(count(*) AS BIGINT) AS mdom FROM gw),
+         |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_b, cls.n_c,
+         |           gc.p, gc.cumg, coalesce(cc.n, 0) AS n
+         |         FROM cls CROSS JOIN gc
+         |         LEFT JOIN cc ON cc.c_nationkey = cls.c_nationkey
+         |           AND cc.c_mktsegment = cls.c_mktsegment
+         |           AND cc.bal_b = cls.bal_b AND cc.p = gc.p),
+         |cum AS (SELECT *, CAST(sum(n) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_b
+         |                                    ORDER BY p) AS BIGINT) AS cumc
+         |        FROM grid)
+         |SELECT c_nationkey, c_mktsegment, bal_b, n_c,
+         |  CAST(sum(abs(gtot * cumc - n_c * cumg)) AS BIGINT) AS emd_scaled,
+         |  CASE WHEN $TClosenessDenom * sum(abs(gtot * cumc - n_c * cumg))
+         |            <= $TClosenessNumer * n_c * gtot * (mdom - 1)
+         |       THEN 'within' ELSE 'skewed' END AS status
+         |FROM cum CROSS JOIN tot
+         |GROUP BY 1, 2, 3, 4, gtot, mdom""".stripMargin)
 }

@@ -186,6 +186,49 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, "RAIL")) == ((4L, 3L, "diverse")))
   }
 
+  test("tCloseness: a diverse-but-skewed class is caught; a corpus-shaped class is within") {
+    import spark.implicits._
+    // Global distribution is dominated by class A (100 orders, 50/50 over
+    // two priorities). Class B (10 orders, 50/50) mirrors it -> within at
+    // t=1/4. Class C (10 orders, ALL URGENT) is l-diverse-looking data's
+    // blind spot made distributional: EMD from the corpus ~0.45 > 1/4 ->
+    // skewed, even though k-anonymity passes on size.
+    val customers = (Seq((1L, 1L, "AUTO", 500.01)) ++ Seq((2L, 2L, "RAIL", 500.01)) ++
+      Seq((3L, 3L, "SHIP", 500.01)))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val orders = ((1 to 50).map(_ => (1L, "1-URGENT")) ++
+      (1 to 50).map(_ => (1L, "2-HIGH")) ++
+      Seq.fill(5)((2L, "1-URGENT")) ++ Seq.fill(5)((2L, "2-HIGH")) ++
+      Seq.fill(10)((3L, "1-URGENT")))
+      .toDF("o_custkey", "o_orderpriority")
+    // global: URGENT 65 / HIGH 55, N=120, m=2; cumg = (65, 120)
+    val out = Curation.tCloseness(customers, orders, 1L, 4L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    // class 1 (50/50): emd = |120*50 - 100*65| = 500; 4*500 <= 100*120 -> within
+    assert(out(1L) == ((100L, 500L, "within")), s"dominant class shapes the corpus: $out")
+    // class 2 (5/5): emd = |120*5 - 10*65| = 50; 4*50 <= 10*120 -> within
+    assert(out(2L) == ((10L, 50L, "within")))
+    // class 3 (all URGENT): emd = |120*10 - 10*65| = 550 -> EMD 0.458 > 1/4;
+    // 4*550 = 2200 > 10*120 = 1200 -> skewed despite k-anonymous size
+    assert(out(3L) == ((10L, 550L, "skewed")))
+  }
+
+  test("tCloseness: invariants on real data — EMD 0 iff corpus-shaped, bound respected") {
+    val out = Curation.tCloseness(graft.Tables.customer(spark, sf()),
+      graft.Tables.orders(spark, sf()), Curation.TClosenessNumer, Curation.TClosenessDenom)
+      .localCheckpoint(false)
+    assert(out.count() > 0)
+    assert(out.filter(col("emd_scaled") < 0).count() == 0, "scaled EMD is a sum of |.| terms")
+    // within-status classes must satisfy the cross-multiplied bound exactly
+    val m = graft.Tables.orders(spark, sf()).select("o_orderpriority").distinct().count()
+    val n = graft.Tables.orders(spark, sf()).join(
+      graft.Tables.customer(spark, sf()),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(out.filter(col("status") === "within" &&
+      lit(Curation.TClosenessDenom) * col("emd_scaled") >
+        lit(Curation.TClosenessNumer) * col("n_c") * lit(n) * lit(m - 1)).count() == 0)
+  }
+
   test("lDiversity: no class may be both >= l distinct and homogeneous on real data") {
     val out = Curation.lDiversity(graft.Tables.customer(spark, sf()),
       graft.Tables.orders(spark, sf()), Curation.LDiversityL)
