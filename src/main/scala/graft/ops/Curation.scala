@@ -282,6 +282,57 @@ object Curation {
           .otherwise(lit("homogeneous")).as("status"))
   }
 
+  /** APPLY the anonymization — emit the release-ready table rather than
+    * [[kAnonymity]]'s per-class report: every customer row comes back with
+    * its balance at the widest resolution that keeps the RELEASE
+    * k-anonymous — fine groups of size >= k keep the fine bucket; smaller
+    * groups pool at the 10× parent bucket, but only the rows ACTUALLY
+    * published coarse count toward that pool (the parent's `ok` residents
+    * publish fine and are a DIFFERENT equivalence class in the release —
+    * counting them, as a naive read of the audit's `generalized` status
+    * would, can leave a coarse subgroup of 1 publishable row: a
+    * re-identification); pools still below k publish NO balance at all.
+    * Output is k-anonymous BY CONSTRUCTION (spec-asserted on the release
+    * itself). `release_bucket` carries the published value, `resolution`
+    * the rung. Row count is always the input's: suppression withholds
+    * columns, not people (drop `resolution = 'suppressed'` rows for the
+    * stricter variant).
+    *
+    * Scale shape: both decision tables are QI-domain-bounded aggregates of
+    * the fine group table, BROADCAST back onto the fact — applying
+    * anonymization costs one map-side join, nothing more.
+    */
+  def anonymize(customers: DataFrame, k: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val shifted = "cast(round(c_acctbal * 100) as bigint) + 100000"
+    val qi = customers
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr(s"($shifted) div 10000").as("bal_b"))
+    val fine = qi.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_b"))
+      .agg(count(lit(1)).as("n"))
+    // pool of rows the parent bucket would ACTUALLY publish coarse
+    val coarsePool = fine.filter(col("n") < k)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("bal_b div 10").as("bal_p"))
+      .agg(sum(col("n")).as("pool"))
+    val decided = fine
+      .withColumn("bal_p", expr("bal_b div 10"))
+      .join(coarsePool, Seq("c_nationkey", "c_mktsegment", "bal_p"), "left")
+      .select(col("c_nationkey").as("a_nat"), col("c_mktsegment").as("a_seg"),
+        col("bal_b").as("a_bal"),
+        when(col("n") >= k, lit("fine"))
+          .when(col("pool") >= k, lit("coarse"))
+          .otherwise(lit("suppressed")).as("resolution"))
+    qi.join(broadcast(decided),
+        col("c_nationkey") === col("a_nat") && col("c_mktsegment") === col("a_seg") &&
+          col("a_bal") === col("bal_b"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        when(col("resolution") === "fine", col("bal_b"))
+          .when(col("resolution") === "coarse", expr("bal_b div 10"))
+          .otherwise(lit(null).cast("long")).as("release_bucket"),
+        col("resolution"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness: Privacy
     * Beyond k-Anonymity and l-Diversity", ICDE 2007) — the third rung of
     * the release-gate ladder: a class can be diverse yet still leak when
@@ -365,7 +416,9 @@ object Curation {
     "q_l_diversity" -> ((s, d) =>
       lDiversity(Tables.customer(s, d), Tables.orders(s, d), LDiversityL)),
     "q_t_closeness" -> ((s, d) =>
-      tCloseness(Tables.customer(s, d), Tables.orders(s, d), TClosenessNumer, TClosenessDenom)))
+      tCloseness(Tables.customer(s, d), Tables.orders(s, d), TClosenessNumer, TClosenessDenom)),
+    "q_anonymize" -> ((s, d) =>
+      anonymize(Tables.customer(s, d), KAnonymityK)))
 
   val KAnonymityK = 5L
   val LDiversityL = 3L
@@ -504,5 +557,26 @@ object Curation {
          |            <= $TClosenessNumer * n_c * gtot * (mdom - 1)
          |       THEN 'within' ELSE 'skewed' END AS status
          |FROM cum CROSS JOIN tot
-         |GROUP BY 1, 2, 3, 4, gtot, mdom""".stripMargin)
+         |GROUP BY 1, 2, 3, 4, gtot, mdom""".stripMargin,
+
+    "q_anonymize" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS bal_b
+         |           FROM customer),
+         |f AS (SELECT c_nationkey, c_mktsegment, bal_b, count(*) AS n
+         |      FROM c GROUP BY 1, 2, 3),
+         |cp AS (SELECT c_nationkey, c_mktsegment, bal_b // 10 AS bal_p, sum(n) AS pool
+         |       FROM f WHERE n < $KAnonymityK GROUP BY 1, 2, 3),
+         |a AS (SELECT f.c_nationkey, f.c_mktsegment, f.bal_b,
+         |        CASE WHEN f.n >= $KAnonymityK THEN 'fine'
+         |             WHEN cp.pool >= $KAnonymityK THEN 'coarse'
+         |             ELSE 'suppressed' END AS resolution
+         |      FROM f LEFT JOIN cp ON f.c_nationkey = cp.c_nationkey
+         |        AND f.c_mktsegment = cp.c_mktsegment AND f.bal_b // 10 = cp.bal_p)
+         |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+         |  CASE WHEN a.resolution = 'fine' THEN c.bal_b
+         |       WHEN a.resolution = 'coarse' THEN c.bal_b // 10 END AS release_bucket,
+         |  a.resolution
+         |FROM c JOIN a ON a.c_nationkey = c.c_nationkey
+         |  AND a.c_mktsegment = c.c_mktsegment AND a.bal_b = c.bal_b""".stripMargin)
 }

@@ -186,6 +186,38 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, "RAIL")) == ((4L, 3L, "diverse")))
   }
 
+  test("anonymize: output is k-anonymous BY CONSTRUCTION; row count preserved") {
+    val cust = graft.Tables.customer(spark, sf())
+    val out = Curation.anonymize(cust, Curation.KAnonymityK).localCheckpoint(false)
+    assert(out.count() == cust.count(), "suppression withholds columns, not people")
+    // every PUBLISHED (non-suppressed) QI group in the release must reach k
+    val published = out.filter(col("resolution") =!= "suppressed")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("resolution"), col("release_bucket"))
+      .agg(count(lit(1)).as("n"))
+    assert(published.filter(col("n") < Curation.KAnonymityK).count() == 0,
+      "a published group below k would re-identify — the audit exists to prevent exactly this")
+    // suppressed rows carry no balance information at all
+    assert(out.filter(col("resolution") === "suppressed" &&
+      col("release_bucket").isNotNull).count() == 0)
+  }
+
+  test("anonymize: a lone small group sharing its parent with an ok group is SUPPRESSED, not coarse") {
+    import spark.implicits._
+    // Parent bucket pools 5 (ok, publishes fine) + 1 (small). The audit's
+    // parent count (6 >= k) would call the small group 'generalized' — but
+    // in the RELEASE the ok rows publish fine, so the coarse class would
+    // hold exactly 1 row: re-identification. anonymize must count only the
+    // actually-coarse pool (1 < k) and suppress.
+    val rows = (1 to 5).map(i => (i.toLong, 1L, "AUTO", 500.00 + i * 0.01)) :+
+      ((6L, 1L, "AUTO", 610.01)) // same width-1000 parent, different fine bucket
+    val out = Curation.anonymize(
+      rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"), 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert((1 to 5).forall(i => out(i.toLong) == "fine"))
+    assert(out(6L) == "suppressed",
+      "publishing row 6 coarse would make a singleton equivalence class")
+  }
+
   test("tCloseness: a diverse-but-skewed class is caught; a corpus-shaped class is within") {
     import spark.implicits._
     // Global distribution is dominated by class A (100 orders, 50/50 over
