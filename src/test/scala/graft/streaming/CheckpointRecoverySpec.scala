@@ -97,6 +97,36 @@ class CheckpointRecoverySpec extends SparkSpec {
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
   }
 
+  test("over-window reorder buffer recovers from a RocksDB checkpoint too") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", graft.GraftSession.RocksDbProvider)
+    try {
+      val src = Sources.memoryStream[OverWindows.Event](spark)
+      val plan = OverWindows.byDuration(src.toDS(), sizeMs = 2000, watermarkDelay = "1 hour")
+      val ckpt = tmp("ckpt-over-rocks")
+      val out = tmp("out-over-rocks")
+      val q1 = plan.writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).outputMode("append").start()
+      try {
+        src.addData(Seq(OverWindows.Event(1, 1000, 1.0), OverWindows.Event(1, 2500, 2.0)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = plan.writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).outputMode("append").start()
+      try {
+        src.addData(Seq(OverWindows.Event(1, 2000, 3.0)))
+        q2.processAllAvailable()
+        src.addData(Seq(OverWindows.Event(2, 4000000000000000L, 0.0)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val events = Seq(OverWindows.Event(1, 1000, 1.0), OverWindows.Event(1, 2500, 2.0),
+        OverWindows.Event(1, 2000, 3.0))
+      assert(spark.read.parquet(out).as[OverWindows.OverOut].collect().toSet.filter(_.key == 1) ==
+        OverWindows.byDurationBatch(events.toDS(), 2000).collect().toSet,
+        "RocksDB-recovered pending rows must yield the batch frames exactly")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("over-window reorder buffer survives a restart: pre-restart pending rows fold in order") {
     import spark.implicits._
     val src = Sources.memoryStream[OverWindows.Event](spark)
