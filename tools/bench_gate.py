@@ -6,7 +6,14 @@ artifact (default bench_r11_final.json, recorded in a quiet session —
 see BASELINE.md "round 11 CLEAN-ROOM GATE") and reports:
 
   - WALL: queries whose median exceeds gate_ratio x the blessed median
-    (only where wall > min_wall — sub-100ms medians are scheduler noise);
+    (only where wall > min_wall, default 0.5 s — BASELINE's adjudication
+    data shows >2x spreads concentrate in sub-0.5 s queries where absolute
+    scheduler jitter dominates; a same-tree gate self-test reproduced
+    exactly that: 4 sub-second flags, all refuted by isolate-mode
+    spot-checks), AND whose absolute excess over the blessed median tops
+    abs_delta (default 0.5 s) — sub-second queries float in a startup/
+    page-cache band several-x wide with identical plans, so a ratio alone
+    cries wolf; a real regression on a query that matters clears both;
   - PLAN: queries whose shuffle_mb moved by more than shuffle_tol MB in
     either direction — a plan-shape change (broadcast<->shuffle flip,
     partitioning change), which is signal even when wall looks fine;
@@ -18,7 +25,7 @@ see BASELINE.md "round 11 CLEAN-ROOM GATE") and reports:
 Exit 0 iff no query fails the normalized wall gate and no plan deltas.
 
 Usage: python3 tools/bench_gate.py <fresh.json> [blessed.json]
-  GATE_RATIO (default 2.0), SHUFFLE_TOL_MB (default 2.0), MIN_WALL (0.1)
+  GATE_RATIO (default 2.0), SHUFFLE_TOL_MB (default 2.0), MIN_WALL (0.5)
 """
 import json
 import os
@@ -29,7 +36,8 @@ fresh_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
 blessed_path = sys.argv[2] if len(sys.argv) > 2 else "bench_r11_final.json"
 GATE = float(os.environ.get("GATE_RATIO", "2.0"))
 SH_TOL = float(os.environ.get("SHUFFLE_TOL_MB", "2.0"))
-MIN_WALL = float(os.environ.get("MIN_WALL", "0.1"))
+MIN_WALL = float(os.environ.get("MIN_WALL", "0.5"))
+ABS_DELTA = float(os.environ.get("ABS_DELTA_S", "0.5"))
 
 fresh = json.load(open(fresh_path))["queries"]
 blessed = json.load(open(blessed_path))["queries"]
@@ -54,7 +62,7 @@ wall_fails, plan_fails = [], []
 for k in common:
     f, b = med(fresh[k]), med(blessed[k])
     norm = (f / max(b, 1e-9)) / env
-    if norm > GATE and f > MIN_WALL:
+    if norm > GATE and f > MIN_WALL and (f - b) > ABS_DELTA:
         wall_fails.append((k, b, f, round(norm, 2)))
     d = sh(fresh[k]) - sh(blessed[k])
     if abs(d) > SH_TOL:
