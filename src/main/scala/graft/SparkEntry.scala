@@ -43,7 +43,7 @@ object SparkEntry {
       ops.RangeJoin.queries ++ ops.Corpus.queries ++ ops.Skew.queries ++
       ops.Cdc.queries ++ ops.Bpe.queries ++ ops.Classifier.queries ++ ops.Search.queries ++
       ops.Behavior.queries ++ ops.Sketches.queries ++ ops.Graph.queries ++
-      ops.Linkage.queries ++ ops.Stats.queries ++ api.GTableQueries.queries
+      ops.Linkage.queries ++ ops.Stats.queries ++ ops.Unigram.queries ++ api.GTableQueries.queries
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++ batch.DeepAnalytics.oracleSql ++
@@ -53,5 +53,5 @@ object SparkEntry {
       ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql ++ ops.Skew.oracleSql ++
       ops.Cdc.oracleSql ++ ops.Bpe.oracleSql ++ ops.Classifier.oracleSql ++ ops.Search.oracleSql ++
       ops.Behavior.oracleSql ++ ops.Sketches.oracleSql ++ ops.Graph.oracleSql ++
-      ops.Linkage.oracleSql ++ ops.Stats.oracleSql ++ api.GTableQueries.oracleSql
+      ops.Linkage.oracleSql ++ ops.Stats.oracleSql ++ ops.Unigram.oracleSql ++ api.GTableQueries.oracleSql
 }
