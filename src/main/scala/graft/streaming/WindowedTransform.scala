@@ -139,6 +139,46 @@ object WindowedTransform {
       fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] =
     slide(df, tsCol, keyCol, valueCol, sizeMs, sizeMs, watermark, recoverLate)(fn)
 
+  /** D1 opt-in (round-11 verdict item 8): the reference's per-EVENT firing
+    * cadence (SlideWindow.java:238-261 — the first row past a window's end
+    * triggers emission), re-expressed at micro-batch granularity as the
+    * composition watermark = "0 seconds" + recoverLate:
+    *
+    *   - delay-0 watermark = max event time seen: the trigger that carries
+    *     the first row past the window end advances the watermark to that
+    *     row's time, and Spark's no-data micro-batch then fires the timeout
+    *     in the SAME trigger round — the window emits on arrival of its
+    *     closing event, not a watermark-delay later. (A key silent in that
+    *     round still fires: the watermark is global, exactly like the
+    *     reference's shared clock.)
+    *   - any row arriving AFTER its window fired gets a single-element
+    *     window immediately — the reference's own late-row rule
+    *     (SlideWindow.java:345-366), which per-event firing makes the
+    *     common disorder path: with zero allowed lateness, cross-batch
+    *     disorder IS lateness.
+    *
+    * The residual, irreducible delta: events are delivered in micro-batch
+    * quanta, so "first row past the end" resolves per trigger, not per row —
+    * in-batch disorder is absorbed (rows sort at the fire), where the
+    * reference would have emitted mid-batch. Window CONTENTS and bounds are
+    * identical either way (EagerFireSpec pins the cadence and the recovery).
+    * For production pipelines the default watermark grades remain the right
+    * contract; this mode exists so a reference program's observable firing
+    * schedule has a runnable counterpart (DELTAS.md D1).
+    */
+  def eagerSlide[O: Encoder](
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      sizeMs: Long, slideMs: Long)(
+      fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] =
+    slide(df, tsCol, keyCol, valueCol, sizeMs, slideMs,
+      watermark = "0 seconds", recoverLate = true)(fn)
+
+  /** Tumbling form of [[eagerSlide]]. */
+  def eagerTumble[O: Encoder](
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String, sizeMs: Long)(
+      fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] =
+    eagerSlide(df, tsCol, keyCol, valueCol, sizeMs, sizeMs)(fn)
+
   /** Gap-based session with full-row access and N output rows per session;
     * bounds = [first, last + gap), reference close rule (gap ≥ timeout).
     */
