@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Seed-varied fixture generator — anti-overfit insurance (round-11 verdict
+item 3). All correctness evidence rides ONE deterministic fixture family;
+this produces same-shape, same-scale variants whose concrete values the
+queries were never tuned on:
+
+  - KEY PERMUTATION, domain-preserving: every key group (custkey across
+    customer+orders, partkey/suppkey across part/supplier+lineitem,
+    orderkey across orders+lineitem, doc_id, vec_id, event ids) is mapped
+    by a seeded affine bijection k -> lo + (a*(k-lo) + b) mod n over its
+    own [lo, hi] range — join structure, per-key cardinalities and
+    id-range predicates (doc_id < 20 benchmarks, % k demos) keep their
+    SELECTIVITY SHAPE while every concrete id changes.
+  - MEASURE JITTER: double measures scale by a per-(seed, column) factor
+    in [0.90, 1.10]; integer p_size shifts by seed % 5. Sort orders,
+    rounding boundaries and filter selectivities all move.
+  - TIME SHIFT: all timestamps move by seed*3 days (+ seed hours) —
+    window/session/as-of boundaries land elsewhere.
+  - TEXT RE-DRAW: documents.text Caesar-shifts by 7*seed mod 26 (seeded,
+    nonzero) — the whole token vocabulary, stopword hits, n-gram/BPE/
+    unigram statistics redraw while planted duplicate and near-duplicate
+    cluster STRUCTURE is preserved exactly (a bijective char map keeps
+    string equality and shingle overlap).
+  - EMBEDDING ROTATION: vectors rotate by seed positions (norm- and
+    neighborhood-structure-preserving, concrete buckets move).
+
+Every transform is a deterministic function of (seed, column), engine-
+neutral (applied to the parquet once; Spark and DuckDB read the same
+bytes). seed=0 is the identity fixture.
+
+Usage: python3 tools/gen_seeded.py [src] [dst] [seed]
+Defaults: /root/testdata/sf0.01 testdata/sf0.01_s1 1
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+DST = sys.argv[2] if len(sys.argv) > 2 else "testdata/sf0.01_s1"
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+# key groups: (table, column) lists sharing one id domain
+KEY_GROUPS = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+    "user_id": [("events", "user_id")],
+    "event_id": [("events", "event_id")],
+}
+
+# double measures to jitter (never key/id/time columns)
+JITTER_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "part": ["p_retailprice"],
+    "supplier": ["s_acctbal"],
+    "events": ["value"],
+}
+
+TS_COLS = {
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+    "events": ["ts"],
+}
+
+
+def h(*xs):
+    """Small deterministic hash for (seed, name) -> parameter draws."""
+    v = 2166136261
+    for x in xs:
+        for ch in str(x):
+            v = ((v ^ ord(ch)) * 16777619) & 0xFFFFFFFF
+    return v
+
+
+def affine_params(group, lo, hi):
+    n = hi - lo + 1
+    b = h(SEED, group, "b") % n
+    a = (h(SEED, group, "a") % n) | 1  # odd
+    while gcd(a, n) != 1:
+        a += 2
+        if a >= n:
+            a = 1
+    return a, b, n
+
+
+def gcd(a, b):
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    tables = {}
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        tables[t] = pq.read_table(f"{SRC}/{t}.parquet")
+
+    # key permutations, domain bounds over the whole group
+    for group, cols in KEY_GROUPS.items():
+        lo = min(pc.min(tables[t].column(c)).as_py() for t, c in cols)
+        hi = max(pc.max(tables[t].column(c)).as_py() for t, c in cols)
+        a, b, n = affine_params(group, lo, hi)
+        for t, c in cols:
+            tbl = tables[t]
+            i = tbl.schema.get_field_index(c)
+            k = pc.subtract(tbl.column(c).cast(pa.int64()), pa.scalar(lo, pa.int64()))
+            mapped = pc.add(
+                pc.add(pc.multiply(k, pa.scalar(a, pa.int64())), pa.scalar(b, pa.int64())),
+                pa.scalar(0, pa.int64()))
+            mapped = pc.add(
+                pc.subtract(mapped, pc.multiply(pc.divide(mapped, pa.scalar(n, pa.int64())),
+                                                pa.scalar(n, pa.int64()))),
+                pa.scalar(lo, pa.int64()))
+            tables[t] = tbl.set_column(i, tbl.schema.field(i), mapped.cast(pa.int64()))
+
+    # measure jitter
+    for t, cols in JITTER_COLS.items():
+        for c in cols:
+            tbl = tables[t]
+            if c not in tbl.schema.names:
+                continue
+            i = tbl.schema.get_field_index(c)
+            m = 0.90 + (h(SEED, t, c) % 21) / 100.0  # [0.90, 1.10]
+            tables[t] = tbl.set_column(
+                i, tbl.schema.field(i),
+                pc.multiply(tbl.column(c), pa.scalar(m, pa.float64())).cast(tbl.schema.field(i).type))
+    # integer size shift (stays >= 1)
+    if "p_size" in tables["part"].schema.names:
+        tbl = tables["part"]
+        i = tbl.schema.get_field_index("p_size")
+        tables["part"] = tbl.set_column(
+            i, tbl.schema.field(i),
+            pc.add(tbl.column("p_size"), pa.scalar(SEED % 5, pa.int32())).cast(tbl.schema.field(i).type))
+
+    # time shift: seed*3 days + seed hours
+    shift_us = SEED * 3 * 86_400_000_000 + SEED * 3_600_000_000
+    for t, cols in TS_COLS.items():
+        for c in cols:
+            tbl = tables[t]
+            if c not in tbl.schema.names:
+                continue
+            i = tbl.schema.get_field_index(c)
+            typ = tbl.schema.field(i).type
+            if pa.types.is_timestamp(typ):
+                unit = typ.unit
+                mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+                delta = shift_us // mult if unit != "ns" else shift_us * 1000
+                raw = tbl.column(c).cast(pa.int64())
+                shifted = pc.add(raw, pa.scalar(delta, pa.int64())).cast(typ)
+                tables[t] = tbl.set_column(i, tbl.schema.field(i), shifted)
+
+    # text re-draw: seeded Caesar (bijective -> cluster structure preserved)
+    rot = (7 * SEED) % 26
+    if rot:
+        trans = str.maketrans(ALPHA, ALPHA[rot:] + ALPHA[:rot])
+        tbl = tables["documents"]
+        i = tbl.schema.get_field_index("text")
+        shifted = pa.array(
+            [x if x is None else x.translate(trans) for x in tbl.column("text").to_pylist()],
+            pa.string())
+        tables["documents"] = tbl.set_column(i, tbl.schema.field(i), shifted)
+
+    # embedding rotation
+    tbl = tables["embeddings"]
+    i = tbl.schema.get_field_index("embedding")
+    rotv = [v if v is None else v[SEED % len(v):] + v[:SEED % len(v)]
+            for v in tbl.column("embedding").to_pylist()]
+    tables["embeddings"] = tbl.set_column(
+        i, tbl.schema.field(i), pa.array(rotv, tbl.schema.field(i).type))
+
+    for t, tbl in tables.items():
+        pq.write_table(tbl, f"{DST}/{t}.parquet", compression="snappy",
+                       row_group_size=1 << 20)
+        print(f"{t}: {tbl.num_rows} rows (seed {SEED})")
+
+
+if __name__ == "__main__":
+    main()
