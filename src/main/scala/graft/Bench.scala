@@ -161,8 +161,12 @@ object Bench {
     var spark = newSession(cpus)
 
     // warm-up pass (untimed; in isolate mode each query warms its own fresh
-    // session instead)
-    if (!isolate) ordered.foreach { case (_, fn) =>
+    // session instead). SPARK_GRAFT_BENCH_WARMUP=0 skips it — for the
+    // third-decade (sf100) probes a query runs minutes, the steady-state
+    // JIT delta is noise against that wall, and the warm-up would double
+    // the probe's cost for nothing.
+    val warmup = !sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("0")
+    if (!isolate && warmup) ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       sweep(spark)
     }
@@ -174,7 +178,7 @@ object Bench {
       case ((name, fn), i) =>
         if (isolate && i > 0) { spark.stop(); spark = newSession(cpus) }
         try {
-          if (isolate) { fn(spark, sfDir).count(); sweep(spark) } // per-query warm-up
+          if (isolate && warmup) { fn(spark, sfDir).count(); sweep(spark) } // per-query warm-up
           val gc0 = gcMs()
           val cpu0 = cpuMs()
           val sh0 = shuffleBytes(spark)

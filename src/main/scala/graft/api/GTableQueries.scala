@@ -89,7 +89,9 @@ object GTableQueries {
         r.getAs[String]("p_brand").toUpperCase,
         r.getAs[String]("p_type").take(5),
         r.getAs[Int]("p_size").toLong,
-        r2(r.getAs[Double]("p_retailprice") * 1.1)))
+        // twin's integer-cents uplift: round(x*110) is a nearest-integer on
+        // a near-integer value (no .5 boundary), /100.0 one IEEE division
+        Math.round(r.getAs[Double]("p_retailprice") * 110).toDouble / 100.0))
         .df
     }),
 

@@ -132,8 +132,11 @@ object DeepAnalytics {
     * quantity is under 20% of the part's average, for one brand. The
     * correlated per-part average becomes ONE per-part aggregate joined back;
     * the 20%-of-average test is the EXACT integer cross-multiplication
-    * 5·q·n < Σq (quantities are integral in this data), so no float
-    * threshold can disagree across engines. The brand filter lands before
+    * 5·q·n < Σq — quantities are integral in this data, and the cast goes
+    * through floor() so even a fixture variant with fractional quantities
+    * converts identically on both engines (CAST(double AS BIGINT) alone
+    * TRUNCATES in Spark but ROUNDS in DuckDB — flipped by the round-12
+    * seeded-fixture sweep before quantities were re-quantized). The brand filter lands before
     * the broadcast, and the per-part aggregate of one brand is small enough
     * to broadcast back against the same filtered fact.
     */
@@ -141,7 +144,7 @@ object DeepAnalytics {
     val fact = li(spark, dir)
       .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === Q17Brand)
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-      .select(col("p_partkey"), expr("cast(l_quantity as bigint)").as("q"),
+      .select(col("p_partkey"), expr("cast(floor(l_quantity) as bigint)").as("q"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
       .localCheckpoint()
     val perPart = fact.groupBy(col("p_partkey"))
@@ -164,7 +167,7 @@ object DeepAnalytics {
   def bigOrders(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(expr("cast(l_quantity as bigint)")).as("total_qty"))
+      .agg(sum(expr("cast(floor(l_quantity) as bigint)")).as("total_qty"))
       .filter(col("total_qty") > BigQty)
       .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
@@ -462,7 +465,7 @@ object DeepAnalytics {
 
     "q_small_qty_revenue" ->
       s"""WITH f AS (
-         |  SELECT p.p_partkey, CAST(l_quantity AS BIGINT) AS q,
+         |  SELECT p.p_partkey, CAST(floor(l_quantity) AS BIGINT) AS q,
          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
          |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          |  WHERE p.p_brand = '$Q17Brand'),
@@ -474,8 +477,8 @@ object DeepAnalytics {
 
     "q_big_orders" ->
       s"""WITH big AS (
-         |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-         |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > $BigQty)
+         |  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > $BigQty)
          |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
          |FROM big b
          |JOIN orders o ON o.o_orderkey = b.l_orderkey

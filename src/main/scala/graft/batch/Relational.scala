@@ -80,7 +80,13 @@ object Relational {
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_type"), 1, 5).as("type5"),
         col("p_size").cast("long").as("size_l"),
-        round(col("p_retailprice") * 1.1, 2).as("price_adj"))),
+        // price*1.1 to cents via integer rounding, NOT round(x*1.1, 2):
+        // exact-cent inputs × 1.1 land on 3-decimal .5 boundaries where
+        // Spark's decimal-string HALF_UP and DuckDB's nearbyint disagree
+        // (caught by the round-12 seeded-fixture sweep). x*110 is within
+        // ~1e-9 of an integer, so nearest-integer agrees on any engine,
+        // and bigint/100.0 is one IEEE division — bit-identical both sides.
+        (expr("cast(round(p_retailprice * 110) as bigint)") / 100.0).as("price_adj"))),
 
     "q_project_rename" -> ((s, d) =>
       nat(s, d)
@@ -414,7 +420,8 @@ object Relational {
 
     "q_select_scalar" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_type, 1, 5) AS type5,
-        |CAST(p_size AS BIGINT) AS size_l, round(p_retailprice * 1.1, 2) AS price_adj FROM part""".stripMargin,
+        |CAST(p_size AS BIGINT) AS size_l,
+        |CAST(round(p_retailprice * 110) AS BIGINT) / 100.0 AS price_adj FROM part""".stripMargin,
 
     "q_project_rename" ->
       "SELECT n_nationkey, n_name AS nation_name FROM nation",

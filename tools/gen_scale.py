@@ -71,36 +71,53 @@ def rotate_vecs(vec_col, cp):
     return pa.array(rot, vec_col.type)
 
 
+def copy_of(src, name, cp):
+    t = shift_keys(src, KEY_COLS.get(name, []), cp)
+    if name == "documents":
+        i = t.schema.get_field_index("doc_id")
+        t = t.set_column(i, t.schema.field(i),
+                         pc.add(t.column("doc_id"),
+                                pa.scalar(cp * OFF, pa.int64())).cast(pa.int64()))
+        j = t.schema.get_field_index("text")
+        t = t.set_column(j, t.schema.field(j), caesar(t.column("text"), cp))
+    if name == "embeddings":
+        i = t.schema.get_field_index("vec_id")
+        t = t.set_column(i, t.schema.field(i),
+                         pc.add(t.column("vec_id"),
+                                pa.scalar(cp * OFF, pa.int64())).cast(pa.int64()))
+        j = t.schema.get_field_index("embedding")
+        t = t.set_column(j, t.schema.field(j),
+                         rotate_vecs(t.column("embedding"), cp))
+    return t
+
+
 def gen(name):
     src = pq.read_table(f"{SRC}/{name}.parquet")
     if name in ("region", "nation"):
-        out = src
-    else:
-        parts = []
+        pq.write_table(src, f"{DST}/{name}.parquet", compression="snappy",
+                       row_group_size=1 << 20)
+        print(f"{name}: {src.num_rows} -> {src.num_rows}")
+        return
+    # Stream copies through a ParquetWriter: content identical to the old
+    # concat-then-write (same rows, same order), but memory stays ~one copy
+    # instead of FACTOR copies — at factor 1000 (sf100) the concat would
+    # need ~100 GB. Row groups stay ~1M rows via per-copy buffering.
+    total = 0
+    with pq.ParquetWriter(f"{DST}/{name}.parquet", src.schema,
+                          compression="snappy") as w:
+        buf = []
+        buf_rows = 0
         for cp in range(FACTOR):
-            t = shift_keys(src, KEY_COLS.get(name, []), cp)
-            if name == "documents":
-                i = t.schema.get_field_index("doc_id")
-                t = t.set_column(i, t.schema.field(i),
-                                 pc.add(t.column("doc_id"),
-                                        pa.scalar(cp * OFF, pa.int64())).cast(pa.int64()))
-                j = t.schema.get_field_index("text")
-                t = t.set_column(j, t.schema.field(j), caesar(t.column("text"), cp))
-            if name == "embeddings":
-                i = t.schema.get_field_index("vec_id")
-                t = t.set_column(i, t.schema.field(i),
-                                 pc.add(t.column("vec_id"),
-                                        pa.scalar(cp * OFF, pa.int64())).cast(pa.int64()))
-                j = t.schema.get_field_index("embedding")
-                t = t.set_column(j, t.schema.field(j),
-                                 rotate_vecs(t.column("embedding"), cp))
-            parts.append(t)
-        out = pa.concat_tables(parts)
-    # one row group per ~128MB keeps the scan parallelizable without
-    # thousands of tiny groups
-    pq.write_table(out, f"{DST}/{name}.parquet", compression="snappy",
-                   row_group_size=1 << 20)
-    print(f"{name}: {src.num_rows} -> {out.num_rows}")
+            t = copy_of(src, name, cp)
+            buf.append(t)
+            buf_rows += t.num_rows
+            total += t.num_rows
+            if buf_rows >= (1 << 20):
+                w.write_table(pa.concat_tables(buf), row_group_size=1 << 20)
+                buf, buf_rows = [], 0
+        if buf:
+            w.write_table(pa.concat_tables(buf), row_group_size=1 << 20)
+    print(f"{name}: {src.num_rows} -> {total}")
 
 
 def main():

@@ -56,14 +56,22 @@ KEY_GROUPS = {
     "event_id": [("events", "event_id")],
 }
 
-# double measures to jitter (never key/id/time columns)
+# double measures to jitter: column -> quantization decimals. Jittered
+# values are re-QUANTIZED to the fixture's domain invariant (integral
+# quantities, exact-cent money, 2-dec rates): the oracle-pair determinism
+# rules (round/cast agreement across engines) are predicated on these
+# domains, so a fixture variant must move values WITHIN them — the first
+# seeded sweep proved it by flipping CAST(double AS BIGINT) truncation
+# (Spark) vs rounding (DuckDB) on fractional quantities and round(x, 2)
+# at a double boundary Spark's decimal-string HALF_UP and DuckDB's
+# x*100-then-nearbyint resolve differently.
 JITTER_COLS = {
-    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    "orders": ["o_totalprice"],
-    "customer": ["c_acctbal"],
-    "part": ["p_retailprice"],
-    "supplier": ["s_acctbal"],
-    "events": ["value"],
+    "lineitem": {"l_quantity": 0, "l_extendedprice": 2, "l_discount": 2, "l_tax": 2},
+    "orders": {"o_totalprice": 2},
+    "customer": {"c_acctbal": 2},
+    "part": {"p_retailprice": 2},
+    "supplier": {"s_acctbal": 2},
+    "events": {"value": 2},
 }
 
 TS_COLS = {
@@ -124,17 +132,18 @@ def main():
                 pa.scalar(lo, pa.int64()))
             tables[t] = tbl.set_column(i, tbl.schema.field(i), mapped.cast(pa.int64()))
 
-    # measure jitter
+    # measure jitter (quantized back to the domain invariant)
     for t, cols in JITTER_COLS.items():
-        for c in cols:
+        for c, dec in cols.items():
             tbl = tables[t]
             if c not in tbl.schema.names:
                 continue
             i = tbl.schema.get_field_index(c)
             m = 0.90 + (h(SEED, t, c) % 21) / 100.0  # [0.90, 1.10]
+            jittered = pc.round(
+                pc.multiply(tbl.column(c), pa.scalar(m, pa.float64())), ndigits=dec)
             tables[t] = tbl.set_column(
-                i, tbl.schema.field(i),
-                pc.multiply(tbl.column(c), pa.scalar(m, pa.float64())).cast(tbl.schema.field(i).type))
+                i, tbl.schema.field(i), jittered.cast(tbl.schema.field(i).type))
     # integer size shift (stays >= 1)
     if "p_size" in tables["part"].schema.names:
         tbl = tables["part"]

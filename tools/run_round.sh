@@ -29,9 +29,16 @@ SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 python3 tools/bench_gate.py bench_out.json bench_r12_cleanroom.json
 
 if [ "$MODE" = "full" ]; then
-  echo "== 6/6 excluded-oracle invariant audit (sf1) =="
+  echo "== 6/7 excluded-oracle invariant audit (sf1) =="
   python3 tools/audit_invariants.py testdata/sf1 /tmp/graft_audit_round
+  echo "== 7/7 seed-varied fixture sweep (anti-overfit, 3 seeds at sf0.01) =="
+  for s in 1 2 3; do
+    [ -d "testdata/sf0.01_s$s" ] || python3 tools/gen_seeded.py /root/testdata/sf0.01 "testdata/sf0.01_s$s" "$s"
+    python3 tools/local_verify.py "testdata/sf0.01_s$s" "/tmp/graft_verify_s$s" \
+      | tee "/tmp/graft_seed_$s.log" | tail -2
+    ! grep -q '^FAIL' "/tmp/graft_seed_$s.log" # local_verify always exits 0
+  done
 else
-  echo "== 6/6 skipped (quick mode; run 'full' for the sf1 invariant audit) =="
+  echo "== 6/7 skipped (quick mode; 'full' adds the sf1 invariant audit + 3-seed fixture sweep) =="
 fi
 echo "ROUND GATES: ALL PASS"
