@@ -140,8 +140,17 @@ object Unigram {
     * [[encode]] segments with. [[train]] is its top-[[TopK]] view.
     */
   def trainVocab(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    // pinned: re-read every round AND feeds the candidate pool
-    val w = words(docs).localCheckpoint(false)
+    // pinned: re-read every round AND feeds the candidate pool.
+    // The explicit repartition is load-bearing: the distinct-words table is
+    // BYTE-small, so AQE coalesces the aggregate output to one partition —
+    // but each row then pays the O(len·MaxPieceLen) interpreted Viterbi DP,
+    // so the E-step would run on ONE core (first seen as a single-task
+    // 25-minute stage at sf10: ~500k distinct words × ~7 CPU-seconds/50k).
+    // Spreading CPU-heavy-but-small data over the cores is exactly the case
+    // AQE's size-based coalescing cannot see; at production corpus sizes
+    // this shuffle is vocabulary-sized, i.e. free.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val w = words(docs).repartition(par).localCheckpoint(false)
     val subs = substringCounts(w).localCheckpoint(false)
     val chars = subs.filter(length(col("piece")) === 1)
     val top = subs.orderBy(col("cnt").desc, col("piece")).limit(Candidates)
@@ -175,7 +184,15 @@ object Unigram {
   def encode(docs: DataFrame, vocabScores: DataFrame): DataFrame = {
     val mapDf = vocabScores.agg(
       map_from_entries(collect_list(struct(col("piece"), col("s")))).as("mp"))
+    // Rebalance the doc scan to core count BEFORE the per-occurrence DP:
+    // bytes-based input splits undersize the partition count for a stage
+    // whose cost is ~500 interpreted ops per TOKEN (a 150 MB parquet = 2
+    // splits = 2 cores grinding ~100M-token DPs). One doc-row shuffle buys
+    // full-width parallelism; on a real cluster input splits already exceed
+    // the core count and this becomes a cheap rebalance.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
+      .repartition(par)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
       .crossJoin(broadcast(mapDf))
