@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.{Determinism, GraftFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,18 +129,65 @@ object Dedup {
     s"transform(sequence(0, ${MinhashBands - 1}), " +
       s"b -> struct(b as band, slice(mh, b * $MinhashRows + 1, $MinhashRows) as sig))"
 
-  /** LSH candidate pairs: band signature = the 4 minhashes of the band; a pair
-    * is a candidate iff some band matches. Self-join on (band, sig) — the
-    * shuffle key is 4 longs, and at 100 TB the join input is N×4 rows, never
-    * N² pairs. `est_jaccard` = fraction of the 16 minhashes that agree (the
-    * standard unbiased Jaccard estimate).
+  /** Exact-duplicate content collapse — the precondition that keeps the whole
+    * near-dup chain linear at corpus scale. Docs with identical normalized
+    * token sequences have identical shingle sets, identical minhash
+    * signatures, and identical Jaccard against any third document, so every
+    * signature-level computation runs ONCE per distinct content and expands
+    * back through the (rep_id, doc_id) membership table. Without this, an
+    * exact-duplicate family of k docs costs O(k²) inside every LSH bucket it
+    * lands in — and real corpora grow duplicate families with corpus size
+    * (measured: candidate shuffle 30.7× and cluster shuffle 59.5× at 10×
+    * data on the sf100 probe). With it, the quadratic term is confined to
+    * final pair-list materialization (inherent in the output) or eliminated
+    * outright (clusters, survivor sets).
+    *
+    * `concat_ws(" ", toks)` round-trips the normalized text exactly (see
+    * `exactFromToks`) and tokens contain no whitespace, so the join is
+    * injective: fp collisions are md5 collisions. Returns (members, repSigs):
+    * members = (rep_id, doc_id) for every doc with >= 3 tokens (rep_id = the
+    * family's min doc_id), repSigs = (fp, doc_id = rep_id, mh[, hs]) one
+    * signature row per distinct content.
     */
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    minhashCandidatesFromToks(tokenize(docs))
+  private def collapseContent(t: DataFrame, withHs: Boolean): (DataFrame, DataFrame) = {
+    // Per-doc signature scan, map-only (one md5 per shingle, as ever). The
+    // token arrays never enter a shuffle: only (fp, mh[, hs]) move, and the
+    // min(struct) partial aggregation collapses a duplicate family to one
+    // signature row per input partition BEFORE the exchange — the collapse
+    // shuffle is bounded by distinct contents, not corpus size. hs (the
+    // exact-verification array) is computed only when the caller verifies.
+    val s0 = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), md5(concat_ws(" ", col("toks"))).as("fp"),
+        expr(s"transform($shinglesSql, s -> ${hashSql("s")})").as("h60"))
+    val mhC = GraftFunctions.minhashes(
+      expr(s"transform(h60, h -> h % ${MersennePrime}L)"), permCoeffs, MersennePrime)
+    // ONE signature pass over the corpus, pinned: the collapse aggregate and
+    // the membership window both read it (the uncollapsed verify chain ran
+    // this pass twice — candidates' signatures plus the verification's).
+    val s = (if (withHs) s0.select(col("doc_id"), col("fp"), mhC.as("mh"),
+        expr("array_sort(h60)").as("hs"))
+      else s0.select(col("doc_id"), col("fp"), mhC.as("mh")))
+      .localCheckpoint(false)
+    val w = if (withHs) struct(col("doc_id"), col("mh"), col("hs"))
+      else struct(col("doc_id"), col("mh"))
+    // Pinned: feeds candidate generation and both verify joins.
+    val repSigs = s.groupBy(col("fp")).agg(min(w).as("w"))
+      .select(Seq(col("w.doc_id").as("doc_id"), col("w.mh").as("mh")) ++
+        (if (withHs) Seq(col("w.hs").as("hs")) else Nil): _*)
+      .localCheckpoint(false)
+    // Pinned because the pair expansion reads it up to 4×.
+    val members = s.select(col("fp"), col("doc_id"))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(false)
+    (members, repSigs)
+  }
 
-  def minhashCandidatesFromToks(t: DataFrame): DataFrame = {
-    val sigs = minhashSignaturesFromToks(t)
-    val n = t.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  /** Banded LSH self-join over per-content signatures → candidate pairs at
+    * the representative level (doc_a < doc_b on rep ids, est_jaccard).
+    */
+  private def repCandidates(sigs: DataFrame): DataFrame = {
+    val n = sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val bands = sigs.select(
       col("doc_id"), col("mh"),
       explode(expr(bandStructsSql)).as("bs"))
@@ -157,6 +204,52 @@ object Dedup {
         expr("cast(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) as double) / " +
           s"$MinhashPerms").as("est_jaccard"))
       .distinct()
+  }
+
+  /** Expand representative-level pairs back to doc pairs: the cross-family
+    * join through `members` (every (a in fam(rep_a), b in fam(rep_b)) combo,
+    * reordered so doc_a < doc_b), plus the within-family all-pairs at
+    * similarity `selfSim` — identical contents always band-collide with all
+    * 16 minhashes (and all shingles) agreeing, so the uncollapsed chain
+    * emits every such pair at exactly 1.0. The within fan IS the output
+    * size, produced by an equi-join on pinned 16-byte rows (AQE skew-split
+    * handles a giant family); the explicit partition count keeps AQE from
+    * serializing the fan over the byte-small input.
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame, simName: String,
+      selfSim: Column, includeWithin: Boolean = true): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+      .join(members.select(col("rep_id").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col(simName))
+    if (!includeWithin) cross
+    else {
+      val n = members.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val within = members.select(col("rep_id"), col("doc_id").as("doc_a"))
+        .repartition(n, col("rep_id"))
+        .join(members.select(col("rep_id"), col("doc_id").as("doc_b")), Seq("rep_id"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), selfSim.as(simName))
+      cross.unionByName(within)
+    }
+  }
+
+  /** LSH candidate pairs: band signature = the 4 minhashes of the band; a pair
+    * is a candidate iff some band matches. Content-collapsed self-join on
+    * (band, sig) — the shuffle key is 4 longs, the join input is one row per
+    * DISTINCT CONTENT × 4 bands (never N² pairs, and never k² rows inside an
+    * exact-duplicate family's bucket), expanded back to doc pairs through the
+    * membership table. `est_jaccard` = fraction of the 16 minhashes that
+    * agree (the standard unbiased Jaccard estimate); within-family pairs are
+    * 16/16 = 1.0 by identity.
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromToks(tokenize(docs))
+
+  def minhashCandidatesFromToks(t: DataFrame): DataFrame = {
+    val (members, sigs) = collapseContent(t, withHs = false)
+    expandPairs(repCandidates(sigs), members, "est_jaccard", lit(1.0))
   }
 
   // --- SimHash --------------------------------------------------------------
@@ -391,19 +484,24 @@ object Dedup {
     lshVerifiedPairsFromToks(tokenize(docs), threshold)
 
   def lshVerifiedPairsFromToks(t: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val cand = minhashCandidatesFromToks(t).select(col("doc_a"), col("doc_b"))
-    val sh = t.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+    val (members, sigs) = collapseContent(t, withHs = true)
+    expandPairs(repVerified(sigs, threshold), members, "jaccard", lit(1.0),
+      includeWithin = 1.0 >= threshold)
+  }
+
+  /** Candidate generation + exact sorted-intersect verification over the
+    * per-content signature table: (doc_a, doc_b, jaccard) at the
+    * representative level, jaccard rounded like the public pair queries.
+    */
+  private def repVerified(sigs: DataFrame, threshold: Double): DataFrame =
+    repCandidates(sigs).select(col("doc_a"), col("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   // --- incremental (new increment vs admitted corpus) dedup ----------------
 
@@ -680,6 +778,36 @@ object Dedup {
       .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
   }
 
+  /** Near-dup clusters (doc_id, cluster_id) over the LSH-verified pair graph
+    * — result-identical to `connectedComponents(lshVerifiedPairs(docs))`,
+    * with the quadratic exact-duplicate cliques never materialized: CC runs
+    * over distinct-content REPRESENTATIVES only (a duplicate family is a
+    * clique, which contributes no connectivity beyond its representative, and
+    * cross-family verified pairs exist between ALL member combos or NONE —
+    * Jaccard depends only on content), then each member inherits its
+    * representative's cluster. A family of >= 2 docs whose content pairs with
+    * nothing still forms its own cluster — its within-family edges exist in
+    * the uncollapsed graph. cluster_id = component min rep_id = the
+    * component's min doc_id, since every rep IS its family's min.
+    *
+    * This is what keeps clustering linear: the sf100 probe measured the
+    * uncollapsed CC shuffling 45.6 GB (59.5× at 10× data) because every CC
+    * round re-shuffled the k² clique edges of each duplicate family.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
+    nearDupClustersFromToks(tokenize(docs), threshold)
+
+  def nearDupClustersFromToks(t: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val (members, sigs) = collapseContent(t, withHs = true)
+    val ccRep = connectedComponents(repVerified(sigs, threshold))
+    val fam = members.groupBy(col("rep_id")).agg(count(lit(1)).as("n"))
+    val repCluster = fam
+      .join(ccRep.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"), "left")
+      .filter(col("cluster_id").isNotNull || col("n") >= 2)
+      .select(col("rep_id"), coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+    members.join(repCluster, Seq("rep_id")).select(col("doc_id"), col("cluster_id"))
+  }
+
   /** Near-dedup survivor set: drop every non-representative member of an
     * LSH-verified near-dup cluster; docs in no cluster survive untouched.
     * The anti-join keys are doc ids — the corpus text never shuffles.
@@ -691,7 +819,7 @@ object Dedup {
     * near-dup cluster, from a pre-tokenized projection (doc_id, toks).
     */
   def nearDupMemberIdsFromToks(t: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
-    connectedComponents(lshVerifiedPairsFromToks(t, threshold))
+    nearDupClustersFromToks(t, threshold)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
 
@@ -778,7 +906,7 @@ object Dedup {
   def leakageSafeSplit(docs: DataFrame, pctVal: Int = 10, pctTest: Int = 10): DataFrame = {
     require(pctVal >= 0 && pctTest >= 0 && pctVal + pctTest < 100,
       s"val+test must leave room for train, got $pctVal/$pctTest")
-    val comp = connectedComponents(lshVerifiedPairs(docs))
+    val comp = nearDupClusters(docs)
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
@@ -799,7 +927,7 @@ object Dedup {
     "q_dedup_ngram" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q_dedup_prefix" -> ((s, d) => prefixFilteredPairs(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => lshVerifiedPairs(Tables.documents(s, d))),
-    "q_dedup_clusters" -> ((s, d) => connectedComponents(lshVerifiedPairs(Tables.documents(s, d)))),
+    "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     // increment = every 5th doc, corpus = the rest — a fixed deterministic

@@ -157,6 +157,46 @@ class DedupSpec extends SparkSpec {
     assert(kept.nonEmpty)
   }
 
+  test("content collapse: duplicate families expand exactly (pairs, est 1.0, clusters)") {
+    import spark.implicits._
+    // family A = {1,2,7} identical; family B = {3,4} identical AND a near-dup
+    // of A (one token differs); family C = {5,6} identical, near-dup of
+    // nothing; doc 8 unique; doc 9 too short for shingles
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely different text about distributed systems and shuffle planning"
+    val d = Seq(
+      (1L, a), (2L, a), (7L, a), (3L, b), (4L, b), (5L, c), (6L, c),
+      (8L, "unique text that resembles nothing else in this corpus at all"),
+      (9L, "too short"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.lshVerifiedPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // within-family pairs at exactly 1.0
+    for (p <- Seq((1L, 2L), (1L, 7L), (2L, 7L), (3L, 4L), (5L, 6L)))
+      assert(pairs.get(p).contains(1.0), s"within pair $p: ${pairs.get(p)}")
+    // cross-family A×B: ALL member combos, same jaccard on each
+    val crossAB = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 7L), (4L, 7L))
+    crossAB.foreach(p => assert(pairs.contains(p), s"cross pair $p missing"))
+    assert(crossAB.map(pairs).distinct.size == 1, "cross jaccard must be content-determined")
+    assert(pairs.size == 5 + 6, s"no other pairs expected: $pairs")
+    // clusters == generic CC over the expanded pair list (the uncollapsed
+    // formulation), including family C which pairs only within itself
+    val got = Dedup.nearDupClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Dedup.connectedComponents(Dedup.lshVerifiedPairs(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L), s"got $got")
+    // minhash candidates expand the same way (est 1.0 within)
+    val cand = Dedup.minhashCandidates(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cand((1L, 2L)) == 1.0 && cand((5L, 6L)) == 1.0)
+    assert(cand.keySet.intersect(crossAB.toSet) == crossAB.toSet)
+  }
+
   test("duplicate spans: keep-first across docs, self-repeat within a doc, islands merge") {
     import spark.implicits._
     val run = "one two three four five six seven eight nine ten eleven twelve" // 12 toks
