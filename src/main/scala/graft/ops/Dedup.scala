@@ -421,7 +421,30 @@ object Dedup {
     * output, not waste.
     */
   def prefixFilteredPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val sh = sortedShingleHashes(docs).localCheckpoint()
+    // Content collapse keyed by (lang, fp): the language block is part of the
+    // pair predicate, so identical texts under different lang stay distinct
+    // families. Index and verification run once per distinct content —
+    // without this an exact-duplicate family of k docs puts all k copies in
+    // every one of its prefix-token postings, an O(k²) candidate fan (the
+    // same break the sf100 probe caught in the LSH chain). df-rarity is
+    // counted over distinct contents: ANY one global token order preserves
+    // the prefix-filter recall guarantee, and the exact verification keeps
+    // the output independent of the order chosen.
+    val base = docs
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), md5(concat_ws(" ", col("toks"))).as("fp"),
+        expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
+      .localCheckpoint(false)
+    val sh = base.groupBy(col("lang"), col("fp"))
+      .agg(min(struct(col("doc_id"), col("hs"))).as("w"))
+      .select(col("lang"), col("w.doc_id").as("doc_id"), col("w.hs").as("hs"))
+      .localCheckpoint(false)
+    val members = base.select(col("lang"), col("fp"), col("doc_id"))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("lang"), col("fp"))))
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(false)
     val ex = sh.select(col("doc_id"), col("lang"),
       size(col("hs")).as("s"), explode(col("hs")).as("h"))
     val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -438,7 +461,7 @@ object Dedup {
       .filter(lit(1L) + least(col("s_a") - col("rn_a"), col("s_b") - col("rn_b")) >=
         ceil((col("s_a") + col("s_b")) * lit(threshold / (1.0 + threshold))))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cand
+    val repPairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
@@ -446,6 +469,7 @@ object Dedup {
         col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    expandPairs(repPairs, members, "jaccard", lit(1.0), includeWithin = 1.0 >= threshold)
   }
 
   /** LSH candidates → exact verification, composed — THE 100 TB near-dedup
@@ -593,6 +617,27 @@ object Dedup {
   def incrementalNearDupPairsFromSigs(
       newSigs: DataFrame, corpusSigs: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
+    // Content collapse per side, keyed by the signature array itself: sigs
+    // arrive pre-computed (the FromSigs contract — history is never
+    // re-signed), and identical sorted shingle-hash sets imply identical
+    // minhashes and identical Jaccard vs anything, so each side bands one
+    // row per distinct content. Identical contents ACROSS sides need no
+    // special case: their reps band-collide and verify at exactly 1.0, so
+    // expansion covers every (new member, corpus member) combo. Sides are
+    // preserved (doc_a = new doc, doc_b = corpus doc), unlike the
+    // within-corpus expansion's least/greatest reorder.
+    def collapse(sigs: DataFrame) = {
+      val reps = sigs.groupBy(col("hs"))
+        .agg(min(struct(col("doc_id"), col("mh"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.mh").as("mh"), col("hs"))
+        .localCheckpoint(false)
+      val mem = sigs.select(col("hs"), col("doc_id"))
+        .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("hs"))))
+        .select(col("rep_id"), col("doc_id"))
+      (reps, mem)
+    }
+    val (newReps, newMem) = collapse(newSigs)
+    val (corpusReps, corpusMem) = collapse(corpusSigs)
     def bands(sigs: DataFrame, side: String) = sigs.select(
       col("doc_id").as(side),
       explode(expr(bandStructsSql)).as("bs"))
@@ -600,17 +645,21 @@ object Dedup {
     // Explicit partition count for the same AQE reason as minhashCandidates;
     // candidates carry only ids so the verify joins stay compact-key.
     val n = newSigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    bands(newSigs, "doc_a").repartition(n, col("band"), col("sig"))
-      .join(bands(corpusSigs, "doc_b").repartition(n, col("band"), col("sig")),
+    val repPairs = bands(newReps, "doc_a").repartition(n, col("band"), col("sig"))
+      .join(bands(corpusReps, "doc_b").repartition(n, col("band"), col("sig")),
         Seq("band", "sig"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .join(newSigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(corpusSigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .join(newReps.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(corpusReps.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    repPairs
+      .join(newMem.select(col("rep_id").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+      .join(corpusMem.select(col("rep_id").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
   }
 
   // --- substring-level (span) dedup ----------------------------------------
