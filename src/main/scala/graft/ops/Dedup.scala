@@ -897,7 +897,8 @@ object Dedup {
 
   // --- semantic dedup (SemDeDup) -------------------------------------------
 
-  val SemCells = Similarity.IvfCells // coarse clusters for the pair scope
+  val SemCells = Similarity.IvfCells // MINIMUM coarse-cell count
+  val SemTargetCell = 1250 // vectors per cell the within-cell pass is sized for
   val SemThreshold = 0.35
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings with
@@ -909,23 +910,40 @@ object Dedup {
     *
     * Scale shape: assignment is a broadcast argmax over the centroid set
     * (map-only); the pairwise compare is an equi-join on `cell`, so the
-    * quadratic term is (N/k)² per cell, never N² — and k is the scale knob:
-    * production runs k ∝ N / target-cell-size (the paper uses 50k clusters
-    * for LAION), keeping per-cell work constant as the corpus grows. Cell
-    * sizes are bounded-checked in SemDedupSpec. Seed centroids are the same
-    * deterministic training-free quantizer `Similarity.ivfTopK` uses; swap
-    * in `Similarity.trainedCentroids` for better-centered cells.
+    * quadratic term is (N/k)² per cell, never N² — and k SCALES WITH THE
+    * CORPUS, k = max(SemCells, ⌈N / SemTargetCell⌉), exactly the paper's
+    * knob (50k clusters for LAION): per-cell work stays constant as the
+    * corpus grows, total linear. A FIXED k would make this pass N²/k — the
+    * same super-linear class the sf100 probe caught in the LSH chain (at
+    * 2M vectors, fixed k=16 is ~2.5e11 within-cell dot products; scaled
+    * k=1600 is ~1.25e9). The one count job sizing k is the documented
+    * model-parameter read class (incrementalExactBloom's auto-size); the
+    * oracle computes the same integer expression, so the cell partition is
+    * engine-identical at every SF — and k == SemCells on every fixture up
+    * to sf1 (≤ 20k vectors). Cell sizes are bounded-checked in
+    * SemDedupSpec. Seed centroids are the same deterministic training-free
+    * quantizer `Similarity.ivfTopK` uses; swap in
+    * `Similarity.trainedCentroids` for better-centered cells.
     */
   def semanticDedup(embs: DataFrame): DataFrame = {
     val e = Similarity.normalized(embs)
-    val cents = e.filter(col("vec_id") < SemCells)
+    val k = math.max(SemCells.toLong,
+      (embs.count() + SemTargetCell - 1) / SemTargetCell)
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val asg = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("nv"), col("cell"),
+    // argmax(ccos, tie -> min cell) as a map-side-combining aggregate: the
+    // broadcast cross product is N×k rows, but the partial HashAggregate
+    // collapses them per vec_id BEFORE the exchange, so the shuffle carries
+    // N rows no matter how large k scales (a row_number window here would
+    // shuffle all N×k rows). min(struct(-ccos, cell)) == orderBy(ccos desc,
+    // cell) rank 1; nv re-attaches by id join.
+    val best = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cell"),
         GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"))
+    val asg = best.join(e, Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("nv"))
     val a = asg.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"), col("nv").as("va"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"), col("nv").as("vb"))
@@ -1241,7 +1259,9 @@ object Dedup {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
          |nv AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
-         |c AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $SemCells),
+         |k AS (SELECT greatest($SemCells, (count(*) + ${SemTargetCell - 1}) // $SemTargetCell) AS k
+         |      FROM embeddings),
+         |c AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < (SELECT k FROM k)),
          |r AS (SELECT v.vec_id, c.cell,
          |        row_number() OVER (PARTITION BY v.vec_id
          |          ORDER BY list_sum([v.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS rk

@@ -70,4 +70,21 @@ class SemDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "within-cell compare must be an equi-join on cell")
   }
+
+  test("cell count scales with the corpus: k = max(SemCells, ceil(N / SemTargetCell))") {
+    // 25k deterministic well-spread vectors -> k = 20 > the SemCells floor,
+    // so some vectors must land in cells the fixed quantizer did not have.
+    // (At every shipped fixture up to sf1, N <= 20k keeps k == SemCells —
+    // this is the only place the knob engages below sf10.)
+    val n = 25 * 1000
+    val big = spark.range(n).selectExpr("id as vec_id",
+      "transform(sequence(1, 8), i -> cast(sin(cast(id * i + i as double)) as float)) as embedding")
+    val cells = Dedup.semanticDedup(big).select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val expectedK = math.max(Dedup.SemCells, (n + Dedup.SemTargetCell - 1) / Dedup.SemTargetCell)
+    assert(expectedK == 20)
+    assert(cells.max >= Dedup.SemCells,
+      s"scaled quantizer must populate cells past the fixed floor, got max ${cells.max}")
+    assert(cells.max < expectedK, "cell ids are centroid vec_ids < k")
+  }
 }
