@@ -26,7 +26,7 @@ sbt -batch test
 echo "== 5/6 bench (sf0.1, 3-pass) + regression gate =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_BENCH_OUT=bench_out.json bash tools/run_verify.sh graft.Bench | tail -1
-python3 tools/bench_gate.py bench_out.json bench_r12_cleanroom.json
+python3 tools/bench_gate.py bench_out.json bench_r12_final.json
 
 if [ "$MODE" = "full" ]; then
   echo "== 6/7 excluded-oracle invariant audit (sf1) =="
