@@ -122,15 +122,12 @@ object Similarity {
     val e = normalized(embs)
     val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
-    // cell assignment: nearest centroid by cosine (ties -> lowest cell id)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("nv"), col("cell"),
-        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
-      .withColumn("crk", row_number().over(wAssign))
-    val corpusCells = assigned.filter(col("crk") === 1)
+    // cell assignment: nearest centroid by cosine (ties -> lowest cell id).
+    // Corpus side = the argmax aggregate (shuffles N rows, never N×cells);
+    // the top-IvfProbes rank runs only over the query-sized side.
+    val corpusCells = ivfAssign(e, cents)
       .select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))
-    val queryProbes = assigned.filter(col("vec_id") < QueryCount && col("crk") <= IvfProbes)
+    val queryProbes = ivfAssign(e.filter(col("vec_id") < QueryCount), cents, IvfProbes)
       .select(col("cell"), col("vec_id").as("q_id"), col("nv").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     queryProbes.join(corpusCells, Seq("cell"))
@@ -158,13 +155,29 @@ object Similarity {
     * computes a query set's probe fan-out.
     */
   def ivfAssign(e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    e.join(broadcast(cents), lit(true))
+    val scored = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("nv"), col("cell"),
         GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") <= probes)
-      .select(col("cell"), col("vec_id"), col("nv"), col("crk"))
+    if (probes == 1)
+      // argmax as a map-side-combining aggregate: a row_number window here
+      // would shuffle ALL |e|×|cents| scored rows (the dominant exchange of
+      // every index build once cells scale); min(struct) collapses each
+      // vector's candidate rows BEFORE the exchange, so the shuffle carries
+      // |e| rows regardless of the cell count. Identical tie semantics to
+      // orderBy(ccos desc, cell) rank 1; nv rides in the struct and is
+      // never compared — (−ccos, cell) is unique within a vec_id group.
+      scored.groupBy(col("vec_id"))
+        .agg(min(struct(negate(col("ccos")), col("cell"), col("nv"))).as("w"))
+        .select(col("w.cell").as("cell"), col("vec_id"), col("w.nv").as("nv"),
+          lit(1).as("crk"))
+    else {
+      // top-`probes` cells need a rank; callers only pass QUERY-sized
+      // inputs here (|e| = QueryCount), so this window is tiny by contract.
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+      scored.withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") <= probes)
+        .select(col("cell"), col("vec_id"), col("nv"), col("crk"))
+    }
   }
 
   /** IVF probe over a PRECOMPUTED index table (`ivfAssign(_, cents)` rows,
@@ -260,15 +273,17 @@ object Similarity {
       explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
         s"j -> struct(j as j, slice(nv, j * $PqSubDim + 1, $PqSubDim) as xv))")).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.xv").as("xv"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2"), col("code"))
+    // argmin per (vector, subspace) as a map-side-combining aggregate: the
+    // window form shuffled N×PqSubspaces×PqCodes scored rows (128× the
+    // corpus); the aggregate shuffles N×PqSubspaces. Tie semantics are
+    // identical to orderBy(d2, code) rank 1.
     sub.join(broadcast(cents), Seq("j"))
       .select(col("vec_id"), col("j"), col("code"),
         round(GraftFunctions.dot(col("cv"), col("cv"))
           - lit(2.0) * GraftFunctions.dot(col("xv"), col("cv")), 6).as("d2"))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id").as("n_id"), col("j"), col("code"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("w"))
+      .select(col("vec_id").as("n_id"), col("j"), col("w.code").as("code"))
   }
 
   /** (q_id, j, code, ip) query-side ADC lookup tables: <q_j, c_{j,code}>,
@@ -411,12 +426,9 @@ object Similarity {
     * partial-aggregation fold order (the oracle unrolls the same steps).
     */
   private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("nv"), col("cell"),
-        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+    // assignment = the same argmax aggregate as ivfAssign: each Lloyd pass
+    // shuffles N rows, not N×cells scored rows
+    val assigned = ivfAssign(e, cents)
     assigned
       .select(col("cell"), posexplode(col("nv")))
       .groupBy(col("cell"), col("pos"))
@@ -452,14 +464,9 @@ object Similarity {
   def ivfTopKTrained(embs: DataFrame): DataFrame = {
     val e = normalized(embs).localCheckpoint(false)
     val cents = trainedCentroids(e)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("nv"), col("cell"),
-        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
-      .withColumn("crk", row_number().over(wAssign))
-    val corpusCells = assigned.filter(col("crk") === 1)
+    val corpusCells = ivfAssign(e, cents)
       .select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))
-    val queryProbes = assigned.filter(col("vec_id") < QueryCount && col("crk") <= IvfProbes)
+    val queryProbes = ivfAssign(e.filter(col("vec_id") < QueryCount), cents, IvfProbes)
       .select(col("cell"), col("vec_id").as("q_id"), col("nv").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     queryProbes.join(corpusCells, Seq("cell"))
