@@ -926,7 +926,13 @@ object Dedup {
     * `Similarity.trainedCentroids` for better-centered cells.
     */
   def semanticDedup(embs: DataFrame): DataFrame = {
-    val e = Similarity.normalized(embs)
+    // Explicit repartition: the vector scan is byte-small but the k-scaled
+    // assignment is CPU-dense (N×k dots), so file-split partitioning (~5
+    // partitions for the sf100 embeddings) serializes it — the same
+    // bytes-vs-CPU inversion as the unigram Viterbi stages (PLANS.md).
+    // Measured at sf100: 1330 s at ~2.4 busy cores → repartitioned, all 32.
+    val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = Similarity.normalized(embs).repartition(n)
     val k = math.max(SemCells.toLong,
       (embs.count() + SemTargetCell - 1) / SemTargetCell)
     val cents = e.filter(col("vec_id") < k)
