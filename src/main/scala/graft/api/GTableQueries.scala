@@ -89,9 +89,9 @@ object GTableQueries {
         r.getAs[String]("p_brand").toUpperCase,
         r.getAs[String]("p_type").take(5),
         r.getAs[Int]("p_size").toLong,
-        // twin's integer-cents uplift: round(x*110) is a nearest-integer on
-        // a near-integer value (no .5 boundary), /100.0 one IEEE division
-        Math.round(r.getAs[Double]("p_retailprice") * 110).toDouble / 100.0))
+        // twin's integer-mills uplift: x*1100 = cents*11 is truly integral
+        // (x*110 ties at .5 for cents ≡ 5 mod 10), /1000.0 one IEEE division
+        Math.round(r.getAs[Double]("p_retailprice") * 1100).toDouble / 1000.0))
         .df
     }),
 

@@ -80,13 +80,17 @@ object Relational {
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_type"), 1, 5).as("type5"),
         col("p_size").cast("long").as("size_l"),
-        // price*1.1 to cents via integer rounding, NOT round(x*1.1, 2):
-        // exact-cent inputs × 1.1 land on 3-decimal .5 boundaries where
-        // Spark's decimal-string HALF_UP and DuckDB's nearbyint disagree
-        // (caught by the round-12 seeded-fixture sweep). x*110 is within
-        // ~1e-9 of an integer, so nearest-integer agrees on any engine,
-        // and bigint/100.0 is one IEEE division — bit-identical both sides.
-        (expr("cast(round(p_retailprice * 110) as bigint)") / 100.0).as("price_adj"))),
+        // price*1.1 via integer rounding, NOT round(x*1.1, 2): exact-cent
+        // inputs × 1.1 land on 3-decimal .5 boundaries where Spark's
+        // decimal-string HALF_UP and DuckDB's nearbyint disagree (caught by
+        // the round-12 seeded-fixture sweep). The multiplier must make the
+        // true value INTEGRAL, not merely near a boundary: x*110 = cents*1.1
+        // still ends exactly on .5 whenever cents ≡ 5 (mod 10), so its green
+        // runs were tie-luck. x*1100 = cents*11 is truly an integer — the
+        // IEEE product is within float noise of it, nearest-integer agrees
+        // on any engine, and bigint/1000.0 is one IEEE division —
+        // bit-identical both sides, and the exact ×1.1 value to the mill.
+        (expr("cast(round(p_retailprice * 1100) as bigint)") / 1000.0).as("price_adj"))),
 
     "q_project_rename" -> ((s, d) =>
       nat(s, d)
@@ -421,7 +425,7 @@ object Relational {
     "q_select_scalar" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_type, 1, 5) AS type5,
         |CAST(p_size AS BIGINT) AS size_l,
-        |CAST(round(p_retailprice * 110) AS BIGINT) / 100.0 AS price_adj FROM part""".stripMargin,
+        |CAST(round(p_retailprice * 1100) AS BIGINT) / 1000.0 AS price_adj FROM part""".stripMargin,
 
     "q_project_rename" ->
       "SELECT n_nationkey, n_name AS nation_name FROM nation",

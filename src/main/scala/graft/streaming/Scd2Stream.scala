@@ -34,7 +34,10 @@ import org.apache.spark.sql.types._
   *   - a duplicate (time, tiebreak) arrival REPLACES its version (the
   *     AsOfStream equal-time convention), so at-least-once upstream
   *     delivery cannot duplicate history; `tiebreak` must be unique within
-  *     (keys, time) — the batch operator's exact contract.
+  *     (keys, time) — the batch operator's exact contract. If two DIFFERENT
+  *     payloads share (time, tiebreak) inside one micro-batch the winner is
+  *     a deterministic total order on the payload (see `step`), never the
+  *     group-iterator order.
   *
   * Event time is epoch-millis (`__time__` convention); TimestampType
   * columns are normalized via `unix_millis` (the AsOfStream rule — a bare
@@ -69,9 +72,20 @@ object Scd2Stream {
     }
     def key(v: (Long, Row)) = (v._1, tbOf(v._2))
     val oldKeys = versions.iterator.map(key).toSet
-    // last-in-batch wins among same-(t,tb) arrivals, then replace-or-insert
+    // Same-(t,tb) arrivals within one batch dedup to ONE winner, chosen by a
+    // total order on the rendered payload (lexicographic max) — NOT iterator
+    // order, which is shuffle-partition-order dependent and could flip
+    // between two different payloads across micro-batch replays. With
+    // at-least-once upstream delivery the duplicates are byte-identical and
+    // the choice is moot; when they genuinely differ the winner is at least
+    // replay-stable.
     val dedupIn = incoming.foldLeft(Map.empty[(Long, Any), (Long, Row)]) {
-      (m, v) => m.updated(key(v), v)
+      (m, v) =>
+        val k = key(v)
+        m.get(k) match {
+          case Some(prev) if prev._2.toString >= v._2.toString => m
+          case _ => m.updated(k, v)
+        }
     }
     val inKeys = dedupIn.keySet
     val newKeys = inKeys.filterNot(oldKeys)
@@ -142,9 +156,18 @@ object Scd2Stream {
       state.update(Row(merged.drop(evict).map { case (t, v) => Row(t, v) }))
       out.iterator
     }
+    // EventTimeTimeout is LOAD-BEARING, not a wake mechanism (no timeout is
+    // ever set): FlatMapGroupsWithStateExec drops watermark-late input rows
+    // ONLY under EventTimeTimeout. The state eviction in `step` (prefix whose
+    // successor is behind the watermark) is sound only if a row older than
+    // the watermark never reaches the operator — under NoTimeout it WOULD be
+    // processed against the truncated version list, yielding overlapping
+    // intervals. Batch path keeps NoTimeout (no watermark exists there).
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     watermarked
       .groupByKey((r: Row) => r.getStruct(0))(keyEnc)
-      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout())(func)(stateEnc, outEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), timeoutConf)(func)(stateEnc, outEnc)
       .select((keys ++ payCols ++ Seq("effective_from", "effective_to", "is_current")).map(col): _*)
   }
 

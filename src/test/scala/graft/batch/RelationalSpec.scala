@@ -18,6 +18,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("price_adj integer-mills uplift is exact on the cents ≡ 5 (mod 10) tie class") {
+    import spark.implicits._
+    // cents*1.1 ends exactly on .5 for cents ≡ 5 (mod 10) — the class where
+    // round(x*110) sat on a HALF_UP-vs-banker's tie. cents*11 is integral:
+    // the expression must return the exact ×1.1 value to the mill for EVERY
+    // cent residue, ties included.
+    val cents = (0L until 1000L) ++ Seq(5L, 15L, 25L, 95L, 105L, 999995L, 1234565L)
+    val df = cents.map(c => (c, c / 100.0)).toDF("cents", "p_retailprice")
+    val out = df.select(col("cents"),
+      (expr("cast(round(p_retailprice * 1100) as bigint)") / 1000.0).as("price_adj"))
+      .collect()
+    out.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getDouble(1) == (c * 11L) / 1000.0, s"cents=$c")
+    }
+  }
+
   test("rollup emits per-group, per-prefix, and grand-total rows") {
     val out = Relational.queries("q_rollup")(spark, sf()).collect()
     assert(out.exists(r => r.getString(0) == "ALL" && r.getString(1) == "ALL"))

@@ -78,6 +78,44 @@ class Scd2StreamSpec extends SparkSpec {
     }
   }
 
+  test("watermark-late change is dropped before the operator, never splits an evicted interval") {
+    import spark.implicits._
+    withDerby { url =>
+      val src = Sources.memoryStream[(Long, String, Long, Long)](spark)
+      val changes = src.toDS().toDF("user_id", "plan", "ts_ms", "change_id")
+      val q = Scd2Stream.materializeJdbc(changes, url, "scd2_t",
+        keys = Seq("user_id"), tsCol = "ts_ms", tiebreak = "change_id",
+        watermarkDelay = "1 second") // TIGHT delay: this spec exercises lateness
+        .option("checkpointLocation", Files.createTempDirectory("ckp-scd2-late").toString)
+        .start()
+      try {
+        // b1 advances the watermark far past the early history: after this
+        // batch wm = 100_000 - 1_000 = 99_000
+        val b1 = Seq((1L, "free", 100L, 10L), (1L, "pro", 300L, 11L),
+          (1L, "max", 100000L, 19L))
+        src.addData(b1); q.processAllAvailable()
+        assert(served(url) == batchScd2(b1))
+
+        // b2: one on-time change (triggers the eviction path for user 1: the
+        // [100,300) prefix is immutable under wm=99_000 and prunes) PLUS one
+        // watermark-late change at ts 200 that — were it processed against
+        // the truncated version list — would open an overlapping interval.
+        // EventTimeTimeout drops it before the operator (the D2 contract).
+        val b2 = Seq((1L, "plus", 100500L, 13L), (1L, "trial", 200L, 12L))
+        src.addData(b2); q.processAllAvailable()
+        val expected = batchScd2(b1 :+ (1L, "plus", 100500L, 13L))
+        assert(served(url) == expected, "late ts=200 row must be dropped, not applied")
+        assert(!served(url).exists(_._2 == "trial"))
+        // no overlapping intervals in the serving table
+        val iv = served(url).filter(_._1 == 1L).toSeq.sortBy(_._3)
+        iv.sliding(2).foreach {
+          case Seq(a, b) => assert(a._4.contains(b._3), s"gap/overlap between $a and $b")
+          case _ =>
+        }
+      } finally q.stop()
+    }
+  }
+
   test("interval state survives a restart from checkpoint (late split lands after the stop)") {
     import spark.implicits._
     withDerby { url =>
@@ -120,10 +158,14 @@ class Scd2StreamSpec extends SparkSpec {
     // replacement: only the replaced version re-emits
     val (c3, m3, _) = Scd2Stream.step(m2, Seq((200L, pay("trial14", 12L))), Long.MinValue, tb)
     assert(c3 == Seq(1) && m3(1)._2.getString(0) == "trial14")
-    // same-(t,tb) within one batch: last wins, single version
+    // same-(t,tb) within one batch: deterministic winner by payload total
+    // order (lexicographic max), NOT arrival order — both orders pick "b"
     val (_, m4, _) = Scd2Stream.step(IndexedSeq.empty,
       Seq((100L, pay("a", 1L)), (100L, pay("b", 1L))), Long.MinValue, tb)
     assert(m4.length == 1 && m4(0)._2.getString(0) == "b")
+    val (_, m4r, _) = Scd2Stream.step(IndexedSeq.empty,
+      Seq((100L, pay("b", 1L)), (100L, pay("a", 1L))), Long.MinValue, tb)
+    assert(m4r.length == 1 && m4r(0)._2.getString(0) == "b")
   }
 
   test("step: watermark eviction prunes the immutable prefix, never the open tail") {
