@@ -908,8 +908,10 @@ object Dedup {
     * its lowest-id representative (the deterministic stand-in for the
     * paper's "keep one random member").
     *
-    * Scale shape: assignment is a broadcast argmax over the centroid set
-    * (map-only); the pairwise compare is an equi-join on `cell`, so the
+    * Scale shape: assignment is `Similarity.assignCells` — a broadcast
+    * argmax over the centroid set below `TwoLevelMinCells`, the two-level
+    * IMI path above it (N×2√k dots, broadcast bounded by √k — see its
+    * scaladoc); the pairwise compare is an equi-join on `cell`, so the
     * quadratic term is (N/k)² per cell, never N² — and k SCALES WITH THE
     * CORPUS, k = max(SemCells, ⌈N / SemTargetCell⌉), exactly the paper's
     * knob (50k clusters for LAION): per-cell work stays constant as the
@@ -937,19 +939,15 @@ object Dedup {
       (embs.count() + SemTargetCell - 1) / SemTargetCell)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
-    // argmax(ccos, tie -> min cell) as a map-side-combining aggregate: the
-    // broadcast cross product is N×k rows, but the partial HashAggregate
-    // collapses them per vec_id BEFORE the exchange, so the shuffle carries
-    // N rows no matter how large k scales (a row_number window here would
-    // shuffle all N×k rows). min(struct(-ccos, cell)) == orderBy(ccos desc,
-    // cell) rank 1; nv re-attaches by id join.
-    val best = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cell"),
-        GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("ccos")), col("cell"))).as("w"))
-      .select(col("vec_id"), col("w.cell").as("cell"))
-    val asg = best.join(e, Seq("vec_id"))
+    // Assignment via Similarity.assignCells: the flat map-side-combining
+    // argmax (shuffle carries N rows regardless of k) up to
+    // TwoLevelMinCells, and the IMI-style two-level path past it — N×2√k
+    // dots under a √k-bounded broadcast instead of N×k under a broadcast
+    // ∝ k (= N²/1250 FLOPs with this operator's corpus-scaled k; the
+    // round-12 sf100 probe measured that flat assignment at 632 s for 2M
+    // vectors). Every fixture through sf10 (k ≤ 160) stays on the exact
+    // flat path bit-unchanged.
+    val asg = Similarity.assignCells(e, cents, k)
       .select(col("cell"), col("vec_id"), col("nv"))
     val a = asg.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"), col("nv").as("va"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"), col("nv").as("vb"))

@@ -180,6 +180,79 @@ object Similarity {
     }
   }
 
+  // --- two-level (IMI-style) assignment for corpus-scaled cell counts -----
+
+  /** Below this cell count the flat argmax is both cheaper and exact; the
+    * shipped fixtures sit at k ≤ 160 (sf10), so every oracle-gated SF takes
+    * the flat path bit-unchanged. */
+  val TwoLevelMinCells = 256L
+  /** Coarse-table ceiling: √k beyond 65536 means k > 4.3e9 cells — at the
+    * SemDeDup sizing that is >5e12 vectors, where the corpus should be
+    * sharded across index builds rather than one quantizer. */
+  val MaxCoarseCells = 65536L
+
+  /** Cell assignment that stays sub-quadratic when the cell count scales
+    * with the corpus (inverted-multi-index style, Babenko & Lempitsky 2012):
+    * a flat argmax over k centroids is N×k dot products and a broadcast ∝ k
+    * — with SemDeDup's k = ⌈N/1250⌉ that is N²/1250 FLOPs and an unbounded
+    * broadcast (the round-12 sf100 probe measured 632 s at 2M vectors).
+    * Two-level instead:
+    *
+    *   1. pick c = ⌈√k⌉ COARSE centroids (the lowest-c fine centroids — the
+    *      same training-free lowest-id convention as the fine table);
+    *   2. group the k fine centroids into coarse families by argmax against
+    *      the coarse table (k×c dots, vanishing);
+    *   3. stage 1: each vector argmaxes over the c coarse centroids — N×√k
+    *      dots under a √k-bounded broadcast;
+    *   4. stage 2: each vector ranks ONLY its family's fine members via an
+    *      equi-join on the family key — N×(k/c) ≈ N×√k dots, and the fine
+    *      table is a JOIN side, never a broadcast, so no broadcast grows
+    *      with the corpus.
+    *
+    * Total N×2√k FLOPs. Both argmaxes are the map-side-combining
+    * min(struct) aggregate (shuffle carries N rows). The assignment is
+    * approximate in the IMI sense — a vector whose true nearest fine
+    * centroid sits in a different coarse family lands in its family's best
+    * instead — which is exactly the trade every trained quantizer already
+    * makes; for SemDeDup any deterministic partition is a valid cell map.
+    * No vector can drop at the family join: family(i) always contains fine
+    * cell i itself, and an exact-duplicate coarse tie routes vector and
+    * member to the same min-index family (both argmaxes share the
+    * tie → lowest-cell rule; TwoLevelAssignSpec pins this).
+    *
+    * k ≤ `TwoLevelMinCells` short-circuits to the exact flat argmax, so
+    * every shipped fixture (k ≤ 160 through sf10) is bit-unchanged.
+    */
+  def assignCells(e: DataFrame, cents: DataFrame, k: Long): DataFrame =
+    if (k <= TwoLevelMinCells) ivfAssign(e, cents)
+    else {
+      val c = math.ceil(math.sqrt(k.toDouble)).toLong
+      require(c <= MaxCoarseCells,
+        s"assignCells: √k = $c coarse cells exceeds $MaxCoarseCells — shard the corpus " +
+          "across per-partition index builds instead of growing one quantizer")
+      val coarse = cents.filter(col("cell") < c)
+        .select(col("cell").as("ccell"), col("cv").as("ccv"))
+      val fam = cents.join(broadcast(coarse), lit(true))
+        .select(col("cell"), col("cv"), col("ccell"),
+          GraftFunctions.dot(col("cv"), col("ccv")).as("fcos"))
+        .groupBy(col("cell"))
+        .agg(min(struct(negate(col("fcos")), col("ccell"), col("cv"))).as("w"))
+        .select(col("w.ccell").as("ccell"), col("cell"), col("w.cv").as("cv"))
+      val vcoarse = e.join(broadcast(coarse), lit(true))
+        .select(col("vec_id"), col("nv"), col("ccell"),
+          GraftFunctions.dot(col("nv"), col("ccv")).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(negate(col("ccos")), col("ccell"), col("nv"))).as("w"))
+        .select(col("w.ccell").as("ccell"), col("vec_id"), col("w.nv").as("nv"))
+      vcoarse.join(fam, Seq("ccell"))
+        .select(col("vec_id"), col("nv"), col("cell"),
+          GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(negate(col("ccos")), col("cell"), col("nv"))).as("w"))
+        .select(col("w.cell").as("cell"), col("vec_id"), col("w.nv").as("nv"),
+          lit(1).as("crk"))
+    }
+
   /** IVF probe over a PRECOMPUTED index table (`ivfAssign(_, cents)` rows,
     * possibly unioned across increments): only the query set is assigned at
     * query time — the corpus-wide assignment pass that `ivfTopK` pays per

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `Similarity.assignCells` — the IMI-style two-level quantizer that keeps
+  * corpus-scaled cell counts sub-quadratic (round-13 item 1). The flat path
+  * must be BIT-identical to `ivfAssign` (every shipped fixture rides it);
+  * the two-level path must assign every vector exactly once, to a member of
+  * its coarse family, and must agree with flat assignment whenever the
+  * geometry is unambiguous (well-separated families).
+  */
+class TwoLevelAssignSpec extends SparkSpec {
+
+  private def norm(df: DataFrame): DataFrame = Similarity.normalized(df)
+
+  private def centsOf(e: DataFrame, k: Long): DataFrame =
+    e.filter(col("vec_id") < k).select(col("vec_id").as("cell"), col("nv").as("cv"))
+
+  test("flat path (k <= TwoLevelMinCells) is exactly ivfAssign") {
+    val e = norm(Tables.embeddings(spark, sf()))
+    val cents = centsOf(e, 16)
+    val a = Similarity.assignCells(e, cents, 16).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val b = Similarity.ivfAssign(e, cents).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(a == b)
+  }
+
+  // A controlled >threshold corpus: 300 cells' worth of vectors built as
+  // sin-hash unit directions. Pairwise cosines of these pseudo-random 16-d
+  // sign-ish vectors are far from 1, so "family of the nearest coarse cell"
+  // is well-defined but NOT degenerate.
+  private lazy val big = {
+    val n = 3000
+    spark.range(n).selectExpr("id as vec_id",
+      "transform(sequence(1, 16), i -> cast(sin(cast(id * i + i * i as double)) as float)) as embedding")
+  }
+
+  test("two-level path assigns every vector exactly once, to a cell of its own coarse family") {
+    val e = norm(big)
+    val k = 300L
+    val cents = centsOf(e, k)
+    val out = Similarity.assignCells(e, cents, k)
+    val rows = out.collect()
+    assert(rows.length == 3000, "no vector may drop or duplicate at the family join")
+    assert(rows.map(_.getLong(1)).distinct.length == 3000)
+    // reconstruct families + coarse assignment driver-side and check scope
+    val c = math.ceil(math.sqrt(k.toDouble)).toLong
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def argmax(v: Array[Double], ids: Seq[Long]): Long =
+      ids.map(i => (-dot(v, vecs(i)), i)).min._2
+    val coarseIds = (0L until c).toSeq
+    val family = (0L until k).map(f => f -> argmax(vecs(f), coarseIds)).toMap
+    rows.foreach { r =>
+      val (cell, vid) = (r.getLong(0), r.getLong(1))
+      assert(cell >= 0 && cell < k)
+      assert(family(cell) == argmax(vecs(vid), coarseIds),
+        s"vec $vid landed in cell $cell outside its coarse family")
+    }
+  }
+
+  test("two-level == flat when families are well-separated (clustered corpus)") {
+    // 17 well-separated axis directions in 64-d (= ⌈√288⌉, so the coarse
+    // table covers every cluster), vectors tightly around each: coarse and
+    // fine argmax agree everywhere, so the approximate path must reproduce
+    // the exact one. Centroid ids 0..287 cycle through the clusters
+    // round-robin; k=288 > threshold.
+    val k = 288L
+    val df = spark.range(288 * 3).selectExpr("id as vec_id",
+      // cluster c = id % 288 % 17: unit axis e_{c*3} plus a tiny id-keyed wobble
+      """transform(sequence(0, 63), i ->
+         cast(case when i = (cast(id % 288 as int) % 17) * 3 then 1.0
+              else 0.001 * sin(cast(id * (i + 7) as double)) end as float)) as embedding""")
+    val e = norm(df)
+    val cents = centsOf(e, k)
+    val two = Similarity.assignCells(e, cents, k).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val flat = Similarity.ivfAssign(e, cents).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(two.size == flat.size)
+    val agree = two.count { case (v, c) => flat(v) == c }
+    assert(agree == two.size,
+      s"two-level diverged from flat on ${two.size - agree} of ${two.size} well-separated vectors")
+  }
+
+  test("exact-duplicate coarse centroids cannot drop vectors (tie routes to min family)") {
+    // duplicate vec 0's direction into vec 1 so coarse cells 0 and 1 are
+    // identical; family(1) is then empty and every tie must route to 0.
+    val e0 = big.filter(col("vec_id") === 0).select(col("embedding").as("e0"))
+    val fixed = big.crossJoin(broadcast(e0))
+      .select(col("vec_id"),
+        when(col("vec_id") === 1, col("e0")).otherwise(col("embedding")).as("embedding"))
+    val e = norm(fixed)
+    val k = 300L
+    val out = Similarity.assignCells(e, centsOf(e, k), k)
+    assert(out.count() == 3000)
+    assert(out.filter(col("cell") === 1).count() == 0,
+      "the duplicate higher-index coarse cell must lose every tie")
+  }
+}
