@@ -60,6 +60,27 @@ object WindowedTransform {
       .as[WRow]
   }
 
+  /** Defeat the stateful operator's late-row drop so every row reaches the
+    * handler (the `recoverLate` mechanism, shared by slide and session).
+    *
+    * INTERNAL-CONTRACT PIN (verified on Spark 4.1.2): the stateful exec
+    * finds its late-row filter by scanning input attributes for
+    * `EventTimeWatermark.delayKey` metadata — an internal Catalyst
+    * convention, not public API. If a Spark upgrade changes it, late rows
+    * silently drop again; the loud gates are the WindowedTransformSpec and
+    * EagerFireSpec recoverLate cases, which feed far-behind-watermark rows
+    * and FAIL unless they reach the handler. Re-verify on any Spark bump.
+    */
+  private def lateProof(base: Dataset[WRow], tsCol: String): Dataset[WRow] = {
+    import base.sparkSession.implicits._
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey, 0L)
+      .build()
+    base.select(col("ws"), col("key"), col("time"), col("value"),
+      // year 9999: never behind any watermark, so nothing is filtered
+      timestamp_millis(lit(253402300800000L)).as(tsCol, md)).as[WRow]
+  }
+
   /** Apply `fn(key, windowStart, windowEnd, rowsSortedByTime)` to every
     * closed hopping window; `fn` may emit any number of output rows.
     *
@@ -85,23 +106,7 @@ object WindowedTransform {
     require(sizeMs % slideMs == 0, "size must be a multiple of slide")
     import df.sparkSession.implicits._
     val base = assigned(df, tsCol, keyCol, valueCol, watermark, sizeMs, slideMs)
-    val input =
-      if (recoverLate) {
-        // INTERNAL-CONTRACT PIN (verified on Spark 4.1.2): the stateful exec
-        // finds its late-row filter by scanning input attributes for
-        // `EventTimeWatermark.delayKey` metadata — an internal Catalyst
-        // convention, not public API. If a Spark upgrade changes it, late
-        // rows silently drop again; the loud gate is WindowedTransformSpec
-        // "recoverLate emits a single-element window for past-watermark rows"
-        // which feeds a far-behind-watermark row and FAILS unless it reaches
-        // the handler. Re-verify that spec on any Spark version bump.
-        val md = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey, 0L)
-          .build()
-        base.select(col("ws"), col("key"), col("time"), col("value"),
-          // year 9999: never behind any watermark, so nothing is filtered
-          timestamp_millis(lit(253402300800000L)).as(tsCol, md)).as[WRow]
-      } else base
+    val input = if (recoverLate) lateProof(base, tsCol) else base
     input
       .groupByKey(r => WinKey(r.key, r.ws))
       .flatMapGroupsWithState[WinBuf, O](
@@ -185,10 +190,13 @@ object WindowedTransform {
   def session[O: Encoder](
       df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
       gapMs: Long,
-      watermark: String = StreamWindows.DefaultWatermark)(
+      watermark: String = StreamWindows.DefaultWatermark,
+      recoverLate: Boolean = false)(
       fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] = {
     import df.sparkSession.implicits._
-    assigned(df, tsCol, keyCol, valueCol, watermark, gapMs, gapMs)
+    val base = assigned(df, tsCol, keyCol, valueCol, watermark, gapMs, gapMs)
+    val input = if (recoverLate) lateProof(base, tsCol) else base
+    input
       .groupByKey(_.key)
       .flatMapGroupsWithState[WinBuf, O](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -207,17 +215,44 @@ object WindowedTransform {
             }
             closed.iterator.flatMap(s => fn(key, s.head.time, s.last.time + gapMs, s))
           } else {
+            val wm = state.getCurrentWatermarkMs()
             val buffered = state.getOption.map(_.rows).getOrElse(Nil)
             val all = (buffered ++ it.map(r => Event(r.key, r.time, r.value)))
               .sortBy(e => (e.time, e.value))
-            state.update(WinBuf(all.toList))
-            val earliestClose = splitSessions(all, gapMs).head.last.time + gapMs
-            state.setTimeoutTimestamp(
-              math.max(earliestClose, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            val sessions = splitSessions(all, gapMs)
+            // recoverLate: a late-but-admitted row may complete (or BE) a
+            // session that is already closed under the current watermark —
+            // emit those in the delivering trigger, exactly like slide's
+            // singleton branch, and keep only the open suffix in state. A
+            // late row within gap of a still-open session merges into it
+            // (the reference's TreeMap insert), so recovery degrades to a
+            // singleton only when no live session can absorb the row.
+            val (closed, open) =
+              if (recoverLate) sessions.partition(s => s.last.time + gapMs <= wm)
+              else (Seq.empty[Seq[Event]], sessions)
+            if (open.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(WinBuf(open.flatten.toList))
+              state.setTimeoutTimestamp(
+                math.max(open.head.last.time + gapMs, wm + 1))
+            }
+            closed.iterator.flatMap(s => fn(key, s.head.time, s.last.time + gapMs, s))
           }
       }
   }
+
+  /** Session form of the D1 opt-in (see [[eagerSlide]]): delay-0 watermark
+    * makes a session close in the trigger that delivers the first row past
+    * `last + gap` (the reference's end-time-TreeMap eager close,
+    * SessionWindow.java:29-129), and `recoverLate` gives a row arriving
+    * after its session already closed an immediate session of its own —
+    * merged into a live session when one can still absorb it.
+    */
+  def eagerSession[O: Encoder](
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String, gapMs: Long)(
+      fn: (Long, Long, Long, Seq[Event]) => Seq[O]): Dataset[O] =
+    session(df, tsCol, keyCol, valueCol, gapMs,
+      watermark = "0 seconds", recoverLate = true)(fn)
 
   /** Split time-sorted rows into sessions; break when gap >= gapMs
     * (reference rule, SessionWindow.java:63-77).
