@@ -74,6 +74,7 @@ object StreamBench {
       case "cdc"    => runCdc(spark, total, batchSize)
       case "soak"   => runSoak(spark, total, batchSize, cpus.toInt)
       case "soak_over" => runSoakOver(spark, total, batchSize, cpus.toInt)
+      case "soak_scd2" => runSoakScd2(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -377,6 +378,102 @@ object StreamBench {
 
   /** Rows per key in the churning over-window soak. */
   val SoakKeyLife = 50L
+
+  /** Entities in the SCD-2 soak — fixed, so change history per entity grows
+    * with the run and the plateau verdict tests the O(rate × delay) suffix
+    * claim (Scd2Stream scaladoc), not a churning key space. */
+  val Scd2Entities = 20000L
+
+  /** SCD-2 interval-maintenance soak (round-13): millions of changes over a
+    * bounded entity set with in-watermark disorder (up to 1.5 s jitter under
+    * a 2 s delay — every batch reorders, nothing drops). Three verdicts:
+    *
+    *   - plateau: per-entity state is the version-list suffix still mutable
+    *     under the watermark, O(change rate × watermark delay) + 1 — with a
+    *     FIXED entity set, state rows must flatline near `Scd2Entities`
+    *     regardless of how much history accumulates (`soakReport`);
+    *   - restart: the run stops mid-stream and resumes from the checkpoint
+    *     (second half of the input lands after the restart), so interval
+    *     state crosses a cold start — run under SPARK_GRAFT_ROCKSDB=1 for
+    *     the RocksDB form of the claim;
+    *   - equivalence: a driver-held serving map replays the update-mode
+    *     upserts exactly like the JDBC sink (last-write-wins on
+    *     (key, tiebreak, effective_from)); after the run it must equal the
+    *     batch `Cdc.scd2` over the full change log, row for row — the
+    *     stream==batch law at soak scale, across the restart.
+    */
+  private def runSoakScd2(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    val dir = java.nio.file.Files.createTempDirectory("streambench-scd2").toString
+    val ckp = java.nio.file.Files.createTempDirectory("streambench-scd2-ckp").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    def chDf(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(
+        (col("id") % Scd2Entities).as("key"),
+        (col("id") % 997).cast("double").as("value"),
+        (lit(Epoch) + col("id") * 3L - pmod(col("id") * 2654435761L, lit(1500L))).as("ts_ms"),
+        col("id").as("change_id"))
+    def writeChunks(from: Long, until: Long): Unit = {
+      var at = from
+      while (at < until) {
+        val n = math.min(batchSize.toLong, until - at)
+        chDf(at, n).repartition(filesPerChunk).write.mode("append").parquet(dir)
+        at += n
+      }
+    }
+    // serving table replica: (key, change_id, effective_from) ->
+    // (effective_to | MinValue for open, is_current) — the JDBC upsert law
+    val serving = new java.util.concurrent.ConcurrentHashMap[(Long, Long, Long), (Long, Boolean)]()
+    def start() = graft.streaming.Scd2Stream.scd2Stream(
+      spark.readStream.schema(chDf(0, 1).schema)
+        .option("maxFilesPerTrigger", filesPerChunk)
+        .option("latestFirst", "false")
+        .parquet(dir),
+      keys = Seq("key"), tsCol = "ts_ms", tiebreak = "change_id",
+      watermarkDelay = "2 seconds")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.collect().foreach { r =>
+          serving.put((r.getLong(0), r.getLong(3), r.getLong(4)),
+            (if (r.isNullAt(5)) Long.MinValue else r.getLong(5), r.getBoolean(6)))
+        }
+      }
+      .option("checkpointLocation", ckp)
+      .start()
+
+    val half = total / 2L
+    writeChunks(0L, half)
+    val t0 = System.nanoTime()
+    val q1 = start(); q1.processAllAvailable()
+    val progress1 = q1.recentProgress.toSeq
+    q1.stop() // mid-stream cold stop; second half arrives after the restart
+    writeChunks(half, total.toLong)
+    val q2 = start(); q2.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progress2 = q2.recentProgress.toSeq
+    q2.stop()
+    soakReport(progress1 ++ progress2)
+
+    // stream (serving replica) == batch Cdc.scd2 over the full log
+    val batch = graft.ops.Cdc.scd2(
+      spark.read.parquet(dir), keys = Seq("key"), tsCol = "ts_ms", tiebreak = "change_id")
+    var batchRows = 0L
+    var mismatches = 0L
+    val it = batch.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      batchRows += 1
+      // batch columns: key 0, value 1, ts_ms 2, change_id 3,
+      // effective_from 4, effective_to 5, is_current 6
+      val want = (if (r.isNullAt(5)) Long.MinValue else r.getLong(5), r.getBoolean(6))
+      val got = serving.get((r.getLong(0), r.getLong(3), r.getLong(4)))
+      if (got == null || got != want) mismatches += 1
+    }
+    println(s"""{"soak_scd2_serving_rows":${serving.size},"batch_rows":$batchRows,"mismatches":$mismatches,"restart_at_row":$half,"entities":$Scd2Entities}""")
+    (total.toLong, secs)
+  }
 
   /** Partitioned-ingest shape: each event-time-contiguous chunk is written as
     * `filesPerChunk` parquet files (so a micro-batch scans in parallel), and

@@ -187,7 +187,20 @@ object Bpe {
     * literals — the broadcast-model pattern). Returns per-doc subword token
     * counts: the before/after compression the tokenizer buys.
     */
+  /** Broadcast-model guard for [[encode]]: each merge becomes one `replace`
+    * literal in the plan, so the model size IS the plan size — a real BPE
+    * vocabulary (30k+ merges) folded into one projection would blow past
+    * codegen limits long before the driver OOMs. Learned tables here are
+    * [[NumMerges]]-bounded; past this ceiling, apply merges in chunked
+    * passes (fold `encode` over merge blocks, materializing between).
+    */
+  val MaxEncodeMerges = 4096
+
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.length <= MaxEncodeMerges,
+      s"Bpe.encode: ${merges.length} merges exceed the $MaxEncodeMerges plan-literal bound — " +
+        "apply the merge table in chunked passes (fold encode over blocks of merges, " +
+        "materializing between passes) instead of one projection")
     // each word symbolizes independently and ends with its own </w> marker,
     // so merges can never cross a word boundary (no learned merge has </w>
     // mid-pair) — per-word encoding, batched as one string per doc. The

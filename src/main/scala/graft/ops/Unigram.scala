@@ -67,9 +67,36 @@ object Unigram {
   val TopK = 40
 
   /** Sentinel for "piece not in vocabulary": dominates every reachable path
-    * sum (worst real path ≈ 16 pieces × −20e6 ≈ −3.2e8 ≫ −1e12 + anything).
+    * sum (worst real path ≈ 16 pieces × −20e6 ≫ −1e12 + anything).
     */
   private val NegInf = -1000000000000L
+
+  /** Broadcast guard ceiling for the piece map: the vocabulary is
+    * model-sized BY CONSTRUCTION — at most [[Candidates]] multi-char pieces
+    * plus the corpus's single-character alphabet (BMP-bounded at 65536) —
+    * so the broadcast literal can never scale with the corpus. The guard
+    * makes that invariant loud: a caller feeding an unbounded piece table
+    * (e.g. a raw substring count instead of a trained vocab) fails with the
+    * named bound instead of OOM-ing the driver on a giant map literal.
+    */
+  val PieceMapBound: Long = Candidates + 65536L
+
+  /** The ONE broadcast model artifact: (piece → score_e6) as a single-row
+    * map literal, guarded by [[PieceMapBound]]. The check is IN-PLAN (a
+    * CASE on the consumed `mp` column, so the optimizer cannot prune it)
+    * because the map is never read on the driver — zero driver reads is
+    * the design point of this trainer.
+    */
+  private[ops] def pieceMap(vocabScores: DataFrame): DataFrame =
+    vocabScores.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("s")))).as("mp0"))
+      .select(expr(
+        s"""CASE WHEN size(mp0) <= ${PieceMapBound}L THEN mp0
+           |ELSE raise_error(concat('unigram piece map holds ', size(mp0),
+           |  ' entries, past the $PieceMapBound model-size bound (Candidates=$Candidates',
+           |  ' + a 65536-char alphabet) — pass a TRAINED vocabulary, or shard encoding',
+           |  ' by vocab partition instead of broadcasting one map')) END""".stripMargin)
+        .as("mp"))
 
   /** (w, freq) — distinct words of the normalized text, the one
     * corpus-scale aggregate (same convention as `Bpe.wordFreqs`).
@@ -106,8 +133,7 @@ object Unigram {
     * (piece, cnt) of the segmentation.
     */
   private def segmentCounts(wordsDf: DataFrame, vocabScores: DataFrame): DataFrame = {
-    val mapDf = vocabScores.agg(
-      map_from_entries(collect_list(struct(col("piece"), col("s")))).as("mp"))
+    val mapDf = pieceMap(vocabScores)
     val withBest = wordsDf.crossJoin(broadcast(mapDf))
       .withColumn("best", expr(
         s"""aggregate(
@@ -182,8 +208,7 @@ object Unigram {
     * tokenizer (packing budgets, length filters).
     */
   def encode(docs: DataFrame, vocabScores: DataFrame): DataFrame = {
-    val mapDf = vocabScores.agg(
-      map_from_entries(collect_list(struct(col("piece"), col("s")))).as("mp"))
+    val mapDf = pieceMap(vocabScores)
     // Rebalance the doc scan to core count BEFORE the per-occurrence DP:
     // bytes-based input splits undersize the partition count for a stage
     // whose cost is ~500 interpreted ops per TOKEN (a 150 MB parquet = 2

@@ -87,4 +87,12 @@ class BpeSpec extends SparkSpec {
     // low</w>, low, </w>, low, e, r, </w> = 7
     assert(enc(1L) == 7L)
   }
+
+  test("encode broadcast guard: an oversized merge table fails with the chunked-pass advice") {
+    val tooMany = (0 to Bpe.MaxEncodeMerges).map(i => (s"a$i", s"b$i"))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.encode(docs((1L, "a b")), tooMany)
+    }
+    assert(ex.getMessage.contains("chunked passes"))
+  }
 }

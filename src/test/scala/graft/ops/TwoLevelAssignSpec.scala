@@ -87,6 +87,14 @@ class TwoLevelAssignSpec extends SparkSpec {
       s"two-level diverged from flat on ${two.size - agree} of ${two.size} well-separated vectors")
   }
 
+  test("coarse-table guard: k past MaxCoarseCells^2 fails with the sharding advice") {
+    val e = norm(big)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.assignCells(e, centsOf(e, 300), Similarity.MaxCoarseCells * Similarity.MaxCoarseCells + 1)
+    }
+    assert(ex.getMessage.contains("shard the corpus"))
+  }
+
   test("exact-duplicate coarse centroids cannot drop vectors (tie routes to min family)") {
     // duplicate vec 0's direction into vec 1 so coarse cells 0 and 1 are
     // identical; family(1) is then empty and every tie must route to 0.

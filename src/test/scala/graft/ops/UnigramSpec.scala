@@ -57,4 +57,17 @@ class UnigramSpec extends SparkSpec {
     assert(Set("a", "b", "c").subsetOf(pieces))
     assert(out.filter(p => Set("a", "b", "c")(p._1)).forall(_._2 == 0L))
   }
+
+  test("pieceMap broadcast guard: an unbounded piece table fails with the named bound") {
+    import org.apache.spark.sql.functions._
+    // PieceMapBound + 1 distinct pieces: a raw substring table, not a
+    // trained vocabulary — the in-plan CASE must raise, not broadcast
+    val huge = spark.range(Unigram.PieceMapBound + 1)
+      .select(concat(lit("p"), col("id")).as("piece"), col("id").as("s"))
+    val ex = intercept[Exception] { Unigram.pieceMap(huge).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("model-size bound")),
+      s"guard must name the bound, got: ${msgs(ex).mkString(" | ")}")
+  }
 }
