@@ -139,6 +139,42 @@ object Bench {
       times: Seq[Double], gcDeltaMs: Long, cpuDeltaMs: Long, loadMax: Double,
       storagePeak: Long, storageAfter: Long, rddsPeak: Int, shuffleMbPerPass: Double)
 
+  /** Pure-CPU rig calibration (round-13 verdict item 7): ~2 s of a fixed
+    * single-threaded work unit (LCG mix + array xor over 8 MB — enough to
+    * touch L2/L3 like real query code, no Spark, no allocation) scored as
+    * units/sec. The rig has shown episodic ~1.5-2.3x per-core slowdowns on
+    * identical plans (BASELINE rig-variance notes); this anchor turns that
+    * into a FIELD of every bench artifact so `bench_gate.py` can normalize
+    * wall gates by measured rig speed instead of inferring it from the
+    * query distribution (q_select_scalar carries Spark overhead; the
+    * cross-run median conflates rig drift with real uniform regressions).
+    * Single-threaded on purpose: the observed drift was uniform per-core
+    * cpu_ms inflation, which one pinned thread measures cleanly.
+    */
+  private def cpuAnchor(): Double = {
+    val arr = new Array[Long](1 << 20)
+    def unit(seed: Long): Long = {
+      var h = seed
+      var i = 0
+      while (i < arr.length) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        arr(i) ^= h ^ (h >>> 33)
+        i += 1
+      }
+      h ^ arr((seed & (arr.length - 1)).toInt)
+    }
+    var sink = unit(1) // JIT warm-up
+    var units = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 2_000_000_000L) {
+      sink ^= unit(units)
+      units += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (sink == 42L) print("") // defeat dead-code elimination
+    units / secs
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -235,8 +271,12 @@ object Bench {
       math.round(results.collect { case (_, Right(s)) => s.shuffleMbPerPass }.sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ncores = Runtime.getRuntime.availableProcessors
+    // measured AFTER the queries: the anchor then reflects the rig state the
+    // timings actually ran under (a pre-run anchor can miss a co-load that
+    // arrives mid-session). ~2 s, single-threaded, no Spark.
+    val anchor = math.round(cpuAnchor() * 100) / 100.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"cpu_anchor":$anchor,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver scrapes a bounded stdout tail, which truncated the big line
     // mid-JSON in rounds 5 and 6. Persist the full line to a file as the
     // durable primary artifact, print it, then print a SHORT headline LAST so
@@ -246,7 +286,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"cpu_anchor":$anchor,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -39,8 +39,10 @@ SH_TOL = float(os.environ.get("SHUFFLE_TOL_MB", "2.0"))
 MIN_WALL = float(os.environ.get("MIN_WALL", "0.5"))
 ABS_DELTA = float(os.environ.get("ABS_DELTA_S", "0.5"))
 
-fresh = json.load(open(fresh_path))["queries"]
-blessed = json.load(open(blessed_path))["queries"]
+fresh_doc = json.load(open(fresh_path))
+blessed_doc = json.load(open(blessed_path))
+fresh = fresh_doc["queries"]
+blessed = blessed_doc["queries"]
 
 
 def med(v):
@@ -56,7 +58,17 @@ if not common:
     print("no common queries between artifacts")
     sys.exit(2)
 
-env = statistics.median(med(fresh[k]) / max(med(blessed[k]), 1e-9) for k in common)
+med_env = statistics.median(med(fresh[k]) / max(med(blessed[k]), 1e-9) for k in common)
+# Preferred normalizer: the pure-CPU anchor (units/sec, higher = faster rig)
+# recorded in both artifacts. blessed/fresh > 1 means this rig is SLOWER than
+# the blessed one, i.e. walls are expected to inflate by that factor. The
+# query-median fallback conflates rig drift with a real uniform regression;
+# the anchor cannot (no Spark in it), so when both artifacts carry one it
+# wins. Both ratios are printed for cross-checking.
+anchor_env = None
+if fresh_doc.get("cpu_anchor") and blessed_doc.get("cpu_anchor"):
+    anchor_env = blessed_doc["cpu_anchor"] / fresh_doc["cpu_anchor"]
+env = anchor_env if anchor_env is not None else med_env
 
 wall_fails, plan_fails = [], []
 for k in common:
@@ -68,8 +80,11 @@ for k in common:
     if abs(d) > SH_TOL:
         plan_fails.append((k, round(sh(blessed[k]), 1), round(sh(fresh[k]), 1)))
 
-print(f"common={len(common)} env_wall_ratio={env:.3f} "
-      f"(uniform shift = rig, normalized out; gate={GATE}x normalized)")
+print(f"common={len(common)} env_ratio={env:.3f} "
+      f"[{'cpu_anchor' if anchor_env is not None else 'query-median'}; "
+      f"median_wall_ratio={med_env:.3f}"
+      + (f", anchor_ratio={anchor_env:.3f}" if anchor_env is not None else "")
+      + f"] (uniform shift = rig, normalized out; gate={GATE}x normalized)")
 for k, b, f, r in sorted(wall_fails, key=lambda x: -x[3]):
     print(f"WALL  {k}: {b:.2f}s -> {f:.2f}s ({r}x normalized)")
 for k, b, f in plan_fails:
