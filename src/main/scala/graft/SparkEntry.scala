@@ -35,15 +35,44 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** The registry WITH provenance: (entry-point object, its query map), in
+    * merge order. `graft.Catalog` generates the README operator catalog from
+    * this — the module name is the "where is this implemented" column, so
+    * it can never drift from the code the way hand-maintained prose does.
+    */
+  def modules: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] = Seq(
+    "batch.Relational" -> batch.Relational.queries,
+    "batch.DeepAnalytics" -> batch.DeepAnalytics.queries,
+    "ops.Text" -> ops.Text.queries,
+    "ops.Dedup" -> ops.Dedup.queries,
+    "ops.Similarity" -> ops.Similarity.queries,
+    "ops.Multimodal" -> ops.Multimodal.queries,
+    "ops.WindowsBatch" -> ops.WindowsBatch.queries,
+    "ops.Pipelines" -> ops.Pipelines.queries,
+    "ops.Sampling" -> ops.Sampling.queries,
+    "ops.Curation" -> ops.Curation.queries,
+    "ops.AsOf" -> ops.AsOf.queries,
+    "ops.RangeJoin" -> ops.RangeJoin.queries,
+    "ops.Corpus" -> ops.Corpus.queries,
+    "ops.Skew" -> ops.Skew.queries,
+    "ops.Cdc" -> ops.Cdc.queries,
+    "ops.Bpe" -> ops.Bpe.queries,
+    "ops.Classifier" -> ops.Classifier.queries,
+    "ops.Search" -> ops.Search.queries,
+    "ops.Behavior" -> ops.Behavior.queries,
+    "ops.Sketches" -> ops.Sketches.queries,
+    "ops.Graph" -> ops.Graph.queries,
+    "ops.Linkage" -> ops.Linkage.queries,
+    "ops.Stats" -> ops.Stats.queries,
+    "ops.Unigram" -> ops.Unigram.queries,
+    "api.GTableQueries" -> api.GTableQueries.queries)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    batch.Relational.queries ++ batch.DeepAnalytics.queries ++
-      ops.Text.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.WindowsBatch.queries ++ ops.Pipelines.queries ++
-      ops.Sampling.queries ++ ops.Curation.queries ++ ops.AsOf.queries ++
-      ops.RangeJoin.queries ++ ops.Corpus.queries ++ ops.Skew.queries ++
-      ops.Cdc.queries ++ ops.Bpe.queries ++ ops.Classifier.queries ++ ops.Search.queries ++
-      ops.Behavior.queries ++ ops.Sketches.queries ++ ops.Graph.queries ++
-      ops.Linkage.queries ++ ops.Stats.queries ++ ops.Unigram.queries ++ api.GTableQueries.queries
+    modules.map(_._2).reduce(_ ++ _)
+
+  /** query name → entry-point object (latest module wins, like the merge). */
+  def queryOrigins: Map[String, String] =
+    modules.flatMap { case (n, m) => m.keys.map(_ -> n) }.toMap
 
   def oracleSql: Map[String, String] =
     batch.Relational.oracleSql ++ batch.DeepAnalytics.oracleSql ++

@@ -59,6 +59,10 @@ def main():
     if only:
         keep = set(only.split(","))
         oracle = {k: v for k, v in oracle.items() if k in keep}
+    skip = os.environ.get("GRAFT_VERIFY_SKIP")
+    if skip:
+        drop = set(skip.split(","))
+        oracle = {k: v for k, v in oracle.items() if k not in drop}
     results = {}
     for name, sql in sorted(oracle.items()):
         spath = f"{OUTDIR}/{name}"
@@ -95,6 +99,23 @@ def main():
             print(f"   spark cols:  {e['cols'][1]}\n   oracle cols: {e['cols'][2]}")
     # queries without oracle get rows-only check
     print(f"\n{npass}/{len(results)} oracle queries pass")
+    # GRAFT_VERIFY_JSON=path dumps machine-readable per-query results in the
+    # CORRECTNESS_r{N}.json shape (consumed by tools/gen_catalog.py and kept
+    # as the scale-sweep artifacts, e.g. CORRECTNESS_sf1_seeded.json).
+    out_json = os.environ.get("GRAFT_VERIFY_JSON")
+    if out_json:
+        doc = {}
+        for name, e in sorted(results.items()):
+            if "error" in e:
+                doc[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": e["error"][:300]}
+            else:
+                doc[name] = {"rows_match": e["rows"][2], "schema_match": e["cols"][0],
+                             "hash_match": e["hash"], "spark_rows": e["rows"][0],
+                             "oracle_rows": e["rows"][1], "err": None}
+        with open(out_json, "w") as f:
+            json.dump({"sfdir": SFDIR, "queries": doc}, f, indent=1)
+        print(f"results json -> {out_json}")
 
 
 if __name__ == "__main__":
