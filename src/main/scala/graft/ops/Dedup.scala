@@ -947,7 +947,13 @@ object Dedup {
     // round-12 sf100 probe measured that flat assignment at 632 s for 2M
     // vectors). Every fixture through sf10 (k ≤ 160) stays on the exact
     // flat path bit-unchanged.
-    val asg = Similarity.assignCells(e, cents, k)
+    // SPARK_GRAFT_SEM_FORCE_FLAT=1 is the A/B adjudication knob for scale
+    // probes only: it forces the flat N×k argmax at any k so the two-level
+    // path's win is measured against the same session, not a prior round's
+    // artifact. Never set in production or by any gate.
+    val asg = (if (sys.env.get("SPARK_GRAFT_SEM_FORCE_FLAT").contains("1"))
+      Similarity.ivfAssign(e, cents)
+    else Similarity.assignCells(e, cents, k))
       .select(col("cell"), col("vec_id"), col("nv"))
     val a = asg.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"), col("nv").as("va"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"), col("nv").as("vb"))

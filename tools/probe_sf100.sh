@@ -16,10 +16,16 @@
 #     bought. Shuffle volume is the heap-independent scale signal.
 #
 # Usage: tools/probe_sf100.sh [out.json] [query,list]
+#
+# Round-13 default list: the round-12 additions that had no quiet-rig sf100
+# point (unigram train/encode, the gtable facade's running-window path), the
+# SemDeDup two-level assignment (its round-12 number was flat-path under
+# concurrent load; A/B the flat path in the same session with
+# SPARK_GRAFT_SEM_FORCE_FLAT=1), and three carried linearity sentinels.
 set -e
 cd /root/repo
 OUT=${1:-bench_sf100_probe.json}
-QUERIES=${2:-q_groupby_agg,q_join_inner,q_window_session,q_dedup_minhash,q_dedup_clusters,q_dedup_spans_cut,q_text_lmscore,q_pipeline_corpus_near,q_pipeline_train,q_source_overlap_minhash,q_knn_ivfpq_resid}
+QUERIES=${2:-q_unigram_lm,q_unigram_encode,q_dedup_semantic,q_gtable_running,q_dedup_minhash,q_dedup_clusters,q_text_lmscore}
 
 SPARK_GRAFT_SF_DIR=testdata/sf100 \
 SPARK_GRAFT_CPUS=32 \
