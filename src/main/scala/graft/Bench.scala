@@ -78,7 +78,13 @@ object Bench {
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Probe knob: at sf100 a 600M-row table over `cpus` partitions forces
+      // per-partition external sorts (18M+ rows/task) whose spill-merge CPU
+      // reads as super-linear wall; a real cluster's partition count scales
+      // with the data. SPARK_GRAFT_SHUFFLE_PARTITIONS lets a scale probe
+      // reproduce that (default stays = cpus, the bench contract).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

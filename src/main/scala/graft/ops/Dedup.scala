@@ -949,11 +949,23 @@ object Dedup {
     // flat path bit-unchanged.
     // SPARK_GRAFT_SEM_FORCE_FLAT=1 is the A/B adjudication knob for scale
     // probes only: it forces the flat N×k argmax at any k so the two-level
-    // path's win is measured against the same session, not a prior round's
-    // artifact. Never set in production or by any gate.
-    val asg = (if (sys.env.get("SPARK_GRAFT_SEM_FORCE_FLAT").contains("1"))
-      Similarity.ivfAssign(e, cents)
-    else Similarity.assignCells(e, cents, k))
+    // path's win is measured in the same session, not against a prior
+    // round's artifact. It replays round-12's LEAN flat formulation (agg
+    // struct without the vector, nv re-attached by id join): routing the
+    // A/B through ivfAssign's nv-carrying struct instead made the partial
+    // hash-agg fall back to sort-based aggregation over all N×k scored
+    // rows at sf100 and exhaust 59 GB of spill — a measured warning that
+    // payloads ride min(struct) aggregates safely only while the per-
+    // partition GROUP map fits. Never set in production or by any gate.
+    val asg = (if (sys.env.get("SPARK_GRAFT_SEM_FORCE_FLAT").contains("1")) {
+      val best = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("cell"),
+          GraftFunctions.dot(col("nv"), col("cv")).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(negate(col("ccos")), col("cell"))).as("w"))
+        .select(col("vec_id"), col("w.cell").as("cell"))
+      best.join(e, Seq("vec_id"))
+    } else Similarity.assignCells(e, cents, k))
       .select(col("cell"), col("vec_id"), col("nv"))
     val a = asg.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"), col("nv").as("va"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"), col("nv").as("vb"))
