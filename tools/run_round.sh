@@ -50,7 +50,7 @@ sbt -batch test
 echo "== 6/7 bench (sf0.1, 3-pass) + regression gate =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_BENCH_OUT=bench_out.json bash tools/run_verify.sh graft.Bench | tail -1
-python3 tools/bench_gate.py bench_out.json "${SPARK_GRAFT_BENCH_BLESSED:-bench_r12_final.json}"
+python3 tools/bench_gate.py bench_out.json "${SPARK_GRAFT_BENCH_BLESSED:-bench_r13_final.json}"
 
 if [ "$MODE" = "full" ]; then
   echo "== 7a excluded-oracle invariant audit (sf1) =="
