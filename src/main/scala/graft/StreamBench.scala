@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** Streaming throughput micro-benchmark. Prints one JSON line with rows/sec.
   * Not part of the driver's Bench contract — run manually:
   *
-  *   tools/run_verify.sh graft.StreamBench [memory|file|ingest|admit|cdc] [nRows] [batchRows]
+  *   tools/run_verify.sh graft.StreamBench \
+  *     [memory|file|ingest|admit|cdc|soak|soak_over|soak_scd2] [nRows] [batchRows]
   *
   * Two ingest shapes for the same query (hopping 1h/30m window sum — the
   * reference's flagship load, README.md:59-131):

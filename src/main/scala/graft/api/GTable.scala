@@ -173,7 +173,13 @@ class GTable(val df: DataFrame) {
     * Plan shape: one hash exchange on the key + an in-partition sort —
     * identical to the native window operator; the lambda then streams via
     * `mapPartitions` with consecutive same-key runs detected on the fly
-    * (no per-key grouping state beyond the current run). Any prefix-
+    * (no per-key grouping state beyond the current run). The sort is the
+    * scale-sensitive piece: partition count must scale with the data or
+    * the in-partition external sort spill-merges (measured at sf100: 600M
+    * rows over 32 partitions = 342 s, over 256 = 67.8 s, sub-linear vs
+    * sf10 — BASELINE round-13 probe). A cluster's default parallelism
+    * does this automatically; single-box probes set
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS. Any prefix-
     * computable OverWindowFunction (running sums/ranks/trailing frames —
     * the reference's examples, window/OverWindowFunction.java) ports
     * directly; a function needing the whole partition up front stays on
