@@ -253,6 +253,57 @@ object Similarity {
           lit(1).as("crk"))
     }
 
+  /** Vectors per cell the scaled IVF sizes its quantizer for (the SemDeDup
+    * convention): k = max(IvfCells, ⌈N/IvfTargetCell⌉) keeps candidate
+    * lists CONSTANT-sized as the corpus grows — the shape a real ANN
+    * index must have at 100 TB, where fixed k would make every probe scan
+    * N/k ∝ N vectors. */
+  val IvfTargetCell = 1250
+
+  /** IVF top-k with a CORPUS-SCALED quantizer — the production form of
+    * `ivfTopK` (whose fixed 16 cells are a demo knob): cells scale with
+    * the corpus so per-probe work stays constant, and the corpus-side
+    * assignment rides [[assignCells]] (flat argmax through 256 cells —
+    * every DuckDB-verified SF — then the two-level IMI path, N×2√k dots
+    * under a √k-bounded broadcast). The query side inverts the broadcast:
+    * the QUERY SET broadcasts against the centroid table (cents stays a
+    * stream-side join input, so nothing corpus-sized is ever shipped to
+    * every task), with the per-query top-probes rank a window over |Q|
+    * keys. One count() job sizes k — the documented model-parameter read
+    * class (same as semanticDedup's).
+    */
+  def ivfTopKScaled(embs: DataFrame): DataFrame = {
+    // Explicit repartition before the k-scaled assignment — the vector scan
+    // is byte-small but the N×k expansion is CPU-dense, so file-split
+    // partitioning serializes it (the semanticDedup/unigram trap, PLANS.md;
+    // measured here: sf10 47.8 s at ~3 busy cores without it). The
+    // localCheckpoint then PINS the widened partitioning for every consumer.
+    val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = normalized(embs).repartition(n).localCheckpoint(false)
+    val k = math.max(IvfCells.toLong, (embs.count() + IvfTargetCell - 1) / IvfTargetCell)
+    val cents2 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val corpusCells = assignCells(e, cents2, k)
+      .select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))
+    val qe = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("nv").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val queryProbes = cents2.join(broadcast(qe), lit(true))
+      .select(col("cell"), col("q_id"), col("qv"),
+        GraftFunctions.dot(col("qv"), col("cv")).as("ccos"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= IvfProbes)
+      .select(col("cell"), col("q_id"), col("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), GraftFunctions.dot(col("qv"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF probe over a PRECOMPUTED index table (`ivfAssign(_, cents)` rows,
     * possibly unioned across increments): only the query set is assigned at
     * query time — the corpus-wide assignment pass that `ivfTopK` pays per
@@ -631,6 +682,7 @@ object Similarity {
     "q_knn_brute" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "q_knn_ivf_scaled" -> ((s, d) => ivfTopKScaled(Tables.embeddings(s, d))),
     "q_knn_ivf_incr" -> ((s, d) => ivfTopKIncr(Tables.embeddings(s, d))),
     "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))),
     "q_knn_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
@@ -775,6 +827,32 @@ object Similarity {
          |assigned AS (
          |  SELECT e.vec_id, e.nv, c.cell,
          |    list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c),
+         |corpus AS (SELECT cell, vec_id AS n_id, nv AS nvec FROM assigned WHERE crk = 1),
+         |probes AS (SELECT cell, vec_id AS q_id, nv AS qv FROM assigned
+         |           WHERE vec_id < $QueryCount AND crk <= $IvfProbes),
+         |s AS (SELECT q_id, n_id, list_sum([qv[i] * nvec[i] for i in range(1, 65)]) AS cos
+         |      FROM probes q JOIN corpus c ON q.cell = c.cell AND c.n_id != q.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // Dynamic k = max(IvfCells, ceil(N / IvfTargetCell)) computed IN SQL, so
+    // the oracle's cell partition tracks the engine's at every SF DuckDB
+    // runs (k = 16 through sf1, 160 at sf10 — all on assignCells' exact
+    // flat path; past 256 cells the engine goes two-level/IMI-approximate
+    // and the scale evidence is the sf100 probe, not this oracle).
+    "q_knn_ivf_scaled" ->
+      s"""WITH $duckNormCte,
+         |kk AS (SELECT greatest($IvfCells, CAST(ceil(count(*) / $IvfTargetCell.0) AS BIGINT)) AS k
+         |       FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, nv AS cv FROM nv, kk WHERE vec_id < kk.k),
+         |assigned AS (
+         |  SELECT e.vec_id, e.nv, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
          |  FROM nv e, cents c),

@@ -87,6 +87,26 @@ class TwoLevelAssignSpec extends SparkSpec {
       s"two-level diverged from flat on ${two.size - agree} of ${two.size} well-separated vectors")
   }
 
+  test("ivfTopKScaled == ivfTopK while the corpus sits under the cell floor (k = IvfCells)") {
+    // the fixture's N/1250 stays below the 16-cell floor, so the scaled
+    // build must reproduce the fixed build exactly — including the
+    // inverted-broadcast query-probe spelling
+    val embs = Tables.embeddings(spark, sf())
+    val a = Similarity.ivfTopKScaled(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Similarity.ivfTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b)
+  }
+
+  test("ivfTopKScaled populates cells past the fixed floor on a larger corpus") {
+    val n = 25 * 1000 // k = ceil(25000/1250) = 20 > 16
+    val df = spark.range(n).selectExpr("id as vec_id",
+      "transform(sequence(1, 8), i -> cast(sin(cast(id * i + i as double)) as float)) as embedding")
+    val out = Similarity.ivfTopKScaled(df)
+    assert(out.count() == Similarity.QueryCount * Similarity.TopK)
+  }
+
   test("coarse-table guard: k past MaxCoarseCells^2 fails with the sharding advice") {
     val e = norm(big)
     val ex = intercept[IllegalArgumentException] {
