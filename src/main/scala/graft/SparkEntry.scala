@@ -35,52 +35,47 @@ object SparkEntry {
       .limit(100)
   }
 
-  /** The registry WITH provenance: (entry-point object, its query map), in
-    * merge order. `graft.Catalog` generates the README operator catalog from
-    * this — the module name is the "where is this implemented" column, so
-    * it can never drift from the code the way hand-maintained prose does.
+  /** The registry WITH provenance: (entry-point object, its query map, its
+    * oracle map), in merge order. BOTH `queries` and `oracleSql` derive
+    * from this one list — a module added here ships its oracles with it,
+    * and a module added anywhere else doesn't exist, so the two maps can
+    * never drift apart the way parallel hand-maintained chains could.
+    * `graft.Catalog` generates the README operator catalog from it.
     */
-  def modules: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] = Seq(
-    "batch.Relational" -> batch.Relational.queries,
-    "batch.DeepAnalytics" -> batch.DeepAnalytics.queries,
-    "ops.Text" -> ops.Text.queries,
-    "ops.Dedup" -> ops.Dedup.queries,
-    "ops.Similarity" -> ops.Similarity.queries,
-    "ops.Multimodal" -> ops.Multimodal.queries,
-    "ops.WindowsBatch" -> ops.WindowsBatch.queries,
-    "ops.Pipelines" -> ops.Pipelines.queries,
-    "ops.Sampling" -> ops.Sampling.queries,
-    "ops.Curation" -> ops.Curation.queries,
-    "ops.AsOf" -> ops.AsOf.queries,
-    "ops.RangeJoin" -> ops.RangeJoin.queries,
-    "ops.Corpus" -> ops.Corpus.queries,
-    "ops.Skew" -> ops.Skew.queries,
-    "ops.Cdc" -> ops.Cdc.queries,
-    "ops.Bpe" -> ops.Bpe.queries,
-    "ops.Classifier" -> ops.Classifier.queries,
-    "ops.Search" -> ops.Search.queries,
-    "ops.Behavior" -> ops.Behavior.queries,
-    "ops.Sketches" -> ops.Sketches.queries,
-    "ops.Graph" -> ops.Graph.queries,
-    "ops.Linkage" -> ops.Linkage.queries,
-    "ops.Stats" -> ops.Stats.queries,
-    "ops.Unigram" -> ops.Unigram.queries,
-    "api.GTableQueries" -> api.GTableQueries.queries)
+  def modules: Seq[(String, Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    ("batch.Relational", batch.Relational.queries, batch.Relational.oracleSql),
+    ("batch.DeepAnalytics", batch.DeepAnalytics.queries, batch.DeepAnalytics.oracleSql),
+    ("ops.Text", ops.Text.queries, ops.Text.oracleSql),
+    ("ops.Dedup", ops.Dedup.queries, ops.Dedup.oracleSql),
+    ("ops.Similarity", ops.Similarity.queries, ops.Similarity.oracleSql),
+    ("ops.Multimodal", ops.Multimodal.queries, ops.Multimodal.oracleSql),
+    ("ops.WindowsBatch", ops.WindowsBatch.queries, ops.WindowsBatch.oracleSql),
+    ("ops.Pipelines", ops.Pipelines.queries, ops.Pipelines.oracleSql),
+    ("ops.Sampling", ops.Sampling.queries, ops.Sampling.oracleSql),
+    ("ops.Curation", ops.Curation.queries, ops.Curation.oracleSql),
+    ("ops.AsOf", ops.AsOf.queries, ops.AsOf.oracleSql),
+    ("ops.RangeJoin", ops.RangeJoin.queries, ops.RangeJoin.oracleSql),
+    ("ops.Corpus", ops.Corpus.queries, ops.Corpus.oracleSql),
+    ("ops.Skew", ops.Skew.queries, ops.Skew.oracleSql),
+    ("ops.Cdc", ops.Cdc.queries, ops.Cdc.oracleSql),
+    ("ops.Bpe", ops.Bpe.queries, ops.Bpe.oracleSql),
+    ("ops.Classifier", ops.Classifier.queries, ops.Classifier.oracleSql),
+    ("ops.Search", ops.Search.queries, ops.Search.oracleSql),
+    ("ops.Behavior", ops.Behavior.queries, ops.Behavior.oracleSql),
+    ("ops.Sketches", ops.Sketches.queries, ops.Sketches.oracleSql),
+    ("ops.Graph", ops.Graph.queries, ops.Graph.oracleSql),
+    ("ops.Linkage", ops.Linkage.queries, ops.Linkage.oracleSql),
+    ("ops.Stats", ops.Stats.queries, ops.Stats.oracleSql),
+    ("ops.Unigram", ops.Unigram.queries, ops.Unigram.oracleSql),
+    ("api.GTableQueries", api.GTableQueries.queries, api.GTableQueries.oracleSql))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._2).reduce(_ ++ _)
 
   /** query name → entry-point object (latest module wins, like the merge). */
   def queryOrigins: Map[String, String] =
-    modules.flatMap { case (n, m) => m.keys.map(_ -> n) }.toMap
+    modules.flatMap { case (n, m, _) => m.keys.map(_ -> n) }.toMap
 
   def oracleSql: Map[String, String] =
-    batch.Relational.oracleSql ++ batch.DeepAnalytics.oracleSql ++
-      ops.Text.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.Multimodal.oracleSql ++ ops.WindowsBatch.oracleSql ++ ops.Pipelines.oracleSql ++
-      ops.Sampling.oracleSql ++ ops.Curation.oracleSql ++ ops.AsOf.oracleSql ++
-      ops.RangeJoin.oracleSql ++ ops.Corpus.oracleSql ++ ops.Skew.oracleSql ++
-      ops.Cdc.oracleSql ++ ops.Bpe.oracleSql ++ ops.Classifier.oracleSql ++ ops.Search.oracleSql ++
-      ops.Behavior.oracleSql ++ ops.Sketches.oracleSql ++ ops.Graph.oracleSql ++
-      ops.Linkage.oracleSql ++ ops.Stats.oracleSql ++ ops.Unigram.oracleSql ++ api.GTableQueries.oracleSql
+    modules.map(_._3).reduce(_ ++ _)
 }

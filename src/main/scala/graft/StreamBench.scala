@@ -450,9 +450,14 @@ object StreamBench {
     val q1 = start(); q1.processAllAvailable()
     val progress1 = q1.recentProgress.toSeq
     q1.stop() // mid-stream cold stop; second half arrives after the restart
+    // generator write excluded from the clock — the sibling soaks pre-write
+    // ALL input before t0, so billing this mid-run write would deflate the
+    // rows/sec headline relative to theirs
+    val w0 = System.nanoTime()
     writeChunks(half, total.toLong)
+    val writeNs = System.nanoTime() - w0
     val q2 = start(); q2.processAllAvailable()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs = (System.nanoTime() - t0 - writeNs) / 1e9
     val progress2 = q2.recentProgress.toSeq
     q2.stop()
     soakReport(progress1 ++ progress2)

@@ -182,11 +182,6 @@ object Bpe {
         StructField("cnt", LongType, nullable = false))))
   }
 
-  /** Encode each document with a learned merge table: the same symbolize +
-    * sequential-replace pipeline, applied map-side (merges become plan
-    * literals — the broadcast-model pattern). Returns per-doc subword token
-    * counts: the before/after compression the tokenizer buys.
-    */
   /** Broadcast-model guard for [[encode]]: each merge becomes one `replace`
     * literal in the plan, so the model size IS the plan size — a real BPE
     * vocabulary (30k+ merges) folded into one projection would blow past
@@ -196,6 +191,11 @@ object Bpe {
     */
   val MaxEncodeMerges = 4096
 
+  /** Encode each document with a learned merge table: the same symbolize +
+    * sequential-replace pipeline, applied map-side (merges become plan
+    * literals — the broadcast-model pattern). Returns per-doc subword token
+    * counts: the before/after compression the tokenizer buys.
+    */
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     require(merges.length <= MaxEncodeMerges,
       s"Bpe.encode: ${merges.length} merges exceed the $MaxEncodeMerges plan-literal bound — " +

@@ -166,6 +166,17 @@ class Scd2StreamSpec extends SparkSpec {
     val (_, m4r, _) = Scd2Stream.step(IndexedSeq.empty,
       Seq((100L, pay("b", 1L)), (100L, pay("a", 1L))), Long.MinValue, tb)
     assert(m4r.length == 1 && m4r(0)._2.getString(0) == "b")
+    // BINARY payloads: the order must be value-based (hex render), not
+    // Array.toString (JVM identity hash — replay-unstable). [1,3] > [1,2]
+    // lexicographically in hex, from either arrival order.
+    def bpay(bytes: Array[Byte], cid: Long) = Row(bytes, 0L, cid)
+    val lo = bpay(Array[Byte](1, 2), 7L)
+    val hi = bpay(Array[Byte](1, 3), 7L)
+    Seq(Seq((100L, lo), (100L, hi)), Seq((100L, hi), (100L, lo))).foreach { in =>
+      val (_, mb, _) = Scd2Stream.step(IndexedSeq.empty, in, Long.MinValue, tb)
+      assert(mb.length == 1 &&
+        mb(0)._2.getAs[Array[Byte]](0).toSeq == Seq[Byte](1, 3))
+    }
   }
 
   test("step: watermark eviction prunes the immutable prefix, never the open tail") {

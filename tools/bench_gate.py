@@ -68,7 +68,19 @@ med_env = statistics.median(med(fresh[k]) / max(med(blessed[k]), 1e-9) for k in 
 anchor_env = None
 if fresh_doc.get("cpu_anchor") and blessed_doc.get("cpu_anchor"):
     anchor_env = blessed_doc["cpu_anchor"] / fresh_doc["cpu_anchor"]
-env = anchor_env if anchor_env is not None else med_env
+# The anchor is a ~2 s post-run sample: co-load that overlaps only the anchor
+# window would inflate it and normalize away REAL regressions gate-wide. The
+# query median cannot be inflated that way (and an anchor far below it means
+# the shift was not uniform CPU), so take the CONSERVATIVE (smaller) of the
+# two normalizers: a genuine rig slowdown moves both together, while either
+# artifact alone can only make the gate stricter, never looser.
+if anchor_env is not None:
+    env = min(anchor_env, med_env)
+    if max(anchor_env, med_env) > 1.5 * min(anchor_env, med_env):
+        print(f"note: anchor ({anchor_env:.3f}) and query-median ({med_env:.3f}) "
+              f"normalizers disagree >1.5x — non-uniform shift, using the stricter")
+else:
+    env = med_env
 
 wall_fails, plan_fails = [], []
 for k in common:
@@ -81,7 +93,7 @@ for k in common:
         plan_fails.append((k, round(sh(blessed[k]), 1), round(sh(fresh[k]), 1)))
 
 print(f"common={len(common)} env_ratio={env:.3f} "
-      f"[{'cpu_anchor' if anchor_env is not None else 'query-median'}; "
+      f"[{'min(cpu_anchor, query-median)' if anchor_env is not None else 'query-median'}; "
       f"median_wall_ratio={med_env:.3f}"
       + (f", anchor_ratio={anchor_env:.3f}" if anchor_env is not None else "")
       + f"] (uniform shift = rig, normalized out; gate={GATE}x normalized)")

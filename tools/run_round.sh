@@ -56,11 +56,16 @@ if [ "$MODE" = "full" ]; then
   echo "== 7a excluded-oracle invariant audit (sf1) =="
   python3 tools/audit_invariants.py testdata/sf1 /tmp/graft_audit_round
   echo "== 7b seed-varied fixture sweep (anti-overfit, 3 seeds at sf0.01) =="
+  # NOTE: local_verify.py always exits 0, so the gate is the FAIL grep — and
+  # it must be an explicit if/exit: bash's errexit IGNORES '!'-inverted
+  # commands, so the old '! grep -q ^FAIL' form never aborted anything.
   for s in 1 2 3; do
     gen_seeded_fixture /root/testdata/sf0.01 "testdata/sf0.01_s$s" "$s"
     python3 tools/local_verify.py "testdata/sf0.01_s$s" "/tmp/graft_verify_s$s" \
       | tee "/tmp/graft_seed_$s.log" | tail -2
-    ! grep -q '^FAIL' "/tmp/graft_seed_$s.log" # local_verify always exits 0
+    if grep -q '^FAIL' "/tmp/graft_seed_$s.log"; then
+      echo "SEED SWEEP s$s FAILED"; exit 1
+    fi
   done
   echo "== 7c seeded-sf1 runnable-registry sweep =="
   gen_seeded_fixture testdata/sf1 testdata/sf1_s1 1
@@ -69,7 +74,14 @@ if [ "$MODE" = "full" ]; then
     GRAFT_VERIFY_JSON=CORRECTNESS_sf1_seeded.json \
     python3 tools/local_verify.py testdata/sf1_s1 /tmp/graft_verify_sf1s1 \
     | tee /tmp/graft_sf1s1.log | tail -3
-  ! grep -q '^FAIL' /tmp/graft_sf1s1.log
+  if grep -q '^FAIL' /tmp/graft_sf1s1.log; then
+    echo "SEEDED-SF1 SWEEP FAILED"; exit 1
+  fi
+  # 7c rewrote CORRECTNESS_sf1_seeded.json — a gen_catalog.py input — so the
+  # step-3 staleness verdict is void; re-check (and tell the dev to --write)
+  # rather than ending ALL-PASS with a README the next round will reject.
+  echo "== 7d catalog re-check (7c rewrote a catalog input) =="
+  python3 tools/gen_catalog.py --check
 else
   echo "== 7/7 skipped (quick mode; 'full' adds sf1 audit + seeded sweeps) =="
 fi
