@@ -75,16 +75,17 @@ object Bench {
     tally.bytes.get()
   }
 
-  private def newSession(cpus: String): SparkSession = {
+  private def newSession(cpus: String, sfDir: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // Probe knob: at sf100 a 600M-row table over `cpus` partitions forces
-      // per-partition external sorts (18M+ rows/task) whose spill-merge CPU
-      // reads as super-linear wall; a real cluster's partition count scales
-      // with the data. SPARK_GRAFT_SHUFFLE_PARTITIONS lets a scale probe
-      // reproduce that (default stays = cpus, the bench contract).
+      // Default sizes from the FIXTURE (GraftSession.shufflePartitionsFor:
+      // small fixtures stay = cpus, the bench contract; sf100's 15 GB gets
+      // the ≥256 partitions its 600M-row in-partition sorts need WITHOUT a
+      // manual knob — the r13 q_gtable_running adjudication, now automatic).
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS remains as the explicit A/B override.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          GraftSession.shufflePartitionsFor(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -200,7 +201,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    var spark = newSession(cpus)
+    var spark = newSession(cpus, sfDir)
 
     // warm-up pass (untimed; in isolate mode each query warms its own fresh
     // session instead). SPARK_GRAFT_BENCH_WARMUP=0 skips it — for the
@@ -218,7 +219,7 @@ object Bench {
     // exit code so a regression can't bench as an improvement.
     val results: Seq[(String, Either[String, QStat])] = ordered.zipWithIndex.map {
       case ((name, fn), i) =>
-        if (isolate && i > 0) { spark.stop(); spark = newSession(cpus) }
+        if (isolate && i > 0) { spark.stop(); spark = newSession(cpus, sfDir) }
         try {
           if (isolate && warmup) { fn(spark, sfDir).count(); sweep(spark) } // per-query warm-up
           val gc0 = gcMs()

@@ -51,6 +51,32 @@ object GraftSession {
     else b
   }
 
+  /** Data-driven shuffle-partition sizing (round-14 verdict item 5): the
+    * initial partition count scales with the FIXTURE, not a hand-set env
+    * knob. Rationale: in-partition sorts (overStreaming, window ops, the
+    * sf100 payload-argmax fallback) go super-linear on wall once
+    * rows/partition outgrows task memory — it's spill-merge, not the
+    * operator (PLANS.md; 342→68 s at sf100 from 32→256 partitions). A real
+    * cluster gets this from `spark.sql.shuffle.partitions` cluster defaults
+    * sized to the warehouse; a single-box engine can read the input size
+    * directly. One shuffle partition per ~32 MB of compressed parquet
+    * (≈100-300 MB of in-memory rows), floored at the core count (small
+    * fixtures keep partitions == cores — the established bench contract)
+    * and capped at 4096 (beyond that, per-task overhead dominates on one
+    * box). AQE coalesces the small ones at runtime, so oversizing is cheap;
+    * undersizing is the spill cliff. The explicit
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS override remains for A/B probes.
+    */
+  def shufflePartitionsFor(sfDir: String, cpus: Int): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length
+    val bytes = Option(new java.io.File(sfDir).listFiles)
+      .map(_.filter(_.getName.endsWith(".parquet")).map(sizeOf).sum)
+      .getOrElse(0L)
+    math.max(cpus, math.min(4096L, bytes / (32L << 20) + 1).toInt)
+  }
+
   def local(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -9,7 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // fixture-sized, not a knob (GraftSession.shufflePartitionsFor):
+      // small fixtures stay = cpus; scale fixtures get enough partitions
+      // that in-partition sorts don't hit the spill-merge cliff.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          GraftSession.shufflePartitionsFor(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

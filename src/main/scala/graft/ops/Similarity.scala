@@ -215,10 +215,13 @@ object Similarity {
     * centroid sits in a different coarse family lands in its family's best
     * instead — which is exactly the trade every trained quantizer already
     * makes; for SemDeDup any deterministic partition is a valid cell map.
-    * No vector can drop at the family join: family(i) always contains fine
-    * cell i itself, and an exact-duplicate coarse tie routes vector and
-    * member to the same min-index family (both argmaxes share the
-    * tie → lowest-cell rule; TwoLevelAssignSpec pins this).
+    * No vector can drop at the family join: fine cell j < c is PINNED to
+    * family j (it is coarse centroid j — self-assignment is the true argmax,
+    * and pinning removes the float-rounding hazard where a near-duplicate
+    * coarse pair empties a family that some vector still coarse-argmaxes
+    * to), so every coarse family contains its own fine centroid and the
+    * equi-join is total. Exact-duplicate coarse ties still route vectors to
+    * the min-index family (TwoLevelAssignSpec pins both properties).
     *
     * k ≤ `TwoLevelMinCells` short-circuits to the exact flat argmax, so
     * every shipped fixture (k ≤ 160 through sf10) is bit-unchanged.
@@ -232,12 +235,21 @@ object Similarity {
           "across per-partition index builds instead of growing one quantizer")
       val coarse = cents.filter(col("cell") < c)
         .select(col("cell").as("ccell"), col("cv").as("ccv"))
+      // Fine cell j < c IS coarse centroid j: pin it to its own family
+      // rather than trusting the computed self-argmax — float rounding on a
+      // NEAR-duplicate coarse pair (dot(f_j, c_j') landing a ulp above
+      // dot(f_j, f_j)) could otherwise empty family j while some vector
+      // still coarse-argmaxes to j, and the inner family join below would
+      // silently drop that vector. With the pin every coarse family
+      // provably contains its own fine centroid, so the join is total.
       val fam = cents.join(broadcast(coarse), lit(true))
         .select(col("cell"), col("cv"), col("ccell"),
           GraftFunctions.dot(col("cv"), col("ccv")).as("fcos"))
         .groupBy(col("cell"))
         .agg(min(struct(negate(col("fcos")), col("ccell"), col("cv"))).as("w"))
-        .select(col("w.ccell").as("ccell"), col("cell"), col("w.cv").as("cv"))
+        .select(
+          when(col("cell") < c, col("cell")).otherwise(col("w.ccell")).as("ccell"),
+          col("cell"), col("w.cv").as("cv"))
       val vcoarse = e.join(broadcast(coarse), lit(true))
         .select(col("vec_id"), col("nv"), col("ccell"),
           GraftFunctions.dot(col("nv"), col("ccv")).as("ccos"))
@@ -273,14 +285,28 @@ object Similarity {
     * class (same as semanticDedup's).
     */
   def ivfTopKScaled(embs: DataFrame): DataFrame = {
-    // Explicit repartition before the k-scaled assignment — the vector scan
-    // is byte-small but the N×k expansion is CPU-dense, so file-split
-    // partitioning serializes it (the semanticDedup/unigram trap, PLANS.md;
-    // measured here: sf10 47.8 s at ~3 busy cores without it). The
-    // localCheckpoint then PINS the widened partitioning for every consumer.
-    val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = normalized(embs).repartition(n).localCheckpoint(false)
+    val e = pinnedNormalized(embs)
     val k = math.max(IvfCells.toLong, (embs.count() + IvfTargetCell - 1) / IvfTargetCell)
+    ivfTopKGivenK(e, k)
+  }
+
+  /** Explicit repartition before a k-scaled assignment — the vector scan
+    * is byte-small but the N×k expansion is CPU-dense, so file-split
+    * partitioning serializes it (the semanticDedup/unigram trap, PLANS.md;
+    * measured here: sf10 47.8 s at ~3 busy cores without it). The
+    * localCheckpoint then PINS the widened partitioning for every consumer.
+    */
+  private def pinnedNormalized(embs: DataFrame): DataFrame = {
+    val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    normalized(embs).repartition(n).localCheckpoint(false)
+  }
+
+  /** The scaled-IVF search body over an already-pinned normalized corpus and
+    * an explicit cell count (`ivfTopKScaled` passes the corpus-derived k;
+    * `ivfTopKTwoLevel` forces `TwoLevelOracleK` so the IMI branch runs at
+    * oracle-verified SFs).
+    */
+  private def ivfTopKGivenK(e: DataFrame, k: Long): DataFrame = {
     val cents2 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
     val corpusCells = assignCells(e, cents2, k)
@@ -303,6 +329,38 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Forced-two-level k for the oracle-gated IMI queries (round-14 item 1):
+    * strictly above `TwoLevelMinCells` so `assignCells` takes the two-level
+    * branch at EVERY DuckDB-verified SF (the smallest fixture has 500
+    * vectors ≥ this many centroids), and mirrored literally into the oracle
+    * CTEs. The production `ivfTopKScaled` still derives k from the corpus;
+    * this knob exists so the scaled branch itself passes the hash gate
+    * instead of being bench-only sf100 evidence.
+    */
+  val TwoLevelOracleK = 400L
+  /** ⌈√TwoLevelOracleK⌉, inlined into the oracle SQL. */
+  val TwoLevelOracleC: Long = math.ceil(math.sqrt(TwoLevelOracleK.toDouble)).toLong
+
+  /** The raw two-level (IMI) cell assignment as a query: (vec_id, cell) for
+    * every corpus vector against the first-`TwoLevelOracleK` quantizer. This
+    * is the DIRECT hash gate on the `assignCells` k > 256 branch — the full
+    * search queries only surface assignments of top-k candidates, so a
+    * mis-assigned non-candidate would escape them.
+    */
+  def twoLevelAssignment(embs: DataFrame): DataFrame = {
+    val e = pinnedNormalized(embs)
+    val cents = e.filter(col("vec_id") < TwoLevelOracleK)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    assignCells(e, cents, TwoLevelOracleK).select(col("vec_id"), col("cell"))
+  }
+
+  /** `ivfTopKScaled`'s exact pipeline with k forced past the two-level
+    * threshold — the production search shape riding the IMI branch at an
+    * oracle-verified SF.
+    */
+  def ivfTopKTwoLevel(embs: DataFrame): DataFrame =
+    ivfTopKGivenK(pinnedNormalized(embs), TwoLevelOracleK)
 
   /** IVF probe over a PRECOMPUTED index table (`ivfAssign(_, cents)` rows,
     * possibly unioned across increments): only the query set is assigned at
@@ -683,6 +741,8 @@ object Similarity {
     "q_knn_lsh" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q_knn_ivf_scaled" -> ((s, d) => ivfTopKScaled(Tables.embeddings(s, d))),
+    "q_assign_twolevel" -> ((s, d) => twoLevelAssignment(Tables.embeddings(s, d))),
+    "q_knn_ivf_twolevel" -> ((s, d) => ivfTopKTwoLevel(Tables.embeddings(s, d))),
     "q_knn_ivf_incr" -> ((s, d) => ivfTopKIncr(Tables.embeddings(s, d))),
     "q_knn_ivf_kmeans" -> ((s, d) => ivfTopKTrained(Tables.embeddings(s, d))),
     "q_knn_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
@@ -729,7 +789,65 @@ object Similarity {
            |            FROM (SELECT cell, m, sqrt(list_sum([y * y for y in m])) AS nrm FROM g$i))""".stripMargin
       }).mkString(",\n")
 
+  /** The two-level (IMI) corpus assignment as DuckDB CTEs — an exact mirror
+    * of `assignCells`'s k > `TwoLevelMinCells` branch at k =
+    * `TwoLevelOracleK`: coarse table = lowest-√k fine centroids; fine cell
+    * j < c PINNED to family j, others argmax over coarse (ties → lowest
+    * ccell); vectors coarse-argmax then rank only their family's members.
+    * Ends with `corpus(cell, n_id, nvec)` + the intermediate `fin`.
+    */
+  private def duckTwoLevelCtes: String = {
+    val k = TwoLevelOracleK
+    val c = TwoLevelOracleC
+    s"""cents AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < $k),
+       |coarse AS (SELECT cell AS ccell, cv AS ccv FROM cents WHERE cell < $c),
+       |fam0 AS (
+       |  SELECT f.cell, f.cv, c.ccell,
+       |    row_number() OVER (PARTITION BY f.cell
+       |      ORDER BY list_sum([f.cv[i] * c.ccv[i] for i in range(1, 65)]) DESC, c.ccell) AS rk
+       |  FROM cents f, coarse c),
+       |fam AS (SELECT CASE WHEN cell < $c THEN cell ELSE ccell END AS ccell, cell, cv
+       |        FROM fam0 WHERE rk = 1),
+       |vc0 AS (
+       |  SELECT e.vec_id, e.nv, c.ccell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum([e.nv[i] * c.ccv[i] for i in range(1, 65)]) DESC, c.ccell) AS rk
+       |  FROM nv e, coarse c),
+       |vc AS (SELECT ccell, vec_id, nv FROM vc0 WHERE rk = 1),
+       |fin AS (
+       |  SELECT v.vec_id, v.nv, f.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_sum([v.nv[i] * f.cv[i] for i in range(1, 65)]) DESC, f.cell) AS rk
+       |  FROM vc v JOIN fam f USING (ccell)),
+       |corpus AS (SELECT cell, vec_id AS n_id, nv AS nvec FROM fin WHERE rk = 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_assign_twolevel" ->
+      s"""WITH $duckNormCte,
+         |$duckTwoLevelCtes
+         |SELECT vec_id, cell FROM fin WHERE rk = 1""".stripMargin,
+
+    // Corpus side = the two-level CTEs above; query probes stay a FLAT
+    // top-IvfProbes rank over all k cells (the engine's inverted-broadcast
+    // query side never goes two-level — |Q| is tiny by contract).
+    "q_knn_ivf_twolevel" ->
+      s"""WITH $duckNormCte,
+         |$duckTwoLevelCtes,
+         |probes AS (SELECT cell, q_id, qv FROM (
+         |  SELECT c.cell, e.vec_id AS q_id, e.nv AS qv,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum([e.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS crk
+         |  FROM nv e, cents c WHERE e.vec_id < $QueryCount)
+         |  WHERE crk <= $IvfProbes),
+         |s AS (SELECT q_id, n_id, list_sum([qv[i] * nvec[i] for i in range(1, 65)]) AS cos
+         |      FROM probes q JOIN corpus c ON q.cell = c.cell AND c.n_id != q.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
     "q_knn_recall" ->
       s"""WITH $duckNormCte,
          |bp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

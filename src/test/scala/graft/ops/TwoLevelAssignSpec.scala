@@ -107,12 +107,49 @@ class TwoLevelAssignSpec extends SparkSpec {
     assert(out.count() == Similarity.QueryCount * Similarity.TopK)
   }
 
+  test("the oracle-gated twolevel queries demonstrably take the IMI branch") {
+    // the hash gate is only evidence for the two-level path if the plan
+    // actually goes two-level: the knob must sit past the short-circuit, and
+    // the coarse-family column (which only the IMI branch creates) must be
+    // in the optimized plan.
+    assert(Similarity.TwoLevelOracleK > Similarity.TwoLevelMinCells)
+    val out = Similarity.twoLevelAssignment(Tables.embeddings(spark, sf()))
+    assert(out.queryExecution.optimizedPlan.toString.contains("ccell"),
+      "q_assign_twolevel must run the two-level branch of assignCells")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "exactly one cell per vector")
+    val search = Similarity.ivfTopKTwoLevel(Tables.embeddings(spark, sf()))
+    assert(search.queryExecution.optimizedPlan.toString.contains("ccell"),
+      "q_knn_ivf_twolevel's corpus assignment must run the two-level branch")
+  }
+
   test("coarse-table guard: k past MaxCoarseCells^2 fails with the sharding advice") {
     val e = norm(big)
     val ex = intercept[IllegalArgumentException] {
       Similarity.assignCells(e, centsOf(e, 300), Similarity.MaxCoarseCells * Similarity.MaxCoarseCells + 1)
     }
     assert(ex.getMessage.contains("shard the corpus"))
+  }
+
+  test("near-duplicate coarse centroids cannot drop vectors (self-family pin keeps the join total)") {
+    // vec 1 = vec 0 + a one-ulp-ish perturbation: coarse cells 0 and 1 are
+    // near-identical but NOT bit-equal, the float-rounding regime where an
+    // unpinned fine self-argmax could land in the twin's family and leave
+    // family 1 empty while some vector still coarse-argmaxes to 1 (r13
+    // advice). The pin makes coverage structural; assigned == input must
+    // hold exactly, and fine cell 1 must sit in its own family.
+    val e0 = big.filter(col("vec_id") === 0).select(col("embedding").as("e0"))
+    val fixed = big.crossJoin(broadcast(e0))
+      .select(col("vec_id"),
+        when(col("vec_id") === 1,
+          expr("transform(e0, (x, i) -> cast(x + if(i = 0, 1.0e-7, 0.0) as float))"))
+          .otherwise(col("embedding")).as("embedding"))
+    val e = norm(fixed)
+    val k = 300L
+    val out = Similarity.assignCells(e, centsOf(e, k), k).collect()
+    assert(out.length == 3000, "assigned count must equal input count — no vector may drop")
+    assert(out.map(_.getLong(1)).distinct.length == 3000)
   }
 
   test("exact-duplicate coarse centroids cannot drop vectors (tie routes to min family)") {

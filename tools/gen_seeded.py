@@ -4,13 +4,20 @@ item 3). All correctness evidence rides ONE deterministic fixture family;
 this produces same-shape, same-scale variants whose concrete values the
 queries were never tuned on:
 
-  - KEY PERMUTATION, domain-preserving: every key group (custkey across
+  - KEY PERMUTATION, value-set-preserving: every key group (custkey across
     customer+orders, partkey/suppkey across part/supplier+lineitem,
-    orderkey across orders+lineitem, doc_id, vec_id, event ids) is mapped
-    by a seeded affine bijection k -> lo + (a*(k-lo) + b) mod n over its
-    own [lo, hi] range — join structure, per-key cardinalities and
-    id-range predicates (doc_id < 20 benchmarks, % k demos) keep their
-    SELECTIVITY SHAPE while every concrete id changes.
+    orderkey across orders+lineitem, doc_id, vec_id, event ids) is
+    permuted WITHIN its own distinct-value set — value v with rank i maps
+    to the value at rank (a*i + b) mod m, a seeded affine bijection on
+    ranks. Join structure and per-key cardinalities are preserved
+    (bijection), and id predicates (vec_id < k centroid picks, doc_id
+    < 20 benchmarks, % k demos) keep their EXACT selectivity because the
+    value set itself is unchanged — which rows carry the low ids redraws.
+    On a dense domain this is identical to the old lo+(a*(k-lo)+b) mod n
+    affine map; on the SPARSE scale-fixture domains (sf1 vec_id tops out
+    at 9e7 over 20k rows) the old map emptied every low-id band — the
+    round-13 seeded-sf1 sweep silently passed the whole knn family on
+    0 == 0 rows (found round 14; this rewrite is the fix).
   - MEASURE JITTER: double measures scale by a per-(seed, column) factor
     in [0.90, 1.10]; integer p_size shifts by seed % 5. Sort orders,
     rounding boundaries and filter selectivities all move.
@@ -90,15 +97,14 @@ def h(*xs):
     return v
 
 
-def affine_params(group, lo, hi):
-    n = hi - lo + 1
-    b = h(SEED, group, "b") % n
-    a = (h(SEED, group, "a") % n) | 1  # odd
-    while gcd(a, n) != 1:
+def affine_params(group, m):
+    b = h(SEED, group, "b") % m
+    a = (h(SEED, group, "a") % m) | 1  # odd
+    while gcd(a, m) != 1:
         a += 2
-        if a >= n:
+        if a >= m:
             a = 1
-    return a, b, n
+    return a, b
 
 
 def gcd(a, b):
@@ -114,23 +120,25 @@ def main():
               "events documents embeddings").split():
         tables[t] = pq.read_table(f"{SRC}/{t}.parquet")
 
-    # key permutations, domain bounds over the whole group
+    # key permutations WITHIN the group's distinct-value set: rank i's value
+    # maps to rank (a*i + b) mod m's value — value set (and hence every
+    # range predicate's selectivity) unchanged, assignment of ids to rows
+    # fully redrawn. One map per group keeps join structure intact.
+    import numpy as np
     for group, cols in KEY_GROUPS.items():
-        lo = min(pc.min(tables[t].column(c)).as_py() for t, c in cols)
-        hi = max(pc.max(tables[t].column(c)).as_py() for t, c in cols)
-        a, b, n = affine_params(group, lo, hi)
+        vals = np.unique(np.concatenate([
+            tables[t].column(c).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            for t, c in cols]))
+        m = len(vals)
+        a, b = affine_params(group, m)
+        target = vals[(a * np.arange(m, dtype=np.int64) + b) % m]
         for t, c in cols:
             tbl = tables[t]
             i = tbl.schema.get_field_index(c)
-            k = pc.subtract(tbl.column(c).cast(pa.int64()), pa.scalar(lo, pa.int64()))
-            mapped = pc.add(
-                pc.add(pc.multiply(k, pa.scalar(a, pa.int64())), pa.scalar(b, pa.int64())),
-                pa.scalar(0, pa.int64()))
-            mapped = pc.add(
-                pc.subtract(mapped, pc.multiply(pc.divide(mapped, pa.scalar(n, pa.int64())),
-                                                pa.scalar(n, pa.int64()))),
-                pa.scalar(lo, pa.int64()))
-            tables[t] = tbl.set_column(i, tbl.schema.field(i), mapped.cast(pa.int64()))
+            raw = tbl.column(c).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            mapped = target[np.searchsorted(vals, raw)]
+            tables[t] = tbl.set_column(i, tbl.schema.field(i),
+                                       pa.array(mapped, pa.int64()))
 
     # measure jitter (quantized back to the domain invariant)
     for t, cols in JITTER_COLS.items():
