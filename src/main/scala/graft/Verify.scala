@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192] runs the registry across
+    // SEPARATE executor JVMs (real closure serialization, broadcast over a
+    // real transport, task retry) — the round-14 multi-JVM evidence mode.
+    // Executors are fresh JVMs without this process's -cp, so the engine
+    // classes ship via executor extraClassPath (same box by definition).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       // fixture-sized, not a knob (GraftSession.shufflePartitionsFor):
       // small fixtures stay = cpus; scale fixtures get enough partitions
       // that in-partition sorts don't hit the spill-merge cliff.
@@ -17,7 +23,10 @@ object Verify {
           GraftSession.shufflePartitionsFor(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional subset (comma-separated names) for local spot checks; the

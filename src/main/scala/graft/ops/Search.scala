@@ -33,7 +33,9 @@ object Search {
 
   /** Fused (doc_id, score, rank), top `RrfTopK` by RRF score. */
   def rrfFusion(docs: DataFrame, embs: DataFrame): DataFrame = {
-    val lex = Text.bm25(docs, Text.Bm25Query, RrfListK)
+    // corpus-derived query terms (Text.topDfTerms) — literal terms go
+    // vacuous under the seeded fixtures' bijective text redraws (round 14)
+    val lex = Text.bm25Derived(docs, RrfListK)
       .select(col("doc_id"), col("rank").as("rl"))
     val e = Similarity.normalized(embs)
     val q = e.filter(col("vec_id") === RrfQueryVec).select(col("nv").as("qv"))
@@ -62,9 +64,13 @@ object Search {
   val oracleSql: Map[String, String] = Map(
     "q_search_rrf" ->
       s"""WITH t AS (SELECT doc_id, unnest(${Text.toksSql}) AS term FROM documents),
+         |qt AS (SELECT term FROM (
+         |         SELECT term, count(*) AS qdf FROM (SELECT DISTINCT doc_id, term FROM t)
+         |         GROUP BY 1)
+         |       ORDER BY qdf DESC, term LIMIT ${Text.Bm25QueryK}),
          |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-         |       WHERE term IN (${Text.Bm25Query.map(q => s"'$q'").mkString(", ")}) GROUP BY 1, 2),
+         |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |ad AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
          |              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),

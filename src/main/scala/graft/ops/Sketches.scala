@@ -132,28 +132,37 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 64
 
-  /** probe tokens for the oracle-checked point-query demo — a mix of the
-    * corpus's frequent terms, its stopwords, and one absent term (the
-    * absent one exercises the no-exact-row path: it simply doesn't appear,
-    * matching the inner join on both sides).
+  /** How many corpus-derived probe tokens the CMS point-query demo uses. */
+  val CmsProbeK = 8
+  /** A token the corpus can never contain (tokens are split on whitespace
+    * from lower-cased text, and the fixture vocabulary is [a-z]+; the
+    * underscore keeps it out of ANY Caesar-rotated redraw too). It
+    * exercises the no-exact-row path: absent on both sides of the inner
+    * join.
     */
-  def cmsProbes: Seq[String] =
-    Seq("join", "hash", "row", "batch", "scan", "column", "the", "of", "zzz_absent")
+  val CmsAbsentProbe = "zzz_absent_9"
 
   private def cmsHash(i: Int, tokExpr: String): String =
     s"cast(conv(substr(md5(concat('cms$i:', $tokExpr)), 1, 15), 16, 10) as bigint) % $CmsWidth"
 
   def cmsEstimates(docs: DataFrame): DataFrame = {
+    // The probe set is DERIVED from the corpus (its CmsProbeK most frequent
+    // tokens + one guaranteed-absent term) rather than literal: a seeded
+    // fixture's bijective text redraw rewrites the vocabulary, and a
+    // literal probe list silently turns the whole query into 0 == 0 rows
+    // (found round 14). The explode now feeds three consumers, so pin it.
     val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+      .localCheckpoint(false)
     val cells = toks
       .select(explode(expr(
         (0 until CmsDepth).map(i => s"struct(${i}L as i, ${cmsHash(i, "token")} as c)")
           .mkString("array(", ", ", ")"))).as("s"))
       .groupBy(col("s.i").as("i"), col("s.c").as("c"))
       .agg(count(lit(1)).as("n"))
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val probes = cmsProbes.toDF("token")
+    val probes = toks.groupBy(col("token")).agg(count(lit(1)).as("pc"))
+      .orderBy(col("pc").desc, col("token")).limit(CmsProbeK)
+      .select(col("token"))
+      .unionAll(docs.sparkSession.range(1).select(lit(CmsAbsentProbe).as("token")))
     val probeCells = probes.select(col("token"), explode(expr(
       (0 until CmsDepth).map(i => s"struct(${i}L as i, ${cmsHash(i, "token")} as c)")
         .mkString("array(", ", ", ")"))).as("s"))
@@ -162,7 +171,7 @@ object Sketches {
       .join(cells, Seq("i", "c"))
       .groupBy(col("token"))
       .agg(min(col("n")).as("est_cms"))
-    val exact = toks.filter(col("token").isin(cmsProbes: _*))
+    val exact = toks.join(broadcast(probes), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
     exact.join(est, Seq("token"))
   }
@@ -251,11 +260,13 @@ object Sketches {
     "q_freq_cms" -> {
       def h(i: Int, e: String) = s"('0x' || substr(md5('cms$i:' || $e), 1, 15))::BIGINT % $CmsWidth"
       val cellArms = (0 until CmsDepth).map(i => s"{'i': $i, 'c': ${h(i, "token")}}").mkString(", ")
-      val probeList = cmsProbes.map(t => s"('$t')").mkString(", ")
       s"""WITH toks AS (SELECT unnest(str_split(${Text.normSql}, ' ')) AS token FROM documents),
          |cells AS (SELECT s.i AS i, s.c AS c, count(*) AS n
          |          FROM (SELECT unnest([$cellArms]) AS s FROM toks) GROUP BY 1, 2),
-         |probes AS (SELECT token FROM (VALUES $probeList) v(token)),
+         |probes AS (SELECT token FROM (
+         |             SELECT token, count(*) AS pc FROM toks GROUP BY 1
+         |             ORDER BY pc DESC, token LIMIT $CmsProbeK)
+         |           UNION ALL SELECT '$CmsAbsentProbe'),
          |pc AS (SELECT token, s.i AS i, s.c AS c
          |       FROM (SELECT token, unnest([$cellArms]) AS s FROM probes)),
          |est AS (SELECT token, min(n) AS est_cms

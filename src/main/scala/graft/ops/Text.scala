@@ -267,8 +267,49 @@ object Text {
       queryTerms: Seq[String] = Bm25Query,
       topK: Int = Bm25TopK): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    bm25From(docs, terms, terms.filter(col("term").isin(queryTerms: _*)), topK)
+  }
+
+  /** How many corpus-derived query terms the registry search queries use. */
+  val Bm25QueryK = 4
+
+  /** The `k` highest-document-frequency terms (ties → lexicographic) — the
+    * corpus-derived query the REGISTRY search queries use instead of
+    * `Bm25Query`'s literals: a seeded fixture's bijective text redraw
+    * (Caesar shift) rewrites the whole vocabulary, so any literal term list
+    * matches nothing and the hash gate silently passes on 0 == 0 rows
+    * (found round 14 — q_search_bm25/q_freq_cms were vacuous on every seed
+    * variant). Deriving the probe set from the corpus itself keeps the
+    * gate non-vacuous under ANY frequency-preserving transform. `terms` is
+    * the exploded (doc_id, term) stream.
+    */
+  def topDfTerms(terms: DataFrame, k: Int = Bm25QueryK): DataFrame =
+    terms.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("qdf"))
+      .orderBy(col("qdf").desc, col("term")).limit(k)
+      .select(col("term"))
+
+  /** `bm25` with the corpus-derived query (`topDfTerms`): same scoring
+    * body, the term gate is a broadcast semi-join against the ≤ `queryK`
+    * derived terms instead of a literal `isin` — still map-side, still
+    * postings-proportional. The token explode feeds THREE consumers here
+    * (doc lengths, the term derivation, tf), so it is pinned.
+    */
+  def bm25Derived(docs: DataFrame, topK: Int = Bm25TopK,
+      queryK: Int = Bm25QueryK): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(false)
+    val qt = topDfTerms(terms, queryK)
+    bm25From(docs, terms, terms.join(broadcast(qt), Seq("term")), topK)
+  }
+
+  /** Shared BM25 scoring body: `gated` is the query-term-gated slice of
+    * `terms`.
+    */
+  private def bm25From(docs: DataFrame, terms: DataFrame, gated: DataFrame,
+      topK: Int): DataFrame = {
     val dlen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tf = terms.filter(col("term").isin(queryTerms: _*))
+    val tf = gated
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = docs.agg(count(lit(1)).as("n_docs"))
@@ -597,7 +638,7 @@ object Text {
     "q_text_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "q_text_ctype" -> ((s, d) => contentType(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
-    "q_search_bm25" -> ((s, d) => bm25(Tables.documents(s, d))),
+    "q_search_bm25" -> ((s, d) => bm25Derived(Tables.documents(s, d))),
     // the documents text is clean ASCII, so the NFC/collapse oracle wraps it
     // in a deterministic messy fixture (decomposed accents, TAB, ZWSP, NBSP)
     // built identically on both engines — the q_domain_url convention
@@ -711,9 +752,13 @@ object Text {
 
     "q_search_bm25" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |qt AS (SELECT term FROM (
+         |         SELECT term, count(*) AS qdf FROM (SELECT DISTINCT doc_id, term FROM t)
+         |         GROUP BY 1)
+         |       ORDER BY qdf DESC, term LIMIT $Bm25QueryK),
          |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-         |       WHERE term IN (${Bm25Query.map(q => s"'$q'").mkString(", ")}) GROUP BY 1, 2),
+         |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |ad AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
          |              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),

@@ -9,7 +9,8 @@ class SearchSpec extends SparkSpec {
   private lazy val embs = Tables.embeddings(spark, sf())
 
   test("rrf: a doc present in both lists outscores docs in only one") {
-    val lex = Text.bm25(docs, Text.Bm25Query, Search.RrfListK).collect()
+    // the lexical leg uses the corpus-derived query (bm25Derived, round 14)
+    val lex = Text.bm25Derived(docs, Search.RrfListK).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val fused = Search.rrfFusion(docs, embs).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
