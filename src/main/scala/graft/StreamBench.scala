@@ -58,11 +58,18 @@ object StreamBench {
     val batchSize = if (numArgs.length > 1) numArgs(1).toInt else 100000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val rocksdb = sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192]: the soak's stateful
+    // operators run across separate executor JVMs (real state-store
+    // serialization + shuffle transport) — the Verify multi-JVM mode.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val b = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
     if (rocksdb)
       b.config("spark.sql.streaming.stateStore.providerClass", GraftSession.RocksDbProvider)
     val spark = b.getOrCreate()
@@ -76,6 +83,7 @@ object StreamBench {
       case "soak"   => runSoak(spark, total, batchSize, cpus.toInt)
       case "soak_over" => runSoakOver(spark, total, batchSize, cpus.toInt)
       case "soak_scd2" => runSoakScd2(spark, total, batchSize, cpus.toInt)
+      case "soak_semdedup" => runSoakSemDedup(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -478,6 +486,115 @@ object StreamBench {
       if (got == null || got != want) mismatches += 1
     }
     println(s"""{"soak_scd2_serving_rows":${serving.size},"batch_rows":$batchRows,"mismatches":$mismatches,"restart_at_row":$half,"entities":$Scd2Entities}""")
+    (total.toLong, secs)
+  }
+
+  /** Distinct semantic directions in the semdedup soak feed: vector id
+    * carries direction id % SemSoakDirs, so every direction recurs each
+    * `SemSoakDirs` ids (1.5 s of event time at 3 ms/row) — always inside
+    * the 2 s watermark, which makes the admission law CLOSED-FORM: each
+    * direction is admitted exactly once, at its first id.
+    */
+  val SemSoakDirs = 500
+  val SemSoakCells = 16L
+  /** Soak threshold: high enough that distinct sin-hash directions can
+    * never cross it (the generator VERIFIES max cross-direction cosine <
+    * threshold driver-side before the run, so the closed-form law is exact,
+    * not probabilistic), while identical directions sit at cosine 1.
+    */
+  val SemSoakThreshold = 0.9
+
+  private def semVecDf(spark: SparkSession, from: Long, n: Long): DataFrame =
+    spark.range(from, from + n).select(
+      timestamp_millis(lit(Epoch) + col("id") * 3L).as("ts"),
+      col("id").as("vec_id"),
+      // murmur3-hashed components, NOT sin(d*i + ...): sin of a linear phase
+      // is periodic in d, and directions ~2πk apart correlated up to cosine
+      // 0.96 — above the soak threshold, which the premise check rejected.
+      // Hashed components measure max cross-direction cosine ~0.49.
+      expr(s"transform(sequence(1, 64), i -> cast(hash(cast(id % $SemSoakDirs as int), i)" +
+        " as float))").as("embedding"))
+
+  /** Streaming SemDeDup soak (round-13 verdict item 6): churning semantic
+    * duplicates through `SemDedupStream.admitted` against a frozen 16-cell
+    * quantizer, with a MID-STREAM cold restart from checkpoint (the scd2
+    * soak's shape). Two verdicts: the state plateau (soakReport — per-cell
+    * buffers are bounded by arrival rate × watermark, independent of run
+    * length) and the exact admission law (every direction admitted exactly
+    * once, at its first id — closed-form because the generator proves its
+    * directions are separated below the threshold and every recurrence
+    * lands inside the watermark).
+    */
+  private def runSoakSemDedup(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    val dir = java.nio.file.Files.createTempDirectory("streambench-sem").toString
+    val ckp = java.nio.file.Files.createTempDirectory("streambench-sem-ckp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("streambench-sem-out").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    def writeChunks(from: Long, until: Long): Unit = {
+      var at = from
+      while (at < until) {
+        val n = math.min(batchSize.toLong, until - at)
+        semVecDf(spark, at, n).repartition(filesPerChunk).write.mode("append").parquet(dir)
+        at += n
+      }
+    }
+    // frozen quantizer = the first SemSoakCells directions (ids 0..15 carry
+    // direction = id), collected once — the FromSigs convention
+    val cents = graft.streaming.SemDedupStream.frozenCents(
+      semVecDf(spark, 0, SemSoakCells).select(col("vec_id"), col("embedding")), SemSoakCells)
+    // prove the closed-form law's premise: distinct directions never cross
+    // the threshold (driver-side, 500 vectors, one-time)
+    val dirs = semVecDf(spark, 0, SemSoakDirs).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+    var crossMax = -1.0
+    for (i <- dirs.indices; j <- (i + 1) until dirs.length) {
+      var s = 0.0; var c = 0
+      while (c < 64) { s += dirs(i)(c) * dirs(j)(c); c += 1 }
+      if (s > crossMax) crossMax = s
+    }
+    require(crossMax < SemSoakThreshold,
+      s"soak generator premise violated: max cross-direction cosine $crossMax")
+
+    def start() = graft.streaming.SemDedupStream.admitted(
+      spark.readStream.schema(semVecDf(spark, 0, 1).schema)
+        .option("maxFilesPerTrigger", filesPerChunk)
+        .option("latestFirst", "false")
+        .parquet(dir),
+      cents, threshold = SemSoakThreshold, watermarkDelay = "2 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckp)
+      .outputMode("append").start()
+
+    val half = total / 2L
+    writeChunks(0L, half)
+    val t0 = System.nanoTime()
+    val q1 = start(); q1.processAllAvailable()
+    val progress1 = q1.recentProgress.toSeq
+    q1.stop() // mid-stream cold stop; second half arrives after the restart
+    val w0 = System.nanoTime()
+    writeChunks(half, total.toLong)
+    val writeNs = System.nanoTime() - w0
+    val q2 = start(); q2.processAllAvailable()
+    val secs = (System.nanoTime() - t0 - writeNs) / 1e9
+    val progress2 = q2.recentProgress.toSeq
+    q2.stop()
+    soakReport(progress1 ++ progress2)
+
+    val admitted = spark.read.parquet(outDir).select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted
+    val expected = (0L until SemSoakDirs.toLong).toArray
+    val unexpected = admitted.filterNot(_ < SemSoakDirs)
+    val missing = expected.filterNot(admitted.contains)
+    println(s"""{"soak_semdedup_admitted":${admitted.length},"expected":$SemSoakDirs,""" +
+      s""""unexpected":${unexpected.length},"missing":${missing.length},""" +
+      s""""cross_max_cos":${math.round(crossMax * 1e6) / 1e6},""" +
+      s""""restart_at_row":$half,"cells":$SemSoakCells}""")
     (total.toLong, secs)
   }
 

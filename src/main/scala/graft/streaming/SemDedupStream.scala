@@ -1,0 +1,210 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming SEMANTIC dedup (SemDeDup, Abbas et al. 2023) — the
+  * embedding-level admission gate the batch `Dedup.semanticDedup` provides,
+  * under Structured Streaming (round-13 verdict item 6). Completes the
+  * ingest ladder: quality gate → exact dedup → MinHash near-dup
+  * (`NearDupStream`) → semantic near-dup — the last stage catches
+  * paraphrases that share no shingles but embed to nearby vectors.
+  *
+  * FromSigs convention: the quantizer is an INPUT — a FROZEN centroid table
+  * from a prior batch build (`frozenCents`), not derived per batch. An
+  * increment is assigned against the frozen cells and history is never
+  * re-assigned, exactly like `Dedup.incrementalNearDupPairsFromSigs` /
+  * `Similarity.ivfTopKFromIndex`. Refresh the quantizer by restarting the
+  * query with new cents (cell ids are meaningful only per quantizer).
+  *
+  * Shape: normalization is map-only DataFrame code (the batch
+  * `Similarity.normalized` spelling, so doubles are bit-identical to the
+  * batch path); cell assignment is a per-ROW argmax over the closure-held
+  * frozen centroids (no aggregate, no shuffle — the stream analog of the
+  * broadcast argmax; the centroid table must therefore be broadcast-sized,
+  * ~0.5 KB/cell, the caller's k knob). The ONE shuffle keys by `cell` into
+  * a single `flatMapGroupsWithState`: per-cell state buffers (t, vec_id,
+  * nv) within the watermark, each incoming vector (processed in (t, id)
+  * order) is compared against its OWN cell's buffer — the SemDeDup
+  * within-cell rule — and emits a verdict row. A vector lives in exactly
+  * one cell, so no cross-bucket election or downstream OR is needed (the
+  * structural simplification vs `NearDupStream`'s multi-band membership).
+  *
+  * Matching is against EVERY buffered vector, admitted or rejected — the
+  * batch rule is "dropped iff ANY earlier member sits above the threshold",
+  * which makes rejection transitive like the batch form and makes
+  * stream-on-batch equal the batch operator row-for-row when arrival order
+  * is (ts, vec_id) order (SemDedupStreamSpec pins it).
+  *
+  * State bound: per-cell buffer ≤ min(arrival rate × watermark delay,
+  * `maxCell`). The cap is conservative like `NearDupStream`'s: when a cell
+  * is full, an unmatched incoming vector is REJECTED (not silently
+  * dropped, not buffered) — in a cell hot enough to overflow, false
+  * rejection beats false admission of flood duplicates, and the retained
+  * set stays the earliest in-watermark window (keep-FIRST, matching the
+  * admission rule; `NearDupStream` keeps newest because its pair mode
+  * wants recent candidates — an admission gate wants the incumbents).
+  * Eviction is watermark-driven (evict-first, then compare), and
+  * `EventTimeTimeout` both wakes idle cells for GC and drops
+  * watermark-late input before it can consult the truncated buffer.
+  */
+object SemDedupStream {
+
+  /** Collect a frozen, broadcast-sized quantizer from a batch corpus: the
+    * first `k` vec_ids, normalized with the exact batch spelling, sorted by
+    * cell. The k-row collect is the documented model-parameter read class
+    * (same as BPE merge tables / classifier weights) — this is a MODEL, not
+    * data; it is held in the query closure, so k must stay broadcast-sized
+    * (~0.5 KB per cell: 50k cells ≈ 26 MB is the practical ceiling).
+    */
+  def frozenCents(embs: DataFrame, k: Long): Array[(Long, Array[Double])] =
+    Similarity.normalized(embs).filter(col("vec_id") < k)
+      .select(col("vec_id"), col("nv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Verdict stream: (ts, vec_id, cell, matched) for every input vector —
+    * `matched` = an earlier in-watermark vector of the same cell has cosine
+    * >= `threshold`. Input: (ts: timestamp, vec_id: long, embedding:
+    * array<float|double>). Works unchanged on a batch DataFrame (infinite
+    * watermark, one pass in (ts, vec_id) order).
+    */
+  def verdicts(
+      vecs: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      threshold: Double = Dedup.SemThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxCell: Int = 65536): DataFrame = {
+    require(cents.nonEmpty, "semDedupStream: empty centroid table")
+    val streaming = vecs.isStreaming
+    val base0 = vecs.select(col("ts"), col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val base =
+      if (streaming && !base0.schema("ts").metadata.contains("spark.watermarkDelayMs"))
+        base0.withWatermark("ts", watermarkDelay)
+      else base0
+    // normalization shares the batch Similarity.normalized spelling
+    // (cast-to-double FIRST, codegen dot, per-component divide) so the
+    // stream's nv doubles are bit-identical to the batch operator's
+    val prepped = base
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+      .select(
+        unix_millis(col("ts")).as("__t"),
+        col("vec_id").as("__id"),
+        expr("transform(v, x -> x / nrm)").as("__nv"),
+        col("ts").as("__eventTime"))
+
+    // ascending while-loop == DotProduct's fold order, bit-identical
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // nearest frozen centroid; ties -> lowest cell (cents sorted ascending,
+    // strict > keeps the first) — ivfAssign's exact tie rule
+    def assign(nv: Array[Double]): Long = {
+      var best = Double.NegativeInfinity
+      var bc = cents(0)._1
+      var i = 0
+      while (i < cents.length) {
+        val d = dot(nv, cents(i)._2)
+        if (d > best) { best = d; bc = cents(i)._1 }
+        i += 1
+      }
+      bc
+    }
+
+    val entrySchema = StructType(Seq(
+      StructField("t", LongType), StructField("id", LongType),
+      StructField("nv", ArrayType(DoubleType))))
+    val stateSchema = StructType(Seq(StructField("buf", ArrayType(entrySchema))))
+    val outSchema = StructType(Seq(
+      StructField("em", LongType), StructField("id", LongType),
+      StructField("cell", LongType), StructField("matched", BooleanType)))
+    val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    type Entry = (Long, Long, Array[Double]) // (t, id, nv)
+    def decode(s: Row): ArrayBuffer[Entry] = {
+      val buf = new ArrayBuffer[Entry]()
+      s.getSeq[Row](0).foreach { r =>
+        buf += ((r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      }
+      buf
+    }
+    def encode(buf: Seq[Entry]): Row =
+      Row(buf.map { case (t, id, nv) => Row(t, id, nv.toSeq) })
+
+    val func = (cell: Long, it: Iterator[Row], state: GroupState[Row]) => {
+      val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+      // evict-first (the NearDupStream contract): a vector is guaranteed
+      // deduped against an earlier one iff they are within watermarkDelay
+      // of each other, independent of invocation timing
+      val buf = state.getOption.map(decode).getOrElse(new ArrayBuffer[Entry]())
+        .filter(_._1 >= wm)
+      val out = new ArrayBuffer[Row]()
+      val incoming = it.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .toArray.sortBy(e => (e._1, e._2))
+      incoming.foreach { e =>
+        if (!buf.exists(_._2 == e._2)) { // at-least-once replay: already judged
+          var matched = false
+          var i = 0
+          while (!matched && i < buf.length) {
+            if (dot(buf(i)._3, e._3) >= threshold) matched = true
+            i += 1
+          }
+          if (buf.length < maxCell) {
+            out += Row(e._1, e._2, cell, matched)
+            buf += e
+          } else
+            // full cell: conservative rejection (never buffered, never
+            // silently lost) — the keep-first incumbents stay authoritative
+            out += Row(e._1, e._2, cell, true)
+        }
+      }
+      if (buf.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(encode(buf.toSeq))
+        if (streaming)
+          state.setTimeoutTimestamp(math.max(buf.map(_._1).max + idleTimeoutMs, wm + 1))
+      }
+      out.iterator
+    }
+
+    // EventTimeTimeout is LOAD-BEARING (the Scd2Stream rule): only under it
+    // does FlatMapGroupsWithStateExec drop watermark-late input rows, which
+    // the evict-first state truncation requires for soundness.
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    prepped
+      .groupByKey((r: Row) => assign(r.getSeq[Double](2).toArray))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Append(), timeoutConf)(func)(stateEnc, outEnc)
+      .select(timestamp_millis(col("em")).as("ts"), col("id").as("vec_id"),
+        col("cell"), col("matched"))
+  }
+
+  /** The ADMITTED vector stream — (ts, vec_id, cell) of every vector that is
+    * not a semantic duplicate of an earlier in-watermark vector in its cell.
+    * Keep-first admission; one stateful operator, append mode.
+    */
+  def admitted(
+      vecs: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      threshold: Double = Dedup.SemThreshold,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L,
+      maxCell: Int = 65536): DataFrame =
+    verdicts(vecs, cents, threshold, watermarkDelay, idleTimeoutMs, maxCell)
+      .filter(!col("matched"))
+      .select(col("ts"), col("vec_id"), col("cell"))
+}

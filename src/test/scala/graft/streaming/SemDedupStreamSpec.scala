@@ -1,0 +1,175 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+case class SVec(ts: java.sql.Timestamp, vec_id: Long, embedding: Seq[Float])
+
+/** Streaming semantic dedup (round-13 verdict item 6): incremental SemDeDup
+  * against a FROZEN cell map, cross-checked against the batch within-cell
+  * rule on the same rows, with watermark eviction, late-drop, replay
+  * tolerance, and the conservative hot-cell cap pinned.
+  */
+class SemDedupStreamSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  /** 64-dim unit axis vector along component `i`. */
+  private def axis(i: Int): Seq[Float] =
+    Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+
+  /** One-cell quantizer along axis 0 — every vector assigns to cell 0, so
+    * the within-cell compare is the whole operator.
+    */
+  private val oneCell: Array[(Long, Array[Double])] =
+    Array((0L, Array.tabulate(64)(j => if (j == 0) 1.0 else 0.0)))
+
+  /** The batch reference: vector dropped iff an earlier-(ts, id) member of
+    * its cell (against the same frozen cents) has cosine >= threshold —
+    * `Dedup.semanticDedup`'s rule with arrival order generalized from id
+    * order.
+    */
+  private def batchSurvivors(embs: org.apache.spark.sql.DataFrame, k: Long): Set[Long] = {
+    val e = Similarity.normalized(embs)
+    val cents = e.filter(col("vec_id") < k).select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val asg = Similarity.ivfAssign(e, cents).select(col("cell"), col("vec_id"), col("nv"))
+    val a = asg.select(col("cell").as("ca"), col("vec_id").as("va"), col("nv").as("na"))
+    val b = asg.select(col("cell").as("cb"), col("vec_id").as("vb"), col("nv").as("nb"))
+    val dropped = a.join(b, col("ca") === col("cb") && col("vb") < col("va"))
+      .filter(graft.functions.GraftFunctions.dot(col("na"), col("nb")) >= Dedup.SemThreshold)
+      .select(col("va")).distinct().collect().map(_.getLong(0)).toSet
+    embs.select(col("vec_id")).collect().map(_.getLong(0)).toSet -- dropped
+  }
+
+  test("batch input == the batch within-cell rule against the same frozen cents") {
+    val embs = Tables.embeddings(spark, sf())
+    val k = 16L
+    val expected = batchSurvivors(embs, k)
+    val all = embs.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(expected != all, "fixture must contain semantic dups for the check to bite")
+    val cents = SemDedupStream.frozenCents(embs, k)
+    val withTs = embs.withColumn("ts", timestamp_millis(lit(1000L) + col("vec_id")))
+    val got = SemDedupStream.admitted(withTs, cents)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
+  test("streaming admissions across micro-batches == the batch rule") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sf())
+    val k = 16L
+    val expected = batchSurvivors(embs, k)
+    val cents = SemDedupStream.frozenCents(embs, k)
+    val rows = embs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val src = Sources.memoryStream[SVec](spark)
+    val q = SemDedupStream.admitted(src.toDS().toDF(), cents, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("semadm").outputMode("append").start()
+    try {
+      src.addData(h1.map { case (id, v) => SVec(ts(1000L + id), id, v) }.toSeq)
+      q.processAllAvailable()
+      src.addData(h2.map { case (id, v) => SVec(ts(1000L + id), id, v) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("semadm").collect().map(_.getLong(1)).toSet
+      assert(got == expected,
+        s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("watermark eviction bounds matching; in-window duplicates rejected") {
+    import spark.implicits._
+    val src = Sources.memoryStream[SVec](spark)
+    val q = SemDedupStream.verdicts(src.toDS().toDF(), oneCell, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("semevict").outputMode("append").start()
+    try {
+      src.addData(Seq(SVec(ts(1000), 1L, axis(0))))
+      q.processAllAvailable()
+      // advance the watermark far past vec 1 with a non-matching vector
+      src.addData(Seq(SVec(ts(60000), 2L, axis(1))))
+      q.processAllAvailable()
+      // vec 3 duplicates vec 1, but 1 was evicted -> admitted
+      src.addData(Seq(SVec(ts(61000), 3L, axis(0))))
+      q.processAllAvailable()
+      // vec 4 duplicates vec 3 within the window -> rejected
+      src.addData(Seq(SVec(ts(61500), 4L, axis(0))))
+      q.processAllAvailable()
+      val got = spark.table("semevict").collect()
+        .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+      assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true), got.toString)
+    } finally q.stop()
+  }
+
+  test("watermark-late vector is dropped before the operator (EventTimeTimeout)") {
+    import spark.implicits._
+    val src = Sources.memoryStream[SVec](spark)
+    val q = SemDedupStream.verdicts(src.toDS().toDF(), oneCell, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("semlate").outputMode("append").start()
+    try {
+      src.addData(Seq(SVec(ts(100000), 1L, axis(0))))
+      q.processAllAvailable()
+      // 94 seconds behind the watermark: must produce NO verdict row at all
+      src.addData(Seq(SVec(ts(1000), 2L, axis(0))))
+      q.processAllAvailable()
+      val ids = spark.table("semlate").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L), s"late row must be dropped, got $ids")
+    } finally q.stop()
+  }
+
+  test("replayed (ts, vec_id) is judged once (at-least-once upstream tolerance)") {
+    import spark.implicits._
+    val src = Sources.memoryStream[SVec](spark)
+    val q = SemDedupStream.verdicts(src.toDS().toDF(), oneCell, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("semreplay").outputMode("append").start()
+    try {
+      src.addData(Seq(SVec(ts(1000), 1L, axis(0))))
+      q.processAllAvailable()
+      src.addData(Seq(SVec(ts(1000), 1L, axis(0)))) // replay of the same row
+      q.processAllAvailable()
+      val rows = spark.table("semreplay").collect()
+      assert(rows.length == 1, s"replay must not re-judge: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("hot-cell cap: full cell rejects conservatively, incumbents stay authoritative") {
+    import spark.implicits._
+    val src = Sources.memoryStream[SVec](spark)
+    val q = SemDedupStream.verdicts(src.toDS().toDF(), oneCell,
+        watermarkDelay = "1 hour", maxCell = 2)
+      .writeStream.format("memory").queryName("semcap").outputMode("append").start()
+    try {
+      // axes 2..5 are mutually orthogonal (never match each other) and all
+      // land in the single cell
+      src.addData(Seq(SVec(ts(1000), 1L, axis(2)), SVec(ts(2000), 2L, axis(3))))
+      q.processAllAvailable()
+      // cell is full: vec 3 is unmatched but REJECTED (cap), not buffered
+      src.addData(Seq(SVec(ts(3000), 3L, axis(4))))
+      q.processAllAvailable()
+      // vec 4 duplicates incumbent 1: still rejected by the buffer
+      src.addData(Seq(SVec(ts(4000), 4L, axis(2))))
+      q.processAllAvailable()
+      val got = spark.table("semcap").collect()
+        .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+      assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true), got.toString)
+    } finally q.stop()
+  }
+
+  test("cell assignment agrees with the batch quantizer on every fixture vector") {
+    val embs = Tables.embeddings(spark, sf())
+    val k = 16L
+    val cents = SemDedupStream.frozenCents(embs, k)
+    val e = Similarity.normalized(embs)
+    val centsDf = e.filter(col("vec_id") < k).select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val batchAsg = Similarity.ivfAssign(e, centsDf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val withTs = embs.withColumn("ts", timestamp_millis(lit(1000L) + col("vec_id")))
+    val streamAsg = SemDedupStream.verdicts(withTs, cents).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(streamAsg == batchAsg,
+      s"cell disagreement on ${streamAsg.count { case (id, c) => batchAsg(id) != c }} vectors")
+  }
+}
