@@ -976,6 +976,52 @@ object Dedup {
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
+  /** Incremental SemDeDup — the FromSigs convention applied to the semantic
+    * layer (round 14; completes the incremental family: exact → Bloom →
+    * near → semantic, and is the batch twin of
+    * `streaming.SemDedupStream.admitted`): an INCREMENT is admitted against
+    * a FROZEN quantizer and the already-ingested history, so history is
+    * never re-assigned or re-compared. An increment vector is dropped iff
+    * some ARRIVED-EARLIER vector of its cell — any history member (dropped
+    * or not: the batch rule's transitivity), or a lower-id increment member
+    * — sits at cosine >= `SemThreshold`.
+    *
+    * Scale shape: both halves ride the same broadcast argmax assignment as
+    * `semanticDedup` (against cents frozen from the UNION's first k, k
+    * corpus-scaled so per-cell lists stay constant); the compare is an
+    * equi-join on `cell` of increment-side rows against (history ∪
+    * lower-id increment) rows — |cell_i| × |cell| per cell, the same
+    * bounded quadratic as the batch op, with the history side computed
+    * once per refresh in a real deployment (here per call, for the
+    * oracle's single-expression form).
+    */
+  def semanticDedupIncrement(history: DataFrame, increment: DataFrame): DataFrame = {
+    val all = history.select(col("vec_id"), col("embedding"))
+      .unionByName(increment.select(col("vec_id"), col("embedding")))
+    val n = all.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = Similarity.normalized(all).repartition(n).localCheckpoint(false)
+    val k = math.max(SemCells.toLong, (all.count() + SemTargetCell - 1) / SemTargetCell)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val histIds = history.select(col("vec_id")).withColumn("__hist", lit(1))
+    val asg = Similarity.assignCells(e, cents, k)
+      .select(col("cell"), col("vec_id"), col("nv"))
+      .join(broadcast(histIds), Seq("vec_id"), "left")
+    val inc = asg.filter(col("__hist").isNull)
+      .select(col("cell").as("ca"), col("vec_id").as("va"), col("nv").as("na"))
+    val earlier = asg
+      .select(col("cell").as("cb"), col("vec_id").as("vb"), col("nv").as("nb"),
+        col("__hist"))
+    val dropped = inc.join(earlier,
+        col("ca") === col("cb") &&
+          (col("__hist").isNotNull || col("vb") < col("va")) && col("vb") =!= col("va"))
+      .filter(GraftFunctions.dot(col("na"), col("nb")) >= SemThreshold)
+      .select(col("va").as("vec_id")).distinct()
+    asg.filter(col("__hist").isNull)
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   // -------------------------------------------------------------------------
 
   /** Leakage-safe train/val/test split: assign each document to a split by
@@ -1019,6 +1065,14 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
+    // history = even vec_ids (arrived first), increment = odd (the
+    // lmscore_incr split convention)
+    "q_dedup_semantic_incr" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      semanticDedupIncrement(
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 === 1))
+    }),
     // increment = every 5th doc, corpus = the rest — a fixed deterministic
     // split so the incremental operators get a hash-checkable oracle
     "q_dedup_incr_exact" -> ((s, d) => incrementalExact(
@@ -1294,5 +1348,31 @@ object Dedup {
          |            JOIN nv na ON na.vec_id = a.vec_id JOIN nv nb ON nb.vec_id = b.vec_id
          |            WHERE list_sum([na.nv[i] * nb.nv[i] for i in range(1, 65)]) >= $SemThreshold)
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // Incremental SemDeDup: same norm/cents/assignment CTEs as
+    // q_dedup_semantic (the quantizer is frozen from the UNION = the whole
+    // table); an ODD (increment) vector drops iff ANY even (history) cell
+    // mate or a lower-id odd cell mate crosses the threshold.
+    "q_dedup_semantic_incr" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+         |nv AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+         |k AS (SELECT greatest($SemCells, (count(*) + ${SemTargetCell - 1}) // $SemTargetCell) AS k
+         |      FROM embeddings),
+         |c AS (SELECT vec_id AS cell, nv AS cv FROM nv WHERE vec_id < (SELECT k FROM k)),
+         |r AS (SELECT v.vec_id, c.cell,
+         |        row_number() OVER (PARTITION BY v.vec_id
+         |          ORDER BY list_sum([v.nv[i] * c.cv[i] for i in range(1, 65)]) DESC, c.cell) AS rk
+         |      FROM nv v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cell FROM r WHERE rk = 1),
+         |dropped AS (SELECT DISTINCT a.vec_id
+         |            FROM asg a JOIN asg b ON a.cell = b.cell
+         |              AND a.vec_id % 2 = 1
+         |              AND (b.vec_id % 2 = 0 OR b.vec_id < a.vec_id)
+         |              AND b.vec_id != a.vec_id
+         |            JOIN nv na ON na.vec_id = a.vec_id JOIN nv nb ON nb.vec_id = b.vec_id
+         |            WHERE list_sum([na.nv[i] * nb.nv[i] for i in range(1, 65)]) >= $SemThreshold)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg
+         |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)
 }

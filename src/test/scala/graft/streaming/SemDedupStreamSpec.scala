@@ -158,6 +158,25 @@ class SemDedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch semanticDedupIncrement == the stream with history arriving first (cross-op law)") {
+    val embs = Tables.embeddings(spark, sf())
+    val expected = Dedup.semanticDedupIncrement(
+      embs.filter(col("vec_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 === 1))
+      .collect().map(_.getLong(0)).toSet
+    val k = math.max(Dedup.SemCells.toLong,
+      (embs.count() + Dedup.SemTargetCell - 1) / Dedup.SemTargetCell)
+    val cents = SemDedupStream.frozenCents(embs, k)
+    // arrival order: every even (history) vector strictly before every odd
+    val withTs = embs.withColumn("ts",
+      timestamp_millis(when(col("vec_id") % 2 === 0, lit(1000L) + col("vec_id"))
+        .otherwise(lit(10000000L) + col("vec_id"))))
+    val got = SemDedupStream.admitted(withTs, cents)
+      .collect().map(_.getLong(1)).filter(_ % 2 == 1).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
   test("cell assignment agrees with the batch quantizer on every fixture vector") {
     val embs = Tables.embeddings(spark, sf())
     val k = 16L
