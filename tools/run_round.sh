@@ -47,10 +47,16 @@ python3 tools/local_verify.py
 echo "== 5/7 spec suite =="
 sbt -batch test
 
-echo "== 6/7 bench (sf0.1, 3-pass) + regression gate =="
-SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+echo "== 6/7 bench (sf0.1, 3-pass, local[32] — the blessed artifacts' env) + regression gate =="
+# SPARK_GRAFT_CPUS pinned: every blessed bench artifact was recorded at
+# local[32] (the driver contract), and an unset env here silently benched at
+# Bench's local[4] default — round 14 saw the parallel-heavy q_dedup_ngram
+# flag 2.08x on nothing but that env mismatch (cpu_ms HALVED while wall
+# doubled: fewer cores, not more work).
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_BENCH_OUT=bench_out.json bash tools/run_verify.sh graft.Bench | tail -1
-python3 tools/bench_gate.py bench_out.json "${SPARK_GRAFT_BENCH_BLESSED:-bench_r13_final.json}"
+python3 tools/bench_gate.py bench_out.json "${SPARK_GRAFT_BENCH_BLESSED:-bench_r14_final.json}"
 
 if [ "$MODE" = "full" ]; then
   echo "== 7a excluded-oracle invariant audit (sf1) =="
