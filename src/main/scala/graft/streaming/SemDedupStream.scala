@@ -27,7 +27,11 @@ import org.apache.spark.sql.types._
   * batch path); cell assignment is a per-ROW argmax over the closure-held
   * frozen centroids (no aggregate, no shuffle — the stream analog of the
   * broadcast argmax; the centroid table must therefore be broadcast-sized,
-  * ~0.5 KB/cell, the caller's k knob). The ONE shuffle keys by `cell` into
+  * ~0.5 KB/cell, the caller's k knob). Past `TwoLevelMinCells` the per-row
+  * argmax goes two-level exactly like the batch `assignCells`
+  * ([[RowQuantizer]]: same coarse table, same self-family pin, same tie
+  * rules — 2√k dots per row instead of k, and stream == batch assignment
+  * at any cell count). The ONE shuffle keys by `cell` into
   * a single `flatMapGroupsWithState`: per-cell state buffers (t, vec_id,
   * nv) within the watermark, each incoming vector (processed in (t, id)
   * order) is compared against its OWN cell's buffer — the SemDeDup
@@ -53,6 +57,63 @@ import org.apache.spark.sql.types._
   * `EventTimeTimeout` both wakes idle cells for GC and drops
   * watermark-late input before it can consult the truncated buffer.
   */
+/** Serializable per-row quantizer mirroring `Similarity.assignCells`
+  * EXACTLY — flat argmax through `TwoLevelMinCells`, the two-level (IMI)
+  * path past it: coarse table = the lowest-√k cells, fine cell j < √k
+  * PINNED to its own family, both argmaxes tie to the lowest cell. Dots
+  * fold ascending like the codegen DotProduct, so the streaming assignment
+  * is bit-identical to the batch operator's at ANY cell count — which is
+  * what keeps the stream==batch cross-op laws true for corpus-scaled
+  * quantizers, at 2√k dots per row instead of k
+  * (SemDedupStreamSpec pins the agreement past the threshold).
+  */
+private[streaming] final class RowQuantizer(
+    cents: Array[(Long, Array[Double])]) extends Serializable {
+  import RowQuantizer.dot
+  require(cents.nonEmpty, "RowQuantizer: empty centroid table")
+  private val k: Long = cents.length.toLong
+  val twoLevel: Boolean = k > graft.ops.Similarity.TwoLevelMinCells
+  private val c: Long =
+    if (twoLevel) math.ceil(math.sqrt(k.toDouble)).toLong else 0L
+  private val coarse: Array[(Long, Array[Double])] =
+    if (twoLevel) cents.filter(_._1 < c) else Array.empty
+  /** fine cells grouped by coarse family (cell VALUE keyed, like the batch
+    * join); within each family ascending by cell (cents arrives sorted).
+    */
+  private val members: Map[Long, Array[(Long, Array[Double])]] =
+    if (!twoLevel) Map.empty
+    else cents.groupBy { case (cell, cv) =>
+      if (cell < c) cell else argmaxOver(coarse, cv)
+    }
+
+  private def argmaxOver(table: Array[(Long, Array[Double])], v: Array[Double]): Long = {
+    var best = Double.NegativeInfinity
+    var bc = table(0)._1
+    var i = 0
+    while (i < table.length) {
+      val d = dot(v, table(i)._2)
+      if (d > best) { best = d; bc = table(i)._1 } // ascending + strict > == lowest-cell tie
+      i += 1
+    }
+    bc
+  }
+
+  def assign(nv: Array[Double]): Long =
+    if (!twoLevel) argmaxOver(cents, nv)
+    else argmaxOver(members(argmaxOver(coarse, nv)), nv)
+}
+
+private[streaming] object RowQuantizer {
+  /** ascending while-loop == the codegen DotProduct's fold order. */
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+}
+
 object SemDedupStream {
 
   /** Collect a frozen, broadcast-sized quantizer from a batch corpus: the
@@ -101,27 +162,9 @@ object SemDedupStream {
         expr("transform(v, x -> x / nrm)").as("__nv"),
         col("ts").as("__eventTime"))
 
-    // ascending while-loop == DotProduct's fold order, bit-identical
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    // nearest frozen centroid; ties -> lowest cell (cents sorted ascending,
-    // strict > keeps the first) — ivfAssign's exact tie rule
-    def assign(nv: Array[Double]): Long = {
-      var best = Double.NegativeInfinity
-      var bc = cents(0)._1
-      var i = 0
-      while (i < cents.length) {
-        val d = dot(nv, cents(i)._2)
-        if (d > best) { best = d; bc = cents(i)._1 }
-        i += 1
-      }
-      bc
-    }
+    val quantizer = new RowQuantizer(cents)
+    def dot(a: Array[Double], b: Array[Double]): Double = RowQuantizer.dot(a, b)
+    def assign(nv: Array[Double]): Long = quantizer.assign(nv)
 
     val entrySchema = StructType(Seq(
       StructField("t", LongType), StructField("id", LongType),

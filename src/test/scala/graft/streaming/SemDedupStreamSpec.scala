@@ -177,6 +177,27 @@ class SemDedupStreamSpec extends SparkSpec {
       s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
   }
 
+  test("two-level per-row assignment == batch assignCells past the 256-cell threshold") {
+    // the TwoLevelAssignSpec corpus: 3000 pseudo-random 16-d directions,
+    // k = 300 > TwoLevelMinCells, so BOTH sides take their IMI path —
+    // coarse table, self-family pin, and tie rules must agree vector-for-
+    // vector or the stream==batch laws break at corpus-scaled k
+    val n = 3000
+    val df = spark.range(n).selectExpr("id as vec_id",
+      "transform(sequence(1, 16), i -> cast(sin(cast(id * i + i * i as double)) as float)) as embedding")
+    val k = 300L
+    val e = Similarity.normalized(df)
+    val centsDf = e.filter(col("vec_id") < k).select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val batchAsg = Similarity.assignCells(e, centsDf, k).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val cents = SemDedupStream.frozenCents(df, k)
+    val q = new RowQuantizer(cents)
+    assert(q.twoLevel, "k=300 must take the two-level branch")
+    val nvs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val disagree = nvs.count { case (id, nv) => q.assign(nv) != batchAsg(id) }
+    assert(disagree == 0, s"$disagree of $n vectors assigned differently from batch assignCells")
+  }
+
   test("cell assignment agrees with the batch quantizer on every fixture vector") {
     val embs = Tables.embeddings(spark, sf())
     val k = 16L
