@@ -1022,6 +1022,36 @@ object Dedup {
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
+  /** `semanticDedupIncrement` over a PRECOMPUTED history index — the shape a
+    * production refresh actually runs (`Similarity.ivfTopKFromIndex`'s
+    * convention): `index` is the stored (cell, vec_id, nv) assignment of
+    * everything already ingested, `cents` the frozen quantizer both were
+    * assigned with. Only the INCREMENT is normalized and assigned here;
+    * history ships as-is into the per-cell compare. Equal row-for-row to
+    * re-running `semanticDedupIncrement` on (history, increment) when the
+    * index came from the same cents (SemDedupSpec law).
+    */
+  def semanticDedupIncrementFromIndex(
+      index: DataFrame, increment: DataFrame, cents: DataFrame): DataFrame = {
+    val n = increment.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = Similarity.normalized(increment).repartition(n).localCheckpoint(false)
+    val k = cents.count() // k-row model table, the documented read class
+    val asgI = Similarity.assignCells(e, cents, k)
+      .select(col("cell"), col("vec_id"), col("nv")).localCheckpoint(false)
+    val inc = asgI.select(col("cell").as("ca"), col("vec_id").as("va"), col("nv").as("na"))
+    val earlier = index.select(col("cell").as("cb"), col("vec_id").as("vb"),
+        col("nv").as("nb"), lit(1).as("__hist"))
+      .unionByName(asgI.select(col("cell").as("cb"), col("vec_id").as("vb"),
+        col("nv").as("nb"), lit(null).cast("int").as("__hist")))
+    val dropped = inc.join(earlier,
+        col("ca") === col("cb") &&
+          (col("__hist").isNotNull || col("vb") < col("va")) && col("vb") =!= col("va"))
+      .filter(GraftFunctions.dot(col("na"), col("nb")) >= SemThreshold)
+      .select(col("va").as("vec_id")).distinct()
+    asgI.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   // -------------------------------------------------------------------------
 
   /** Leakage-safe train/val/test split: assign each document to a split by

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions.col
 
 /** SemDeDup invariants (Dedup.semanticDedup): cluster-scoped semantic
   * pruning must keep exactly one representative per within-cell duplicate
@@ -69,6 +70,30 @@ class SemDedupSpec extends SparkSpec {
     val plan = Dedup.semanticDedup(embs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "within-cell compare must be an equi-join on cell")
+  }
+
+  test("increment-from-index == monolithic increment against the same frozen cents") {
+    // the production refresh shape: history's stored (cell, vec_id, nv)
+    // assignment + the frozen quantizer in, only the increment assigned —
+    // must equal re-running the monolithic incremental op on the raw halves
+    val embs = Tables.embeddings(spark, sf())
+    val history = embs.filter(col("vec_id") % 2 === 0)
+    val increment = embs.filter(col("vec_id") % 2 === 1)
+    val expected = Dedup.semanticDedupIncrement(history, increment)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild exactly the monolith's quantizer: union count scales k, cents
+    // = the union's first-k normalized vectors
+    val k = math.max(Dedup.SemCells.toLong,
+      (embs.count() + Dedup.SemTargetCell - 1) / Dedup.SemTargetCell)
+    val eAll = Similarity.normalized(embs)
+    val cents = eAll.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("nv").as("cv"))
+    val index = Similarity.assignCells(Similarity.normalized(history), cents, k)
+      .select(col("cell"), col("vec_id"), col("nv"))
+    val got = Dedup.semanticDedupIncrementFromIndex(index, increment, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"extra=${(got.keySet -- expected.keySet).take(5)} missing=${(expected.keySet -- got.keySet).take(5)}")
   }
 
   test("cell count scales with the corpus: k = max(SemCells, ceil(N / SemTargetCell))") {
