@@ -18,8 +18,46 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    chaos(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Fault-injection harness for retry-determinism evidence: with
+    * `GRAFT_CHAOS_MOD=k` (env or `graft.chaos.mod` system property) every
+    * table scan fails its FIRST attempt on every k-th partition, so Spark's
+    * task retry re-runs those partitions — the steady-state reality of a
+    * 1000-executor job, where preemption, spot reclaim, and speculative
+    * execution replay tasks constantly. A query is correct at that scale
+    * only if replays are invisible; running the full registry under chaos
+    * against the unchanged DuckDB oracle proves exactly that (the engine
+    * has no runtime RNG — `functions.Determinism` — so this must hold).
+    * Requires a retry-tolerant master (`local[n,f]` with f >= 2, or a
+    * cluster). Off (the default) this is an identity — the scan plan,
+    * pushdown, and codegen are untouched.
+    */
+  private def chaos(df: DataFrame): DataFrame = {
+    val mod = sys.env.get("GRAFT_CHAOS_MOD").orElse(sys.props.get("graft.chaos.mod"))
+      .map(_.trim.toInt).getOrElse(0)
+    if (mod <= 0) df
+    else {
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(df.schema)
+      df.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber == 0 && tc.partitionId % mod == 0) {
+          chaosInjections.incrementAndGet()
+          throw new RuntimeException(
+            s"graft.chaos: injected first-attempt failure (partition ${tc.partitionId})")
+        }
+        it
+      }
+    }
+  }
+
+  /** Injections fired so far in this JVM (driver-readable in local modes;
+    * in cluster modes each executor counts its own — read the Spark UI's
+    * failed-task count instead). Lets harnesses assert chaos actually bit.
+    */
+  val chaosInjections = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** `events` with the reference's event-time convention: `__time__` =
     * BIGINT epoch-millis (reference: sp/input/AbstractStreamTable.java:25-38

@@ -205,6 +205,55 @@ case class MinHashes(
   override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
 }
 
+/** Count of the input long-array's elements present in a FIXED sorted set —
+  * the decontamination primitive: each document's shingle hashes probe the
+  * benchmark-suite set. The set rides the closure (one copy per executor via
+  * task-binary broadcast, a codegen reference object — never inlined as
+  * source text, so a multi-million-entry suite compiles fine), and each
+  * probe is a binary search: O(|doc| log |set|) per row, vs the
+  * O(|doc| + |set|) merge walk of [[SortedIntersectCount]] which degrades
+  * to O(|set|) per document once the benchmark set dwarfs a document —
+  * the always case (eval suites ~10⁶-10⁷ shingles vs ~10³ per doc).
+  * Input elements need not be sorted; `set` MUST be sorted ascending.
+  * Count semantics match the batch contamination join when the input array
+  * is duplicate-free (`array_distinct` upstream): n_shared = distinct
+  * shared shingles.
+  */
+case class SortedSetHits(child: Expression, set: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_set_hits"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var i = 0; var c = 0L
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, xs.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftSet", set, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int graftN = $a.numElements();
+         |long graftC = 0L;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  if (java.util.Arrays.binarySearch($setRef, $a.getLong(graftI)) >= 0) graftC++;
+         |}
+         |${ev.value} = graftC;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SortedSetHits =
+    copy(child = c)
+}
+
 /** Unicode text canonicalization in one native pass: NFC-compose, then
   * collapse every maximal run of space-ish code points (categories Z, Cc,
   * Cf — spaces, separators, controls, zero-widths/BOM) into a single ASCII
@@ -280,6 +329,10 @@ object GraftFunctions {
 
   def normalizeText(a: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(a)))
+
+  /** `set` must be sorted ascending (see [[SortedSetHits]]). */
+  def sortedSetHits(a: Column, set: Array[Long]): Column =
+    GraftBridge.column(SortedSetHits(GraftBridge.expression(a), set))
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),

@@ -41,6 +41,55 @@ object Curation {
       .select(col("doc_id"),
         explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
 
+  /** Distinct 3-gram shingle hashes of a `toks` array column as an ARRAY
+    * column (empty when the doc has fewer than 3 tokens) — the per-row form
+    * of [[shingleHashesFromToks]] for set-probe consumers
+    * ([[decontaminate]], the streaming admission gate), where the benchmark
+    * side is a broadcast sorted array instead of a join side.
+    */
+  private[graft] def shingleHashArr: org.apache.spark.sql.Column =
+    when(size(col("toks")) >= 3,
+      expr(s"transform($shinglesSql, s -> ${hashSql("s")})"))
+      .otherwise(expr("cast(array() as array<bigint>)"))
+
+  /** The benchmark suite's distinct shingle hashes, collected and sorted for
+    * [[graft.functions.SortedSetHits]] probes. Driver-side collect is BY
+    * CONTRACT: eval suites are dimension-table-sized (the reference's
+    * DimensionTable snapshot convention — sp/dimension/DimensionTable.java),
+    * ~10⁶-10⁷ shingles ≈ 8-80 MB, broadcast once per executor; the
+    * 100 TB TRAINING corpus never collects.
+    */
+  def benchmarkShingleSet(docs: DataFrame, benchmarkFilter: String): Array[Long] =
+    shingleHashesFromToks(
+      docs.filter(expr(benchmarkFilter))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
+      .select(col("sh")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Decontamination as a PER-ROW gate (no benchmark join): every training
+    * doc's shingle array probes the broadcast benchmark set via binary
+    * search, and the doc is kept while shared shingles stay at or under
+    * `maxPct` percent of its own. The map-only form composes into any
+    * pipeline — in particular the STREAMING admission chain, where a join
+    * against an exploded benchmark would add a stateful operator but a
+    * per-row filter preserves the chain's safety proof untouched.
+    * Returns (doc_id, n_shared, n_shingles, kept) for every non-benchmark
+    * doc; docs too short to shingle (< 3 tokens) are unassessable and kept.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchSet: Array[Long],
+      benchmarkFilter: String,
+      maxPct: Long = DecontamMaxPct): DataFrame =
+    docs.filter(not(expr(benchmarkFilter)))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingleHashArr.as("shs"))
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.sortedSetHits(col("shs"), benchSet).as("n_shared"),
+        size(col("shs")).cast("long").as("n_shingles"))
+      .withColumn("kept", col("n_shared") * lit(100L) <= col("n_shingles") * lit(maxPct))
+
   /** Training docs sharing >= 1 shingle with the benchmark set, with the
     * count of distinct shared shingles and the doc's own shingle count (so
     * callers can threshold on overlap fraction). `benchmarkFilter` is a SQL
@@ -394,6 +443,9 @@ object Curation {
   // Demo parameters: benchmark = first 20 docs; 32-token chunks, stride 24;
   // domain cap below the per-source doc count so the cap provably bites.
   val BenchmarkFilter = "doc_id < 20"
+  // keep a training doc while shared shingles are <= 10% of its own — the
+  // strict n_shared == 0 rule is the maxPct = 0 setting of the same gate.
+  val DecontamMaxPct = 10L
   val ChunkSize = 32
   val ChunkStride = 24
   val MaxPerDomain = 15L
@@ -405,6 +457,10 @@ object Curation {
       boilerplate(Tables.documents(s, d), BoilerplateMinDf)),
     "q_contamination" -> ((s, d) =>
       contamination(Tables.documents(s, d), BenchmarkFilter)),
+    "q_decontam_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(docs, benchmarkShingleSet(docs, BenchmarkFilter), BenchmarkFilter)
+    }),
     "q_text_chunks" -> ((s, d) =>
       chunks(Tables.documents(s, d), ChunkSize, ChunkStride)),
     "q_domain_cap" -> ((s, d) =>
@@ -464,6 +520,22 @@ object Curation {
          |         WHERE NOT ($BenchmarkFilter) GROUP BY doc_id),
          |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
          |SELECT doc_id, n_shared, n_shingles FROM hits JOIN tot USING (doc_id)""".stripMargin,
+
+    "q_decontam_gate" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest([${duckHash("s")} for s in $duckShingles]) AS sh
+         |       FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE $BenchmarkFilter),
+         |cnt AS (SELECT doc_id,
+         |          CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         |            AS n_shared,
+         |          CAST(count(s.sh) AS BIGINT) AS n_shingles
+         |        FROM t LEFT JOIN sh s USING (doc_id) LEFT JOIN bench b ON s.sh = b.sh
+         |        WHERE NOT ($BenchmarkFilter)
+         |        GROUP BY 1)
+         |SELECT doc_id, n_shared, n_shingles,
+         |       n_shared * 100 <= n_shingles * $DecontamMaxPct AS kept
+         |FROM cnt""".stripMargin,
 
     "q_text_chunks" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE len($duckToks) >= 1),

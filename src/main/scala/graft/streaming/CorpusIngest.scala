@@ -92,7 +92,9 @@ object CorpusIngest {
 
   /** The ADMITTED document stream — the full ingest admission chain ending
     * in the thing a production corpus actually writes, ONE append-mode
-    * plan: quality gate → exact dedup within the watermark
+    * plan: quality gate → decontamination (opt-in via `benchShingles`: a
+    * stateless per-row probe of the broadcast benchmark shingle set — the
+    * batch `Curation.decontaminate` cut) → exact dedup within the watermark
     * (`dropDuplicatesWithinWatermark` on the normalized-text fingerprint)
     * → streaming NEAR-dedup admission (`NearDupStream.admittedFromToks` —
     * the banded-MinHash stateful op emitting per-doc verdicts, ORed by a
@@ -128,7 +130,9 @@ object CorpusIngest {
   def admittedDocs(
       docs: DataFrame,
       watermarkDelay: String = "10 seconds",
-      threshold: Double = graft.ops.Dedup.JaccardThreshold): DataFrame = {
+      threshold: Double = graft.ops.Dedup.JaccardThreshold,
+      benchShingles: Array[Long] = Array.empty,
+      decontamMaxPct: Long = graft.ops.Curation.DecontamMaxPct): DataFrame = {
     val toks = docs.select(
       col("ts"), col("doc_id"), col("source"),
       Text.tokens(col("text")).as("toks"))
@@ -136,9 +140,26 @@ object CorpusIngest {
     // keep = toks: scoring, the exact fingerprint and the minhash signatures
     // all ride ONE tokenize pass
     val scored = Text.qualityScoredFromToks(toks, keep = Seq("ts", "fp", "toks"))
-    val gated = scored
+    val qualityGated = scored
       .withWatermark("ts", watermarkDelay)
       .filter(gate(col("quality_e6")))
+    // Decontamination joins the admission chain as a STATELESS per-row
+    // probe against the broadcast benchmark shingle set (sorted; binary
+    // search per shingle — Curation.decontaminate's streaming twin): the
+    // eval suite is frozen by contract, so no state, no extra watermark,
+    // and the three-stateful-operator safety proof below is untouched. The
+    // filter is Pin-pinned like the quality gate so a contaminated-only
+    // stretch still advances event time. Verdicts equal the batch gate's
+    // on the same rows (StreamingCurationSpec law).
+    val gated =
+      if (benchShingles.isEmpty) qualityGated
+      else qualityGated
+        .withColumn("__shs", graft.ops.Curation.shingleHashArr)
+        .filter(Pin.keep(
+          graft.functions.GraftFunctions.sortedSetHits(col("__shs"), benchShingles)
+            * lit(100L)
+            <= size(col("__shs")).cast("long") * lit(decontamMaxPct)))
+        .drop("__shs")
     // Short/long split BEFORE exact dedup, one dropDuplicatesWithinWatermark
     // PER branch: a single dedup whose output fed both the band engine and
     // the short-doc bypass would be planned twice (once per consumer), and

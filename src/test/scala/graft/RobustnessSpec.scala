@@ -36,6 +36,7 @@ class RobustnessSpec extends SparkSpec {
   test("every documents-family query executes on null/empty/blank text rows") {
     val families = Seq("q_text_", "q_dedup_", "q_quality_", "q_mix_", "q_vocab",
       "q_pipeline_", "q_bpe_", "q_media_", "q_domain_", "q_contamination",
+      "q_decontam",
       "q_sample_", "q_token_budget", "q_pack_", "q_shuffle_", "q_layout_",
       "q_source_overlap", "q_train_classifier", "q_split_")
     val targets = SparkEntry.queries.keys.toSeq.sorted
@@ -62,7 +63,7 @@ class RobustnessSpec extends SparkSpec {
       "q_ewma", "q_profile", "q_yoy", "q_join_typos", "q_rollup_incr",
       "q_media_phash", "q_audience_overlap",
       "q_join_overlap", "q_twap", "q_k_anonymity", "q_split_safe",
-      "q_profile_diff", "q_join_nearest")
+      "q_profile_diff", "q_join_nearest", "q_decontam_gate")
     val failures = targets.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).count(); None }
       catch { case e: Throwable => Some(name -> e.toString.linesIterator.next()) }

@@ -15,7 +15,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // ",2" = tolerate one task retry, so ChaosSpec can inject first-attempt
+      // task failures; no other spec fails tasks, so behavior is unchanged.
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -54,6 +54,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.toSeq == rows.map(reference))
   }
 
+  test("SortedSetHits counts probes found in the set (duplicates counted)") {
+    import spark.implicits._
+    val set = Array(2L, 5L, 9L, 100L)
+    val rows = Seq(
+      Array(1L, 2L, 5L, 7L, 100L, 100L), // 2, 5, 100, 100 hit -> 4
+      Array(3L, 4L),                     // 0
+      Array[Long](),                     // 0
+      Array(9L))                         // 1
+    def reference(a: Array[Long]): Long = a.count(set.contains).toLong
+    val got = rows.toDF("a")
+      .select(GraftFunctions.sortedSetHits(col("a"), set)).as[Long].collect()
+    assert(got.toSeq == rows.map(reference))
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = rows.toDF("a")
+        .select(GraftFunctions.sortedSetHits(col("a"), set)).as[Long].collect()
+      assert(interp.toSeq == rows.map(reference))
+    }
+  }
+
   test("expressions survive interpreted mode (codegen disabled)") {
     import spark.implicits._
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",

@@ -33,6 +33,34 @@ class CurationSpec extends SparkSpec {
       s"clone must share ALL its shingles: ${c.toSeq}")
   }
 
+  test("decontaminate gate agrees with the join-form contamination counts") {
+    val set = Curation.benchmarkShingleSet(docs, Curation.BenchmarkFilter)
+    assert(set.nonEmpty && set.zip(set.tail).forall { case (a, b) => a < b },
+      "sorted distinct set")
+    val gate = Curation.decontaminate(docs, set, Curation.BenchmarkFilter)
+    val joinForm = Curation.contaminationFromToks(
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+      Curation.BenchmarkFilter)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = gate.collect()
+    // every non-benchmark doc appears exactly once (join form only emits hits)
+    assert(rows.length == docs.filter(not(expr(Curation.BenchmarkFilter))).count())
+    rows.foreach { r =>
+      val (id, nShared, nShingles, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      joinForm.get(id) match {
+        case Some((js, jt)) => assert((nShared, nShingles) == (js, jt),
+          s"doc $id: gate ($nShared,$nShingles) != join form ($js,$jt)")
+        case None => assert(nShared == 0L, s"doc $id: gate found hits the join missed")
+      }
+      assert(kept == (nShared * 100L <= nShingles * Curation.DecontamMaxPct),
+        s"kept verdict inconsistent for doc $id")
+    }
+    // the probe is map-side: no join in the gate plan at all
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"decontaminate must not join:\n$plan")
+  }
+
   test("chunks tile the token stream with the configured stride") {
     val chunkSize = Curation.ChunkSize
     val stride = Curation.ChunkStride
