@@ -215,6 +215,15 @@ object StreamBench {
   private def runAdmit(
       spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
     spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // SPARK_GRAFT_DECONTAM=1 adds the decontamination stage with a
+    // 1M-entry SYNTHETIC benchmark set (hashes absent from the corpus):
+    // every doc pays the full per-shingle binary-search probe but none is
+    // cut, so the row prices the stage's pure overhead at a realistic eval-
+    // suite size without changing what flows into the downstream stores.
+    val bench: Array[Long] =
+      if (!sys.env.get("SPARK_GRAFT_DECONTAM").contains("1")) Array.empty
+      else (0 until 1000000).map(i =>
+        graft.functions.Determinism.md5Long(s"bench_$i")).sorted.toArray
     val dir = java.nio.file.Files.createTempDirectory("streambench-admit").toString
     val filesPerChunk = math.max(cpus / 2, 4)
     var from = 0L
@@ -230,7 +239,7 @@ object StreamBench {
       .option("latestFirst", "false")
       .parquet(dir)
     val t0 = System.nanoTime()
-    val q = CorpusIngest.admittedDocs(src, "10 seconds")
+    val q = CorpusIngest.admittedDocs(src, "10 seconds", benchShingles = bench)
       .writeStream.format("memory").queryName("sba").outputMode("append").start()
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
