@@ -156,7 +156,8 @@ case class SimHash60(child: org.apache.spark.sql.catalyst.expressions.Expression
 case class MinHashes(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     coeffs: Seq[(Long, Long)],
-    prime: Long)
+    prime: Long,
+    inputMod: Long = 0L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -168,7 +169,8 @@ case class MinHashes(
     val mins = Array.fill(coeffs.length)(Long.MaxValue)
     var t = 0
     while (t < n) {
-      val h = hs.getLong(t)
+      val h0 = hs.getLong(t)
+      val h = if (inputMod > 0) h0 % inputMod else h0
       var i = 0
       while (i < coeffs.length) {
         val v = (coeffs(i)._1 * h + coeffs(i)._2) % prime
@@ -183,6 +185,10 @@ case class MinHashes(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val as = coeffs.map(_._1).mkString("{", "L,", "L}")
     val bs = coeffs.map(_._2).mkString("{", "L,", "L}")
+    // inputMod folds the `h % prime` pre-reduction (needed so a*h cannot
+    // overflow 64 bits) into this native loop — the standalone interpreted
+    // `transform(h60, h -> h % p)` it replaces cost a boxed lambda per hash.
+    val reduce = if (inputMod > 0) s" % ${inputMod}L" else ""
     nullSafeCodeGen(ctx, ev, a => {
       s"""
          |long[] graftAs = new long[]$as;
@@ -191,7 +197,7 @@ case class MinHashes(
          |java.util.Arrays.fill(graftMins, Long.MAX_VALUE);
          |int graftN = $a.numElements();
          |for (int graftT = 0; graftT < graftN; graftT++) {
-         |  long graftH = $a.getLong(graftT);
+         |  long graftH = $a.getLong(graftT)$reduce;
          |  for (int graftI = 0; graftI < ${coeffs.length}; graftI++) {
          |    long graftV = (graftAs[graftI] * graftH + graftBs[graftI]) % ${prime}L;
          |    if (graftV < graftMins[graftI]) graftMins[graftI] = graftV;
@@ -203,6 +209,92 @@ case class MinHashes(
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
+}
+
+/** Distinct 3-gram shingle hashes of a token array in ONE native pass —
+  * the construction the whole dedup/decontamination family starts from.
+  * Semantics are EXACTLY the SQL spelling every oracle replays:
+  * `transform(array_distinct(3-gram shingle strings),
+  * s -> conv(substr(md5(s),1,15),16,10) [% mod])` (+ `array_sort` when
+  * `sorted`): shingle = `tok(i) || ' ' || tok(i+1) || ' ' || tok(i+2)`,
+  * distinct on the STRING in first-occurrence order, hash = first 60 bits
+  * of md5 over the UTF-8 bytes. The SQL form pays an interpreted
+  * higher-order lambda per shingle plus a hex-string render and a conv()
+  * re-parse per hash (measured ~4× the digest cost — MicroBench `shingle`);
+  * this pass digests the concatenated bytes directly and reads the 60 bits
+  * off the raw digest. Fewer than 3 tokens → empty array (call sites also
+  * pre-filter). Input tokens must be null-free (`Text.tokens` output).
+  */
+case class ShingleHashes(child: Expression, mod: Long, sorted: Boolean, n: Int = 3)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ShingleHashes.compute(a.asInstanceOf[ArrayData], n, mod, sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ShingleHashes.compute($a, $n, ${mod}L, $sorted)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+object ShingleHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry shared by interpreted eval and generated code. `n` is the
+    * gram width: 3 = the dedup-family shingles, 1 = distinct-token hashes
+    * (`transform(array_distinct(toks), t -> md5-60bit)` — the SimHash
+    * input).
+    */
+  def compute(toks: ArrayData, n: Int, mod: Long, sorted: Boolean): ArrayData = {
+    val len = toks.numElements()
+    val wins = len - n + 1
+    if (wins <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val digest = md.get()
+    val seen = new java.util.HashSet[java.nio.ByteBuffer](math.max(16, wins * 2))
+    val out = new Array[Long](wins)
+    var cnt = 0
+    var i = 0
+    while (i < wins) {
+      var bytes = 0
+      var j = 0
+      while (j < n) { bytes += toks.getUTF8String(i + j).numBytes(); j += 1 }
+      val buf = new Array[Byte](bytes + (n - 1))
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = toks.getUTF8String(i + j).getBytes
+        System.arraycopy(t, 0, buf, off, t.length)
+        off += t.length
+        j += 1
+      }
+      // distinct on the shingle STRING == distinct on its UTF-8 bytes
+      if (seen.add(java.nio.ByteBuffer.wrap(buf))) {
+        digest.reset()
+        val dg = digest.digest(buf)
+        // first 15 hex chars of md5 = top 60 bits of the digest, big-endian
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+        h = h >>> 4
+        out(cnt) = if (mod > 0) h % mod else h
+        cnt += 1
+      }
+      i += 1
+    }
+    val res = java.util.Arrays.copyOf(out, cnt)
+    if (sorted) java.util.Arrays.sort(res)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
 }
 
 /** Count of the input long-array's elements present in a FIXED sorted set —
@@ -324,8 +416,14 @@ object GraftFunctions {
   def simhash60(a: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(a)))
 
-  def minhashes(a: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
-    GraftBridge.column(MinHashes(GraftBridge.expression(a), coeffs, prime))
+  def minhashes(a: Column, coeffs: Seq[(Long, Long)], prime: Long,
+      inputMod: Long = 0L): Column =
+    GraftBridge.column(MinHashes(GraftBridge.expression(a), coeffs, prime, inputMod))
+
+  /** See [[ShingleHashes]]. */
+  def shingleHashes(toks: Column, mod: Long = 0L, sorted: Boolean = false,
+      n: Int = 3): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(toks), mod, sorted, n))
 
   def normalizeText(a: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(a)))

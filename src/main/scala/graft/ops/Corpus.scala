@@ -38,9 +38,6 @@ object Corpus {
   private def hashSql(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
 
-  private val shinglesSql: String =
-    "array_distinct(transform(sequence(1, size(toks) - 2), " +
-      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
 
   /** Per-shard running sum of `valueCol` in `order` within each `shardCol`
     * shard — the primitive behind the packing/budget layouts — as a
@@ -330,7 +327,7 @@ object Corpus {
     val sh = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions.shingleHashes(col("toks"))).as("sh"))
       .distinct()
     val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("sh"))
@@ -412,7 +409,7 @@ object Corpus {
     val sh0pre = docs
       .select(col("source"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
+      .select(col("source"), explode(graft.functions.GraftFunctions.shingleHashes(col("toks"))).as("sh"))
     val sh0 = sh0pre.distinct()
     if (maxDf == Int.MaxValue) {
       // NOT memoized (unlike cumsumProbeMemo): a stale PASS here would
@@ -496,7 +493,7 @@ object Corpus {
       .select(col("source"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"),
-        explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")} % ${MersennePrime}L)")).as("h"))
+        explode(graft.functions.GraftFunctions.shingleHashes(col("toks"), mod = MersennePrime)).as("h"))
       .distinct()
     val minCols = srcPermCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"(${a}L * h + ${b}L) % ${MersennePrime}L")).as(s"m$i")

@@ -29,9 +29,6 @@ object Curation {
   private def hashSql(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
 
-  private val shinglesSql: String =
-    "array_distinct(transform(sequence(1, size(toks) - 2), " +
-      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
 
   /** (doc_id, sh) pairs: one row per distinct 3-gram shingle hash of docs
     * with at least one shingle.
@@ -39,7 +36,7 @@ object Curation {
   private def shingleHashesFromToks(t: DataFrame): DataFrame =
     t.filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(expr(s"transform($shinglesSql, s -> ${hashSql("s")})")).as("sh"))
+        explode(graft.functions.GraftFunctions.shingleHashes(col("toks"))).as("sh"))
 
   /** Distinct 3-gram shingle hashes of a `toks` array column as an ARRAY
     * column (empty when the doc has fewer than 3 tokens) — the per-row form
@@ -48,9 +45,8 @@ object Curation {
     * side is a broadcast sorted array instead of a join side.
     */
   private[graft] def shingleHashArr: org.apache.spark.sql.Column =
-    when(size(col("toks")) >= 3,
-      expr(s"transform($shinglesSql, s -> ${hashSql("s")})"))
-      .otherwise(expr("cast(array() as array<bigint>)"))
+    coalesce(graft.functions.GraftFunctions.shingleHashes(col("toks")),
+      expr("cast(array() as array<bigint>)"))
 
   /** The benchmark suite's distinct shingle hashes, collected and sorted for
     * [[graft.functions.SortedSetHits]] probes. Driver-side collect is BY

@@ -36,9 +36,6 @@ object Dedup {
     * small vocabulary, so unigram sets are useless for dedup; 3-gram word
     * sequences discriminate (SURVEY §7.2 step 7).
     */
-  private val shinglesSql: String =
-    "array_distinct(transform(sequence(1, size(toks) - 2), " +
-      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
 
   /** Tokenized projection the FromToks variants consume — `lshVerifiedPairs`
     * et al. tokenize at entry; pipelines that already hold a tokenized scan
@@ -113,11 +110,10 @@ object Dedup {
 
   def minhashSignaturesFromToks(t: DataFrame): DataFrame =
     t.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(shinglesSql).as("shingles"))
       .select(col("doc_id"),
-        expr(s"transform(shingles, s -> ${hashSql("s")} % ${MersennePrime}L)").as("hs"))
-      .select(col("doc_id"),
-        GraftFunctions.minhashes(col("hs"), permCoeffs, MersennePrime).as("mh"))
+        GraftFunctions.minhashes(
+          GraftFunctions.shingleHashes(col("toks"), mod = MersennePrime),
+          permCoeffs, MersennePrime).as("mh"))
 
   /** SQL fragment exploding a 16-minhash array column `mh` into its 4
     * (band, 4-minhash signature) structs — THE banding definition, shared
@@ -158,9 +154,9 @@ object Dedup {
     // exact-verification array) is computed only when the caller verifies.
     val s0 = t.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), md5(concat_ws(" ", col("toks"))).as("fp"),
-        expr(s"transform($shinglesSql, s -> ${hashSql("s")})").as("h60"))
-    val mhC = GraftFunctions.minhashes(
-      expr(s"transform(h60, h -> h % ${MersennePrime}L)"), permCoeffs, MersennePrime)
+        GraftFunctions.shingleHashes(col("toks")).as("h60"))
+    val mhC = GraftFunctions.minhashes(col("h60"), permCoeffs, MersennePrime,
+      inputMod = MersennePrime)
     // ONE signature pass over the corpus, pinned: the collapse aggregate and
     // the membership window both read it (the uncollapsed verify chain ran
     // this pass twice — candidates' signatures plus the verification's).
@@ -267,7 +263,7 @@ object Dedup {
     docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        expr(s"transform(array_distinct(toks), t -> ${hashSql("t")})").as("hs"))
+        GraftFunctions.shingleHashes(col("toks"), n = 1).as("hs"))
       .select(col("doc_id"), GraftFunctions.simhash60(col("hs")).as("simhash"))
 
   val SimhashMaxHamming = 1
@@ -330,7 +326,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"),
-        expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
+        GraftFunctions.shingleHashes(col("toks"), sorted = true).as("hs"))
 
   /** Default row ceiling for the quadratic all-pairs baselines; override with
     * spark conf `graft.dedup.allPairsLimit` or `allowAllPairs = true`.
@@ -434,7 +430,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), md5(concat_ws(" ", col("toks"))).as("fp"),
-        expr(s"array_sort(transform($shinglesSql, s -> ${hashSql("s")}))").as("hs"))
+        GraftFunctions.shingleHashes(col("toks"), sorted = true).as("hs"))
       .localCheckpoint(false)
     val sh = base.groupBy(col("lang"), col("fp"))
       .agg(min(struct(col("doc_id"), col("hs"))).as("w"))
@@ -497,11 +493,10 @@ object Dedup {
   def nearDupSignaturesFromToks(t: DataFrame, keep: Seq[String] = Nil): DataFrame =
     t.filter(size(col("toks")) >= 3)
       .select(keep.map(col) ++ Seq(col("doc_id"),
-        expr(s"transform($shinglesSql, s -> ${hashSql("s")})").as("h60")): _*)
+        GraftFunctions.shingleHashes(col("toks")).as("h60")): _*)
       .select(keep.map(col) ++ Seq(col("doc_id"),
-        GraftFunctions.minhashes(
-          expr(s"transform(h60, h -> h % ${MersennePrime}L)"),
-          permCoeffs, MersennePrime).as("mh"),
+        GraftFunctions.minhashes(col("h60"), permCoeffs, MersennePrime,
+          inputMod = MersennePrime).as("mh"),
         expr("array_sort(h60)").as("hs")): _*)
 
   def lshVerifiedPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame =

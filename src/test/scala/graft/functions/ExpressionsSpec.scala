@@ -54,6 +54,53 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.toSeq == rows.map(reference))
   }
 
+  test("ShingleHashes equals the SQL spelling on real documents (all variants)") {
+    val shinglesSql =
+      "array_distinct(transform(sequence(1, size(toks) - 2), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+    val hashSql = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+    val p = graft.ops.Dedup.MersennePrime
+    val toks = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+    val both = toks.filter(size(col("toks")) >= 3).select(
+      col("doc_id"),
+      expr(s"transform($shinglesSql, s -> $hashSql)").as("sql_plain"),
+      GraftFunctions.shingleHashes(col("toks")).as("nat_plain"),
+      expr(s"transform($shinglesSql, s -> $hashSql % ${p}L)").as("sql_mod"),
+      GraftFunctions.shingleHashes(col("toks"), mod = p).as("nat_mod"),
+      expr(s"array_sort(transform($shinglesSql, s -> $hashSql))").as("sql_sorted"),
+      GraftFunctions.shingleHashes(col("toks"), sorted = true).as("nat_sorted"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"plain @doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"mod @doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](5) == r.getSeq[Long](6), s"sorted @doc ${r.getLong(0)}")
+    }
+    // the SQL form is UNDEFINED below 3 tokens (sequence(1, n-2) runs
+    // backwards into element_at(toks, 0)); the native form returns empty —
+    // call sites pre-filter or coalesce, both are safe with either shape
+    import spark.implicits._
+    val short = Seq(Seq("a", "b"), Seq("a"), Seq.empty[String]).toDF("toks")
+      .select(GraftFunctions.shingleHashes(col("toks"))).as[Seq[Long]].collect()
+    assert(short.forall(_.isEmpty))
+    // n = 1: distinct-token hashes (the SimHash input spelling)
+    val oneGram = toks.select(
+      expr(s"transform(array_distinct(toks), t -> ${hashSql.replace("(s)", "(t)")})").as("sql1"),
+      GraftFunctions.shingleHashes(col("toks"), n = 1).as("nat1")).collect()
+    oneGram.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), "n=1"))
+    // MinHashes inputMod folds the % p pre-reduction: equal to the two-step
+    val mh = toks.filter(size(col("toks")) >= 3).select(
+      GraftFunctions.minhashes(
+        expr(s"transform(transform($shinglesSql, s -> $hashSql), h -> h % ${p}L)"),
+        graft.ops.Dedup.permCoeffs, p).as("two_step"),
+      GraftFunctions.minhashes(
+        GraftFunctions.shingleHashes(col("toks")),
+        graft.ops.Dedup.permCoeffs, p, inputMod = p).as("fused"))
+      .collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("SortedSetHits counts probes found in the set (duplicates counted)") {
     import spark.implicits._
     val set = Array(2L, 5L, 9L, 100L)
