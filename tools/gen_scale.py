@@ -91,11 +91,22 @@ def copy_of(src, name, cp):
     return t
 
 
+# Row-group sizing is BYTE-oriented, not row-oriented: 1M-row groups are
+# ~100 MB for narrow fact rows, but text/embedding rows are ~1 KB each, so
+# 1M rows = one huge group — and a parquet row group is Spark's minimum
+# split unit, so a 500k-doc corpus written as ONE group pins every
+# downstream tokenize/shingle pass to ONE core regardless of cluster size
+# (measured: q_contamination 26.6 s at sf10 with 1.2 of 32 threads busy).
+# The same rule a production ingest writer must follow at 100 TB.
+ROW_GROUP = {"documents": 1 << 15, "embeddings": 1 << 15}
+
+
 def gen(name):
+    rg = ROW_GROUP.get(name, 1 << 20)
     src = pq.read_table(f"{SRC}/{name}.parquet")
     if name in ("region", "nation"):
         pq.write_table(src, f"{DST}/{name}.parquet", compression="snappy",
-                       row_group_size=1 << 20)
+                       row_group_size=rg)
         print(f"{name}: {src.num_rows} -> {src.num_rows}")
         return
     # Stream copies through a ParquetWriter: content identical to the old
@@ -112,11 +123,11 @@ def gen(name):
             buf.append(t)
             buf_rows += t.num_rows
             total += t.num_rows
-            if buf_rows >= (1 << 20):
-                w.write_table(pa.concat_tables(buf), row_group_size=1 << 20)
+            if buf_rows >= rg:
+                w.write_table(pa.concat_tables(buf), row_group_size=rg)
                 buf, buf_rows = [], 0
         if buf:
-            w.write_table(pa.concat_tables(buf), row_group_size=1 << 20)
+            w.write_table(pa.concat_tables(buf), row_group_size=rg)
     print(f"{name}: {src.num_rows} -> {total}")
 
 
