@@ -297,6 +297,80 @@ object ShingleHashes {
   }
 }
 
+/** Bigram LM instance hashes in one native pass: for each adjacent token
+  * pair (i, i+1), a struct of `u` = 60-bit md5 of token i and `bg` = 60-bit
+  * md5 of `tok_i || ' ' || tok_{i+1}` — exactly the SQL spelling the LM
+  * family's oracles replay (`transform(sequence(1, size(toks)-1), i ->
+  * struct(hash(tok_i) AS u, hash(concat3) AS bg))`). ALL instances, in
+  * order, duplicates kept (the consumers count them). Each token digests
+  * once for its `u` (cached across the slide); the pair digests once.
+  * Fewer than 2 tokens → empty array.
+  */
+case class BigramPairHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("u", LongType, nullable = false),
+      StructField("bg", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_bigram_pair_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BigramPairHashes.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BigramPairHashes.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): BigramPairHashes =
+    copy(child = c)
+}
+
+object BigramPairHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def h60(digest: java.security.MessageDigest, buf: Array[Byte]): Long = {
+    digest.reset()
+    val dg = digest.digest(buf)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+    h >>> 4
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    val digest = md.get()
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](n - 1)
+    var prev = toks.getUTF8String(0).getBytes
+    var prevH = h60(digest, prev)
+    var i = 0
+    while (i < n - 1) {
+      val next = toks.getUTF8String(i + 1).getBytes
+      val pair = new Array[Byte](prev.length + next.length + 1)
+      System.arraycopy(prev, 0, pair, 0, prev.length)
+      pair(prev.length) = ' '
+      System.arraycopy(next, 0, pair, prev.length + 1, next.length)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.setLong(0, prevH)
+      row.setLong(1, h60(digest, pair))
+      out(i) = row
+      prev = next
+      prevH = h60(digest, prev)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+}
+
 /** Count of the input long-array's elements present in a FIXED sorted set —
   * the decontamination primitive: each document's shingle hashes probe the
   * benchmark-suite set. The set rides the closure (one copy per executor via
@@ -427,6 +501,10 @@ object GraftFunctions {
 
   def normalizeText(a: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(a)))
+
+  /** See [[BigramPairHashes]]. */
+  def bigramPairHashes(toks: Column): Column =
+    GraftBridge.column(BigramPairHashes(GraftBridge.expression(toks)))
 
   /** `set` must be sorted ascending (see [[SortedSetHits]]). */
   def sortedSetHits(a: Column, set: Array[Long]): Column =

@@ -481,11 +481,7 @@ object Text {
   def lmScore(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val inst = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(" +
-          s"${hashSql("element_at(toks, i)")} as u, " +
-          s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
-        .as("p"))
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions.bigramPairHashes(col("toks"))).as("p"))
       .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
     // perDoc feeds THREE consumers (c_bg, c_u, the scoring join): pin it,
     // or Catalyst replays tokenize->explode->shuffle once per consumer —
@@ -521,11 +517,7 @@ object Text {
   def lmModel(docs: DataFrame): LmModel = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val inst = t.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(" +
-          s"${hashSql("element_at(toks, i)")} as u, " +
-          s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
-        .as("p"))
+      .select(explode(graft.functions.GraftFunctions.bigramPairHashes(col("toks"))).as("p"))
       .select(col("p.u").as("u"), col("p.bg").as("bg"))
     // One instance-stream pass, not two: aggregate to the vocabulary-sized
     // (u, bg, n) table once (pinned — two consumers), then both model
@@ -552,11 +544,7 @@ object Text {
   def lmScoreFromModel(docs: DataFrame, m: LmModel): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val perDoc = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(" +
-          s"${hashSql("element_at(toks, i)")} as u, " +
-          s"${hashSql("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bg))"))
-        .as("p"))
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions.bigramPairHashes(col("toks"))).as("p"))
       .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
       .groupBy(col("doc_id"), col("u"), col("bg"))
       .agg(count(lit(1)).as("nd"))

@@ -89,6 +89,19 @@ class ExpressionsSpec extends SparkSpec {
       expr(s"transform(array_distinct(toks), t -> ${hashSql.replace("(s)", "(t)")})").as("sql1"),
       GraftFunctions.shingleHashes(col("toks"), n = 1).as("nat1")).collect()
     oneGram.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), "n=1"))
+    // bigram LM instance pairs: native struct array == the SQL spelling
+    val big = toks.filter(size(col("toks")) >= 2).select(
+      expr(s"""transform(sequence(1, size(toks) - 1), i -> struct(
+        ${hashSql.replace("(s)", "(element_at(toks, i))")} as u,
+        ${hashSql.replace("md5(s)", "md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")} as bg))""")
+        .as("sqlp"),
+      GraftFunctions.bigramPairHashes(col("toks")).as("natp")).collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      val s = r.getSeq[Row](0).map(x => (x.getLong(0), x.getLong(1)))
+      val m = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      assert(s == m, "bigram pairs")
+    }
     // MinHashes inputMod folds the % p pre-reduction: equal to the two-step
     val mh = toks.filter(size(col("toks")) >= 3).select(
       GraftFunctions.minhashes(
