@@ -929,7 +929,16 @@ object Dedup {
     // bytes-vs-CPU inversion as the unigram Viterbi stages (PLANS.md).
     // Measured at sf100: 1330 s at ~2.4 busy cores → repartitioned, all 32.
     val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = Similarity.normalized(embs).repartition(n)
+    // Pinned (localCheckpoint) like semanticDedupIncrement's e: the
+    // normalized table feeds MANY consumers (cents filter, both assignCells
+    // argmax stages, the pairwise a/b sides) and un-pinned each one replays
+    // scan → normalize → round-robin exchange — the sf100 executed plan
+    // showed 16 RoundRobin exchanges of the full nv table, and the total
+    // cost varied 1.7× with nothing but the SCAN split count (298 s at 117
+    // row-group splits vs 171 s at 2; bench_sf100_probe_r14b adjudication).
+    // Pinning computes the projection once and decouples every downstream
+    // stage from the storage layout.
+    val e = Similarity.normalized(embs).repartition(n).localCheckpoint(false)
     val k = math.max(SemCells.toLong,
       (embs.count() + SemTargetCell - 1) / SemTargetCell)
     val cents = e.filter(col("vec_id") < k)

@@ -56,7 +56,7 @@ echo "== 6/7 bench (sf0.1, 3-pass, local[32] — the blessed artifacts' env) + r
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_BENCH_OUT=bench_out.json bash tools/run_verify.sh graft.Bench | tail -1
-python3 tools/bench_gate.py bench_out.json "${SPARK_GRAFT_BENCH_BLESSED:-bench_r14_final.json}"
+python3 tools/bench_gate.py bench_out.json "${SPARK_GRAFT_BENCH_BLESSED:-bench_r14b_final.json}"
 
 if [ "$MODE" = "full" ]; then
   echo "== 7a excluded-oracle invariant audit (sf1) =="
