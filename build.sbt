@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites in the forked test JVM run SEQUENTIALLY (no testForkedParallel):
+// ChaosSpec and StateProbeSpec mutate JVM-global state (the
+// graft.chaos.mod system property, shared-session listeners) around a
+// SparkSpec.session shared across suites — parallel suite execution would
+// leak injected scan failures into unrelated suites' plans. Do not enable
+// Test / testForkedParallel without scoping those knobs per-session.
 run / fork := true
 // Forked `run` output goes straight to this process's stdout instead of
 // through sbt's logger: the driver scrapes a bounded stdout tail for the

@@ -84,6 +84,7 @@ object StreamBench {
       case "soak_over" => runSoakOver(spark, total, batchSize, cpus.toInt)
       case "soak_scd2" => runSoakScd2(spark, total, batchSize, cpus.toInt)
       case "soak_semdedup" => runSoakSemDedup(spark, total, batchSize, cpus.toInt)
+      case "soak_semhandover" => runSoakSemHandover(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -215,15 +216,21 @@ object StreamBench {
   private def runAdmit(
       spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
     spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    // SPARK_GRAFT_DECONTAM=1 adds the decontamination stage with a
-    // 1M-entry SYNTHETIC benchmark set (hashes absent from the corpus):
+    // SPARK_GRAFT_DECONTAM=n adds the decontamination stage with an
+    // n-entry SYNTHETIC benchmark set (hashes absent from the corpus):
     // every doc pays the full per-shingle binary-search probe but none is
-    // cut, so the row prices the stage's pure overhead at a realistic eval-
+    // cut, so the row prices the stage's pure overhead at a chosen eval-
     // suite size without changing what flows into the downstream stores.
-    val bench: Array[Long] =
-      if (!sys.env.get("SPARK_GRAFT_DECONTAM").contains("1")) Array.empty
-      else (0 until 1000000).map(i =>
-        graft.functions.Determinism.md5Long(s"bench_$i")).sorted.toArray
+    // "1" keeps the round-14 meaning (1M, the typical suite); the broadcast
+    // CONTRACT ceiling is 10⁷ (Curation.benchmarkShingleSet scaladoc) —
+    // `SPARK_GRAFT_DECONTAM=10000000` prices that ceiling.
+    val bench: Array[Long] = sys.env.get("SPARK_GRAFT_DECONTAM") match {
+      case None => Array.empty
+      case Some(v) =>
+        val n = v.trim.toInt match { case 1 => 1000000; case k => k }
+        (0 until n).map(i =>
+          graft.functions.Determinism.md5Long(s"bench_$i")).sorted.toArray
+    }
     val dir = java.nio.file.Files.createTempDirectory("streambench-admit").toString
     val filesPerChunk = math.max(cpus / 2, 4)
     var from = 0L
@@ -604,6 +611,138 @@ object StreamBench {
       s""""unexpected":${unexpected.length},"missing":${missing.length},""" +
       s""""cross_max_cos":${math.round(crossMax * 1e6) / 1e6},""" +
       s""""restart_at_row":$half,"cells":$SemSoakCells}""")
+    (total.toLong, secs)
+  }
+
+  /** New-only directions in the handover soak (appear only at/after the
+    * seam, so only the NEW epoch can admit them).
+    */
+  val SemHandoverNewDirs = 100
+
+  /** Quantizer-refresh HANDOVER soak (round-15 verdict item 6) — the full
+    * operational recipe from `SemDedupStream.verdictsWithHandover`'s
+    * scaladoc, run end-to-end as two queries over one feed:
+    *
+    *   query 1 (OLD epoch, 16-cell quantizer) consumes the feed up to 60%
+    *   of rows, its sink gated to ts < cutover (event time of row 55%);
+    *   query 2 (the handover: old 16-cell + new 32-cell, fresh checkpoint)
+    *   replays the WHOLE feed with `emitFromMs = cutover`, so its old-epoch
+    *   incumbents rebuild from the replay and its sink owns ts >= cutover.
+    *
+    * Feed: 500 directions recur every 1.5 s throughout (straddling the
+    * seam); at/after the seam every 6th row instead carries one of 100 NEW
+    * directions (recurring every 1.8 s). Worst straddle gap is 4.5 s
+    * (occurrence slots stolen by new dirs), so the watermark delay is 5 s
+    * and every recurrence stays in-watermark — the admission law is
+    * closed-form: the UNION of the two sinks admits each of the 600
+    * directions EXACTLY once (500 pre-seam via query 1; 100 post-seam via
+    * query 2; NO straddling direction re-admits across the seam — the
+    * probe-only bridge catches the first post-seam recurrence against the
+    * rebuilt old incumbents). The generator verifies its cross-direction
+    * cosine premise driver-side like the semdedup soak.
+    */
+  private def runSoakSemHandover(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    require(total >= 3000, s"handover soak needs >= 3000 rows, got $total")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val cutRow = total.toLong * 55 / 100
+    val oldUntil = total.toLong * 60 / 100
+    val cutoverMs = Epoch + cutRow * 3L
+    val nDirs = SemSoakDirs + SemHandoverNewDirs
+
+    def vecDf(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(
+        timestamp_millis(lit(Epoch) + col("id") * 3L).as("ts"),
+        col("id").as("vec_id"),
+        expr(s"transform(sequence(1, 64), i -> cast(hash(cast(" +
+          s"CASE WHEN id >= ${cutRow}L AND id % 6 = 0 " +
+          s"THEN $SemSoakDirs + (id div 6) % $SemHandoverNewDirs " +
+          s"ELSE id % $SemSoakDirs END as int), i) as float))").as("embedding"))
+    def dirOf(id: Long): Long =
+      if (id >= cutRow && id % 6 == 0) SemSoakDirs + (id / 6) % SemHandoverNewDirs
+      else id % SemSoakDirs
+
+    // premise: all 600 hashed directions separated below the threshold
+    val dirs = spark.range(nDirs).select(
+      expr("transform(sequence(1, 64), i -> cast(hash(cast(id as int), i) as float))"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v => val nrm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nrm) }
+    var crossMax = -1.0
+    for (i <- dirs.indices; j <- (i + 1) until dirs.length) {
+      var s = 0.0; var c = 0
+      while (c < 64) { s += dirs(i)(c) * dirs(j)(c); c += 1 }
+      if (s > crossMax) crossMax = s
+    }
+    require(crossMax < SemSoakThreshold,
+      s"soak generator premise violated: max cross-direction cosine $crossMax")
+
+    val oldCents = graft.streaming.SemDedupStream.frozenCents(
+      vecDf(0, SemSoakCells).select(col("vec_id"), col("embedding")), SemSoakCells)
+    val newCents = graft.streaming.SemDedupStream.frozenCents(
+      vecDf(0, 32).select(col("vec_id"), col("embedding")), 32L)
+
+    val dirOld = java.nio.file.Files.createTempDirectory("sbh-old").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("sbh-all").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    def writeChunks(from: Long, until: Long, dsts: Seq[String]): Unit = {
+      var at = from
+      while (at < until) {
+        val n = math.min(batchSize.toLong, until - at)
+        val chunk = vecDf(at, n).repartition(filesPerChunk)
+        dsts.foreach(d => chunk.write.mode("append").parquet(d))
+        at += n
+      }
+    }
+    def reader(dir: String) = spark.readStream.schema(vecDf(0, 1).schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false").parquet(dir)
+
+    // phase 1: the incumbent single-epoch query, sink gated to ts < cutover
+    writeChunks(0L, oldUntil, Seq(dirOld, dirAll))
+    val out1 = java.nio.file.Files.createTempDirectory("sbh-out1").toString
+    val ckp1 = java.nio.file.Files.createTempDirectory("sbh-ckp1").toString
+    val t0 = System.nanoTime()
+    val q1 = graft.streaming.SemDedupStream.admitted(
+      reader(dirOld), oldCents, threshold = SemSoakThreshold, watermarkDelay = "5 seconds")
+      .filter(col("ts") < timestamp_millis(lit(cutoverMs)))
+      .writeStream.format("parquet").option("path", out1)
+      .option("checkpointLocation", ckp1).outputMode("append").start()
+    q1.processAllAvailable()
+    val progress1 = q1.recentProgress.toSeq
+    q1.stop() // drained: its watermark passed the cutover; it owns ts < cutover
+
+    // phase 2: the handover query — FRESH checkpoint, full replay, sink
+    // owns ts >= cutover (emitFromMs)
+    val w0 = System.nanoTime()
+    writeChunks(oldUntil, total.toLong, Seq(dirAll))
+    val writeNs = System.nanoTime() - w0
+    val out2 = java.nio.file.Files.createTempDirectory("sbh-out2").toString
+    val ckp2 = java.nio.file.Files.createTempDirectory("sbh-ckp2").toString
+    val q2 = graft.streaming.SemDedupStream.admittedWithHandover(
+      reader(dirAll), oldCents, newCents, cutoverMs,
+      threshold = SemSoakThreshold, watermarkDelay = "5 seconds",
+      emitFromMs = Some(cutoverMs))
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckp2).outputMode("append").start()
+    q2.processAllAvailable()
+    val secs = (System.nanoTime() - t0 - writeNs) / 1e9
+    val progress2 = q2.recentProgress.toSeq
+    q2.stop()
+    soakReport(progress1 ++ progress2)
+
+    val admitted = spark.read.parquet(out1).select(col("vec_id"))
+      .unionAll(spark.read.parquet(out2).select(col("vec_id")))
+      .collect().map(_.getLong(0))
+    val byDir = admitted.groupBy(dirOf).view.mapValues(_.length).toMap
+    val doubled = byDir.count(_._2 > 1)
+    val missing = (0L until nDirs.toLong).count(!byDir.contains(_))
+    val preSeamAdmits = admitted.count(id => Epoch + id * 3L < cutoverMs)
+    println(s"""{"soak_semhandover_admitted":${admitted.length},"expected":$nDirs,""" +
+      s""""doubled":$doubled,"missing":$missing,"pre_seam":$preSeamAdmits,""" +
+      s""""cross_max_cos":${math.round(crossMax * 1e6) / 1e6},""" +
+      s""""cutover_row":$cutRow,"old_cells":$SemSoakCells,"new_cells":32}""")
     (total.toLong, secs)
   }
 

@@ -35,8 +35,11 @@ object Tables {
     * pushdown, and codegen are untouched.
     */
   private def chaos(df: DataFrame): DataFrame = {
-    val mod = sys.env.get("GRAFT_CHAOS_MOD").orElse(sys.props.get("graft.chaos.mod"))
-      .map(_.trim.toInt).getOrElse(0)
+    val raw = sys.env.get("GRAFT_CHAOS_MOD").orElse(sys.props.get("graft.chaos.mod"))
+    val mod = raw.map { v =>
+      scala.util.Try(v.trim.toInt).getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_CHAOS_MOD / graft.chaos.mod must be an integer partition modulus, got '$v'"))
+    }.getOrElse(0)
     if (mod <= 0) df
     else {
       implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =

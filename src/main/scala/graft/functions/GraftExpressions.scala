@@ -391,6 +391,18 @@ case class SortedSetHits(child: Expression, set: Array[Long])
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_set_hits"
 
+  // Case-class equality on Array is reference-based, which would make two
+  // semantically identical probes never semanticEquals — defeating Catalyst
+  // canonicalization / common-subexpression elimination if one probe set is
+  // referenced twice in a plan (round-14 advice). Compare by content.
+  override def equals(other: Any): Boolean = other match {
+    case s: SortedSetHits =>
+      child == s.child && java.util.Arrays.equals(set, s.set)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(set)
+
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()

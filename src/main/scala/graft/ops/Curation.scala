@@ -62,6 +62,33 @@ object Curation {
       .select(col("sh")).distinct()
       .collect().map(_.getLong(0)).sorted
 
+  /** Broadcast-bound ceiling (entries) for the per-row decontamination
+    * gate's benchmark set. The dimension-table contract is 10⁶-10⁷ shingles
+    * (8-80 MB, [[benchmarkShingleSet]] scaladoc); the default leaves 2×
+    * headroom past the ceiling. Beyond it the set stops being a
+    * task-binary-sized model parameter: switch to
+    * [[contaminationFromToks]]'s JOIN path, where the benchmark side is an
+    * ordinary (broadcast-or-shuffle, Catalyst's pick) join input. Override
+    * with spark conf `graft.decontam.setLimit`.
+    */
+  val DecontamSetLimit = 20000000L
+
+  /** Fail-fast guard (same class as Dedup.guardAllPairs): a suite past the
+    * broadcast bound would ride every task binary as a ~8·n-byte array and
+    * degrade or OOM executors rather than fail cleanly.
+    */
+  private[graft] def requireBroadcastableSuite(
+      spark: SparkSession, entries: Long, op: String): Unit = {
+    val limit = spark.conf
+      .get("graft.decontam.setLimit", DecontamSetLimit.toString).toLong
+    require(entries <= limit,
+      s"$op probes a broadcast benchmark set of $entries shingle hashes " +
+        s"(~${entries * 8L >> 20} MB riding every task binary), past the " +
+        s"$limit-entry broadcast bound (conf graft.decontam.setLimit). Use " +
+        "Curation.contaminationFromToks' join path — the benchmark side " +
+        "becomes an ordinary join input — or raise the limit.")
+  }
+
   /** Decontamination as a PER-ROW gate (no benchmark join): every training
     * doc's shingle array probes the broadcast benchmark set via binary
     * search, and the doc is kept while shared shingles stay at or under
@@ -71,12 +98,15 @@ object Curation {
     * per-row filter preserves the chain's safety proof untouched.
     * Returns (doc_id, n_shared, n_shingles, kept) for every non-benchmark
     * doc; docs too short to shingle (< 3 tokens) are unassessable and kept.
+    * Suites past [[DecontamSetLimit]] fail fast toward the join path.
     */
   def decontaminate(
       docs: DataFrame,
       benchSet: Array[Long],
       benchmarkFilter: String,
-      maxPct: Long = DecontamMaxPct): DataFrame =
+      maxPct: Long = DecontamMaxPct): DataFrame = {
+    requireBroadcastableSuite(docs.sparkSession, benchSet.length.toLong,
+      "Curation.decontaminate")
     docs.filter(not(expr(benchmarkFilter)))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingleHashArr.as("shs"))
@@ -85,6 +115,7 @@ object Curation {
         graft.functions.GraftFunctions.sortedSetHits(col("shs"), benchSet).as("n_shared"),
         size(col("shs")).cast("long").as("n_shingles"))
       .withColumn("kept", col("n_shared") * lit(100L) <= col("n_shingles") * lit(maxPct))
+  }
 
   /** Training docs sharing >= 1 shingle with the benchmark set, with the
     * count of distinct shared shingles and the doc's own shingle count (so

@@ -280,28 +280,43 @@ object Text {
     * matches nothing and the hash gate silently passes on 0 == 0 rows
     * (found round 14 — q_search_bm25/q_freq_cms were vacuous on every seed
     * variant). Deriving the probe set from the corpus itself keeps the
-    * gate non-vacuous under ANY frequency-preserving transform. `terms` is
-    * the exploded (doc_id, term) stream.
+    * gate non-vacuous under ANY frequency-preserving transform.
+    *
+    * Plan shape: document frequency needs one distinct per (doc, term) —
+    * spelled as a PER-ROW `array_distinct` before the explode so the only
+    * exchange is the vocabulary-sized partial-aggregated (term, count)
+    * stream, never the corpus-sized (doc_id, term) pair stream a
+    * `terms.distinct()` would shuffle (the round-14 spelling did exactly
+    * that: +1.15 MB shuffle and 1.8× wall on q_search_bm25, adjudicated
+    * round 15).
     */
-  def topDfTerms(terms: DataFrame, k: Int = Bm25QueryK): DataFrame =
-    terms.distinct()
+  def topDfTerms(docs: DataFrame, k: Int = Bm25QueryK): DataFrame =
+    docs.select(explode(array_distinct(tokens(col("text")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("qdf"))
       .orderBy(col("qdf").desc, col("term")).limit(k)
       .select(col("term"))
 
-  /** `bm25` with the corpus-derived query (`topDfTerms`): same scoring
-    * body, the term gate is a broadcast semi-join against the ≤ `queryK`
-    * derived terms instead of a literal `isin` — still map-side, still
-    * postings-proportional. The token explode feeds THREE consumers here
-    * (doc lengths, the term derivation, tf), so it is pinned.
+  /** The derived query terms as a driver-side value — the model-parameter
+    * read (same class as [[Bpe.learnMerges]]'s one-row collect and
+    * [[Curation.benchmarkShingleSet]]'s suite collect: ≤ `k` strings, by
+    * contract query-sized, never corpus-sized). Consumers feed it back to
+    * [[bm25]] as a literal `isin`, so the SCORING query keeps the map-only
+    * term gate and zero derivation state in its own plan.
+    */
+  def derivedQueryTerms(docs: DataFrame, k: Int = Bm25QueryK): Seq[String] =
+    topDfTerms(docs, k).collect().map(_.getString(0)).toSeq
+
+  /** `bm25` with the corpus-derived query: two jobs — the vocabulary-sized
+    * term derivation collected once as a model parameter
+    * ([[derivedQueryTerms]]), then the UNCHANGED literal-gated scoring body.
+    * The round-14 single-plan spelling (localCheckpoint-pinned explode +
+    * broadcast semi-join) shuffled the distinct (doc_id, term) pair stream
+    * and round-tripped the whole token table through executor storage;
+    * this form's scoring plan is bit-identical to `bm25`'s.
     */
   def bm25Derived(docs: DataFrame, topK: Int = Bm25TopK,
-      queryK: Int = Bm25QueryK): DataFrame = {
-    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(false)
-    val qt = topDfTerms(terms, queryK)
-    bm25From(docs, terms, terms.join(broadcast(qt), Seq("term")), topK)
-  }
+      queryK: Int = Bm25QueryK): DataFrame =
+    bm25(docs, derivedQueryTerms(docs, queryK), topK)
 
   /** Shared BM25 scoring body: `gated` is the query-term-gated slice of
     * `terms`.

@@ -151,6 +151,10 @@ object CorpusIngest {
     // filter is Pin-pinned like the quality gate so a contaminated-only
     // stretch still advances event time. Verdicts equal the batch gate's
     // on the same rows (StreamingCurationSpec law).
+    if (benchShingles.nonEmpty)
+      graft.ops.Curation.requireBroadcastableSuite(
+        docs.sparkSession, benchShingles.length.toLong,
+        "CorpusIngest.admittedDocs (decontamination stage)")
     val gated =
       if (benchShingles.isEmpty) qualityGated
       else qualityGated

@@ -212,4 +212,79 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(streamAsg == batchAsg,
       s"cell disagreement on ${streamAsg.count { case (id, c) => batchAsg(id) != c }} vectors")
   }
+
+  // ---- quantizer-refresh handover (round-15 verdict item 6) ----
+
+  /** One-cell quantizer with a DIFFERENT cell id (7, along axis 1) — under
+    * a real swap the admitted cell column must flip 0 -> 7 at the seam.
+    */
+  private val otherCell: Array[(Long, Array[Double])] =
+    Array((7L, Array.tabulate(64)(j => if (j == 1) 1.0 else 0.0)))
+
+  test("handover with identical epochs == the batch rule (the seam is invisible)") {
+    val embs = Tables.embeddings(spark, sf())
+    val k = 16L
+    val expected = batchSurvivors(embs, k)
+    val cents = SemDedupStream.frozenCents(embs, k)
+    val withTs = embs.withColumn("ts", timestamp_millis(lit(1000L) + col("vec_id")))
+    val ids = embs.select(col("vec_id")).collect().map(_.getLong(0))
+    val cutover = 1000L + (ids.min + ids.max) / 2 // mid-stream seam
+    val got = SemDedupStream.admittedWithHandover(
+      withTs, cents, cents, cutover, watermarkDelay = "1 hour")
+      .collect().map(_.getLong(1)).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
+  test("straddling duplicates admit exactly once across a real quantizer swap (batch)") {
+    import spark.implicits._
+    val rows = Seq(
+      SVec(ts(8000), 1L, axis(2)),  // pre: admitted under OLD (cell 0)
+      SVec(ts(9000), 2L, axis(4)),  // pre: admitted under OLD (cell 0)
+      SVec(ts(11000), 3L, axis(2)), // bridge: probes OLD, matches vec 1 -> rejected
+      SVec(ts(11500), 4L, axis(3)), // post: new direction -> admitted under NEW (cell 7)
+      SVec(ts(12000), 5L, axis(2)), // post: matches the buffered (rejected) vec 3 -> rejected
+      SVec(ts(13000), 6L, axis(3))) // post: matches vec 4 -> rejected
+    val got = SemDedupStream.admittedWithHandover(
+      rows.toDF(), oneCell, otherCell, 10000L, watermarkDelay = "5 seconds")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 4L -> 7L), got.toString)
+  }
+
+  test("streaming handover: exactly-once across the seam, old epoch drains to zero") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val src = Sources.memoryStream[SVec](spark)
+    // idleTimeoutMs = 1 so eviction wake-ups fire at wm+1 and the drain is
+    // observable without waiting out the production idle GC horizon
+    val q = SemDedupStream.admittedWithHandover(src.toDS().toDF(), oneCell, otherCell,
+      10000L, watermarkDelay = "5 seconds", idleTimeoutMs = 1L)
+      .writeStream.format("memory").queryName("semhand").outputMode("append").start()
+    try {
+      src.addData(Seq(SVec(ts(8000), 1L, axis(2)), SVec(ts(9000), 2L, axis(4))))
+      q.processAllAvailable()
+      src.addData(Seq(SVec(ts(11000), 3L, axis(2)), SVec(ts(11500), 4L, axis(3))))
+      q.processAllAvailable()
+      src.addData(Seq(SVec(ts(12000), 5L, axis(2)), SVec(ts(13000), 6L, axis(3))))
+      q.processAllAvailable()
+      // two flush rows: the first pushes the watermark past the seam so every
+      // verdict group finalizes and the old epoch's timeout fires; the second
+      // triggers the wake-up batch that actually removes the drained state
+      src.addData(Seq(SVec(ts(100000), 7L, axis(5))))
+      q.processAllAvailable()
+      src.addData(Seq(SVec(ts(200000), 8L, axis(6))))
+      q.processAllAvailable()
+      val got = spark.table("semhand").collect().filter(_.getLong(1) < 7L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == Map(1L -> 0L, 2L -> 0L, 4L -> 7L), got.toString)
+      val fm = q.lastProgress.stateOperators
+        .filter(_.operatorName == "flatMapGroupsWithState")
+      assert(fm.length == 2, s"expected both epoch operators, got ${fm.length}")
+      assert(fm.map(_.numRowsTotal).min == 0L,
+        s"old epoch must drain to zero past the seam: ${fm.map(_.numRowsTotal).toSeq}")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
 }

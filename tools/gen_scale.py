@@ -71,6 +71,43 @@ def rotate_vecs(vec_col, cp):
     return pa.array(rot, vec_col.type)
 
 
+# --- deliberate heavy-hitter stream (round 15, VERDICT r14 item 4) ---
+# gen_scale's per-replica Caesar vocabularies dilute every natural token's
+# corpus share by ~1/FACTOR, so the Misra-Gries heavy set (share > 1/200)
+# goes structurally EMPTY at sf1+ (the "exactly ONE 0-row green" row in
+# BASELINE). Hold ONE token family at a fixed share across replicas: each
+# copy appends ~41 synthetic docs whose text alternates the fixed token
+# HEAVY_TOKEN with a per-doc-unique filler. The alternation means every
+# 3-gram shingle contains the unique filler, so injected docs share no
+# shingles with each other or the corpus — no new dedup families, no
+# near-dup candidate pairs, no contamination overlap; exact-dup texts stay
+# unique. Share is FACTOR-invariant (per-copy proportional), so the
+# threshold bites at every SF, and gen_seeded's bijective Caesar redraw
+# maps the token to another token with the same share (still non-vacuous).
+HEAVY_TOKEN = "zzqheavyhitter"
+HEAVY_SHARE = 0.015   # target corpus share; threshold is 1/200 = 0.005
+HEAVY_DOC_TOKENS = 100  # heavy occurrences per injected doc (200 tokens)
+HEAVY_ID_BASE = 9_900_000  # reserved id band inside each copy's sub-universe
+
+
+def heavy_docs(src, cp, m):
+    """Synthetic heavy-hitter docs for copy `cp`, matching src's schema.
+    `m` = src's total token count (computed once by the caller)."""
+    h = int(HEAVY_SHARE * m / (1.0 - 2 * HEAVY_SHARE)) + 1
+    n = (h + HEAVY_DOC_TOKENS - 1) // HEAVY_DOC_TOKENS
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for i in range(n):
+        filler = f"zq{cp}x{i}"
+        text = " ".join(
+            w for _ in range(HEAVY_DOC_TOKENS) for w in (HEAVY_TOKEN, filler))
+        rows["doc_id"].append(cp * OFF + HEAVY_ID_BASE + i)
+        rows["text"].append(text)
+        rows["lang"].append("xx")
+        rows["source"].append("heavy-injection")
+        rows["n_chars"].append(len(text))
+    return pa.table(rows, schema=src.schema)
+
+
 def copy_of(src, name, cp):
     t = shift_keys(src, KEY_COLS.get(name, []), cp)
     if name == "documents":
@@ -118,8 +155,12 @@ def gen(name):
                           compression="snappy") as w:
         buf = []
         buf_rows = 0
+        src_tokens = (sum(len(x.split()) for x in src.column("text").to_pylist() if x)
+                      if name == "documents" else 0)
         for cp in range(FACTOR):
             t = copy_of(src, name, cp)
+            if name == "documents":
+                t = pa.concat_tables([t, heavy_docs(src, cp, src_tokens)])
             buf.append(t)
             buf_rows += t.num_rows
             total += t.num_rows
