@@ -103,7 +103,10 @@ def heavy_docs(src, cp, m):
         rows["doc_id"].append(cp * OFF + HEAVY_ID_BASE + i)
         rows["text"].append(text)
         rows["lang"].append("xx")
-        rows["source"].append("heavy-injection")
+        # srcN shape is a FIXTURE CONTRACT: several operators parse the
+        # numeric source id via substr(source, 4) (priority dedup, z-order)
+        # and DuckDB's cast is strict where Spark's is null-tolerant
+        rows["source"].append("src9900")
         rows["n_chars"].append(len(text))
     return pa.table(rows, schema=src.schema)
 
