@@ -730,7 +730,12 @@ object StreamBench {
     val secs = (System.nanoTime() - t0 - writeNs) / 1e9
     val progress2 = q2.recentProgress.toSeq
     q2.stop()
-    soakReport(progress1 ++ progress2)
+    // report PER QUERY: the two queries have different operator sets (q1:
+    // one flatMap; q2: two flatMaps + the OR-agg), so one concatenated
+    // mid-vs-final comparison would read q2's agg rows against q1's cell
+    // plateau and cry growth where there is none
+    soakReport(progress1)
+    soakReport(progress2)
 
     val admitted = spark.read.parquet(out1).select(col("vec_id"))
       .unionAll(spark.read.parquet(out2).select(col("vec_id")))
