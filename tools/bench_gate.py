@@ -33,7 +33,7 @@ import statistics
 import sys
 
 fresh_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
-blessed_path = sys.argv[2] if len(sys.argv) > 2 else "bench_r14_final.json"
+blessed_path = sys.argv[2] if len(sys.argv) > 2 else "bench_r14b_final.json"
 GATE = float(os.environ.get("GATE_RATIO", "2.0"))
 SH_TOL = float(os.environ.get("SHUFFLE_TOL_MB", "2.0"))
 MIN_WALL = float(os.environ.get("MIN_WALL", "0.5"))
