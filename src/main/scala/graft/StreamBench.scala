@@ -714,21 +714,33 @@ object StreamBench {
     q1.stop() // drained: its watermark passed the cutover; it owns ts < cutover
 
     // phase 2: the handover query — FRESH checkpoint, full replay, sink
-    // owns ts >= cutover (emitFromMs)
+    // owns ts >= cutover (emitFromMs), with a MID-RUN COLD RESTART past the
+    // seam (at 80% of rows): recovery must reload BOTH epoch operators'
+    // stores and the OR-agg from the checkpoint, and the admission law must
+    // come out unchanged
+    val restartAt = total.toLong * 80 / 100
     val w0 = System.nanoTime()
-    writeChunks(oldUntil, total.toLong, Seq(dirAll))
+    writeChunks(oldUntil, restartAt, Seq(dirAll))
     val writeNs = System.nanoTime() - w0
     val out2 = java.nio.file.Files.createTempDirectory("sbh-out2").toString
     val ckp2 = java.nio.file.Files.createTempDirectory("sbh-ckp2").toString
-    val q2 = graft.streaming.SemDedupStream.admittedWithHandover(
+    def startQ2() = graft.streaming.SemDedupStream.admittedWithHandover(
       reader(dirAll), oldCents, newCents, cutoverMs,
       threshold = SemSoakThreshold, watermarkDelay = "5 seconds",
       emitFromMs = Some(cutoverMs))
       .writeStream.format("parquet").option("path", out2)
       .option("checkpointLocation", ckp2).outputMode("append").start()
+    val q2a = startQ2()
+    q2a.processAllAvailable()
+    val progress2a = q2a.recentProgress.toSeq
+    q2a.stop() // cold stop past the seam; rest of the feed arrives offline
+    val w1 = System.nanoTime()
+    writeChunks(restartAt, total.toLong, Seq(dirAll))
+    val writeNs2 = System.nanoTime() - w1
+    val q2 = startQ2()
     q2.processAllAvailable()
-    val secs = (System.nanoTime() - t0 - writeNs) / 1e9
-    val progress2 = q2.recentProgress.toSeq
+    val secs = (System.nanoTime() - t0 - writeNs - writeNs2) / 1e9
+    val progress2 = progress2a ++ q2.recentProgress.toSeq
     q2.stop()
     // report PER QUERY: the two queries have different operator sets (q1:
     // one flatMap; q2: two flatMaps + the OR-agg), so one concatenated
@@ -747,7 +759,8 @@ object StreamBench {
     println(s"""{"soak_semhandover_admitted":${admitted.length},"expected":$nDirs,""" +
       s""""doubled":$doubled,"missing":$missing,"pre_seam":$preSeamAdmits,""" +
       s""""cross_max_cos":${math.round(crossMax * 1e6) / 1e6},""" +
-      s""""cutover_row":$cutRow,"old_cells":$SemSoakCells,"new_cells":32}""")
+      s""""cutover_row":$cutRow,"restart_at_row":$restartAt,""" +
+      s""""old_cells":$SemSoakCells,"new_cells":32}""")
     (total.toLong, secs)
   }
 

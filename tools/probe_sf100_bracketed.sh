@@ -19,6 +19,10 @@ ATTEMPTS=${3:-3}
 anchor_of() { python3 -c "import json,sys; print(json.load(open(sys.argv[1]))['cpu_anchor'])" "$1"; }
 
 for i in $(seq 1 "$ATTEMPTS"); do
+  # cool-down before re-sampling: the host's sustained-load throttle decays
+  # over ~minutes, so a before-anchor taken right after a rejected probe
+  # reads low and dooms the next bracket too
+  [ "$i" -gt 1 ] && sleep 180
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_PASSES=1 SPARK_GRAFT_BENCH_WARMUP=0 \
     SPARK_GRAFT_BENCH_ONLY=q_filter SPARK_GRAFT_BENCH_OUT=/tmp/anchor_before.json \
