@@ -76,7 +76,7 @@ object Bench {
   }
 
   private def newSession(cpus: String, sfDir: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val spark = GraftSession.pinConf(SparkSession.builder())
       .master(s"local[$cpus]")
       // Default sizes from the FIXTURE (GraftSession.shufflePartitionsFor:
       // small fixtures stay = cpus, the bench contract; sf100's 15 GB gets

@@ -77,6 +77,18 @@ object GraftSession {
     math.max(cpus, math.min(4096L, bytes / (32L << 20) + 1).toInt)
   }
 
+  /** Propagate the opt-in reliable-pin mode (env SPARK_GRAFT_PIN_RELIABLE=true
+    * → conf [[Pinned.ReliableKey]]) into a session builder. Also enables the
+    * context cleaner's checkpoint reaping (a static conf, so it must land at
+    * builder time): reliable pins write FILES, and a long multi-pin run would
+    * otherwise accumulate every dead plan's checkpoint data on disk.
+    */
+  def pinConf(b: SparkSession.Builder): SparkSession.Builder =
+    if (sys.env.get("SPARK_GRAFT_PIN_RELIABLE").exists(_.trim.equalsIgnoreCase("true")))
+      b.config(Pinned.ReliableKey, "true")
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    else b
+
   def local(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -85,6 +85,7 @@ object StreamBench {
       case "soak_scd2" => runSoakScd2(spark, total, batchSize, cpus.toInt)
       case "soak_semdedup" => runSoakSemDedup(spark, total, batchSize, cpus.toInt)
       case "soak_semhandover" => runSoakSemHandover(spark, total, batchSize, cpus.toInt)
+      case "soak_fullchain" => runSoakFullChain(spark, total, batchSize, cpus.toInt)
       case _        => runMemory(spark, total, batchSize)
     }
     val rps = rows / secs
@@ -221,13 +222,20 @@ object StreamBench {
     // every doc pays the full per-shingle binary-search probe but none is
     // cut, so the row prices the stage's pure overhead at a chosen eval-
     // suite size without changing what flows into the downstream stores.
-    // "1" keeps the round-14 meaning (1M, the typical suite); the broadcast
-    // CONTRACT ceiling is 10⁷ (Curation.benchmarkShingleSet scaladoc) —
+    // Spellings: a literal entry count, or "1m"/"default" for the typical
+    // 10⁶-shingle suite (a distinct sentinel, so every integer means
+    // itself — round-15 advice); the broadcast CONTRACT ceiling is 10⁷
+    // (Curation.benchmarkShingleSet scaladoc) —
     // `SPARK_GRAFT_DECONTAM=10000000` prices that ceiling.
     val bench: Array[Long] = sys.env.get("SPARK_GRAFT_DECONTAM") match {
       case None => Array.empty
       case Some(v) =>
-        val n = v.trim.toInt match { case 1 => 1000000; case k => k }
+        val n = v.trim.toLowerCase match {
+          case "1m" | "default" => 1000000
+          case s if s.nonEmpty && s.forall(_.isDigit) => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_DECONTAM must be an entry count or '1m'/'default', got '$other'")
+        }
         (0 until n).map(i =>
           graft.functions.Determinism.md5Long(s"bench_$i")).sorted.toArray
     }
@@ -643,7 +651,14 @@ object StreamBench {
     */
   private def runSoakSemHandover(
       spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
-    require(total >= 3000, s"handover soak needs >= 3000 rows, got $total")
+    // Floor 5000, not 3000 (round-15 advice): the admission law needs q2's
+    // append-mode OR-agg to FINALIZE every new direction, which happens only
+    // for rows below maxEvent - 5s watermark delay. The last new direction
+    // first occurs just after the 55% cutover row, so the feed must extend
+    // at least one watermark delay (5s of event time = ~1667 rows at 3 ms
+    // spacing) past it; at total=3000 the feed ends before the cutover rows
+    // finalize and the soak reports a GUARANTEED false law violation.
+    require(total >= 5000, s"handover soak needs >= 5000 rows, got $total")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val cutRow = total.toLong * 55 / 100
@@ -761,6 +776,172 @@ object StreamBench {
       s""""cross_max_cos":${math.round(crossMax * 1e6) / 1e6},""" +
       s""""cutover_row":$cutRow,"restart_at_row":$restartAt,""" +
       s""""old_cells":$SemSoakCells,"new_cells":32}""")
+    (total.toLong, secs)
+  }
+
+  /** Fixed contaminated text for the full-chain soak: every shingle of it is
+    * in the benchmark set (computed from this exact text), so the decontam
+    * stage cuts carriers with hits == 100% >> the 10% ceiling, while the
+    * quality gate PASSES them (0.5·min(1,38/80) + 0.3·min(1,stop·5) + 0.2·uniq
+    * ≈ 0.72) — each knockout class is cut by exactly one stage.
+    */
+  private val FullChainContamText =
+    "the benchmark question seven asks what is the answer to the riddle " +
+      "of the old sphinx and the model must never see this held out text " +
+      "during training because it is the frozen evaluation suite of the soak"
+
+  /** FULL admission chain soak (round-15 verdict item 6): ONE run composing
+    * every stage end-to-end — quality gate → DECONTAMINATION → exact dedup →
+    * near-dup admission (query 1: `CorpusIngest.admittedDocs` with a real
+    * benchmark shingle set) → SEMANTIC dedup (query 2:
+    * `SemDedupStream.admitted` over query 1's parquet sink). Two queries, one
+    * pipelined run: the admitted store is the production seam — chaining a
+    * flatMapGroupsWithState AFTER the near-dup OR-agg inside one plan would
+    * feed watermark-FINALIZED rows into a late-row-dropping operator, which
+    * is unsound by construction, so the seam is load-bearing, not a cop-out.
+    *
+    * Feed (3 ms/row event time) with four orthogonal knockout classes and a
+    * CLOSED-FORM admitted set:
+    *   - id % 13 == 0:           junk ('zz qq xx')        — cut by the GATE;
+    *   - id % 17 == 0 (not junk): [[FullChainContamText]] — cut by DECONTAM;
+    *   - else fam = id div 10 shares one text             — EXACT admits 1/fam;
+    *   - the two fams of nfam = id div 20 carry the SAME word triple
+    *     ('the fam<nfam> and') repeated 27 vs 28 times: different md5
+    *     fingerprints (order/length-sensitive) but IDENTICAL 3-gram shingle
+    *     SETS, so their minhash signatures are EQUAL — the banded candidate
+    *     match and the Jaccard-1 verification are deterministic, no LSH
+    *     probability in the law — NEAR-DUP admits 1/nfam;
+    *   - sfam = id div 40: query 2 derives each admitted doc's embedding as
+    *     the hash-direction of its sfam (the semdedup-soak generator), so the
+    *     two nfam survivors of an sfam are semantic duplicates (cosine 1) 60 ms
+    *     apart — SEMANTIC admits 1/sfam.
+    *
+    * Law: query 1's sink holds EXACTLY one doc per nfam and zero junk/contam
+    * ids; query 2's sink EXACTLY one per sfam. Batch-boundary-proof: chunks
+    * are event-time contiguous and duplicate gaps are ≤ 200 ms, so an
+    * incumbent is always within one chunk span of the watermark frontier
+    * (never evicted between the pair); query 2's 1-hour delay absorbs the
+    * sink's file-order scrambling (q1 emission batches span ≤ one chunk of
+    * event time ≈ 5 min at 100k rows/chunk). Cross-sfam direction collisions
+    * are the only probabilistic residue: P(cos > 0.9) per pair ≈ 0.19^31 ≈
+    * 4e-23 for 64-dim hash directions — immaterial at any feasible scale.
+    * State plateaus: q1's three stores hold ~10 s of feed; q2's incumbents
+    * hold 1 h of EVENT time ≈ 60k rows (plateau from ~6% into a 20M run).
+    */
+  private def runSoakFullChain(
+      spark: SparkSession, total: Int, batchSize: Int, cpus: Int): (Long, Double) = {
+    require(total >= 400000, s"full-chain soak needs >= 400000 rows, got $total")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+
+    def feedDf(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(
+        timestamp_millis(lit(Epoch) + col("id") * 3L).as("ts"),
+        col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8))).as("source"),
+        expr(
+          s"""case when id % 13 = 0 then 'zz qq xx'
+             |when id % 17 = 0 then '$FullChainContamText'
+             |else repeat(concat('the fam', cast(id div 20 as string), ' and '),
+             |  case when (id div 10) % 2 = 0 then 27 else 28 end)
+             |end""".stripMargin).as("text"))
+
+    // the benchmark shingle set — from the contaminated text itself, via the
+    // same batch path production uses
+    val bench = graft.ops.Curation.benchmarkShingleSet(
+      spark.range(1).select(col("id").as("doc_id"), lit(FullChainContamText).as("text")),
+      "true")
+    require(bench.nonEmpty, "benchmark set must be non-empty")
+
+    val dirIn = java.nio.file.Files.createTempDirectory("sbfc-in").toString
+    val out1 = java.nio.file.Files.createTempDirectory("sbfc-admitted").toString
+    val out2 = java.nio.file.Files.createTempDirectory("sbfc-sem").toString
+    val ckp1 = java.nio.file.Files.createTempDirectory("sbfc-ckp1").toString
+    val ckp2 = java.nio.file.Files.createTempDirectory("sbfc-ckp2").toString
+    val filesPerChunk = math.max(cpus / 2, 4)
+    var from = 0L
+    while (from < total) {
+      val n = math.min(batchSize.toLong, total - from)
+      feedDf(from, n).repartition(filesPerChunk).write.mode("append").parquet(dirIn)
+      from += n
+    }
+    // two flush chunks past the watermark horizon: the first advances the
+    // watermark beyond every main row, the second triggers the batch whose
+    // (now-advanced) watermark finalizes them through the OR-agg
+    Seq(60000L, 120000L).foreach { off =>
+      feedDf(0, 2).select(
+        timestamp_millis(lit(Epoch) + total.toLong * 3L + off).as("ts"),
+        (col("doc_id") + total.toLong + off).as("doc_id"), col("source"),
+        lit("zz qq xx").as("text")) // junk: advances time, never admitted
+        .repartition(2).write.mode("append").parquet(dirIn)
+    }
+
+    val schema = feedDf(0, 1).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerChunk)
+      .option("latestFirst", "false").parquet(dirIn)
+
+    // 64-cell quantizer frozen from the first 64 sfam directions
+    val cents = graft.streaming.SemDedupStream.frozenCents(
+      spark.range(64).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> cast(hash(cast(id as int), i) as float))")
+          .as("embedding")), 64L)
+
+    val t0 = System.nanoTime()
+    val q1 = CorpusIngest.admittedDocs(src, "10 seconds", benchShingles = bench)
+      .writeStream.format("parquet").option("path", out1)
+      .option("checkpointLocation", ckp1).outputMode("append").start()
+
+    val admittedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val vecs = spark.readStream.schema(admittedSchema)
+      .option("maxFilesPerTrigger", filesPerChunk * 8)
+      .option("latestFirst", "false").parquet(out1)
+      .select(col("ts"), col("doc_id").as("vec_id"),
+        expr("transform(sequence(1, 64), " +
+          "i -> cast(hash(cast(vec_id div 40 as int), i) as float))").as("embedding"))
+    val q2 = graft.streaming.SemDedupStream.admitted(
+      vecs, cents, threshold = SemSoakThreshold, watermarkDelay = "1 hour")
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckp2).outputMode("append").start()
+
+    q1.processAllAvailable()
+    val progress1 = q1.recentProgress.toSeq
+    q1.stop() // the admitted store is complete; q2 drains it
+    q2.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progress2 = q2.recentProgress.toSeq
+    q2.stop()
+    // per query — different operator sets (q1: dedup ×2 + band op + OR-agg;
+    // q2: one flatMapGroupsWithState), one concatenated report would compare
+    // apples to oranges across the seam
+    soakReport(progress1)
+    soakReport(progress2)
+
+    val a1 = spark.read.parquet(out1).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val mains = a1.filter(_ < total)
+    val junkLeaks = mains.count(_ % 13 == 0)
+    val contamLeaks = mains.count(id => id % 17 == 0 && id % 13 != 0)
+    val byNfam = mains.groupBy(_ / 20).view.mapValues(_.length).toMap
+    val nfams = total.toLong / 20
+    val nfamDoubled = byNfam.count(_._2 > 1)
+    val nfamMissing = (0L until nfams).count(!byNfam.contains(_))
+    val a2 = spark.read.parquet(out2).select(col("vec_id"))
+      .collect().map(_.getLong(0)).filter(_ < total)
+    val bySfam = a2.groupBy(_ / 40).view.mapValues(_.length).toMap
+    val sfams = total.toLong / 40
+    val sfamDoubled = bySfam.count(_._2 > 1)
+    val sfamMissing = (0L until sfams).count(!bySfam.contains(_))
+    println(s"""{"soak_fullchain_admitted_neardup":${mains.length},"expected_neardup":$nfams,""" +
+      s""""junk_leaks":$junkLeaks,"contam_leaks":$contamLeaks,""" +
+      s""""nfam_doubled":$nfamDoubled,"nfam_missing":$nfamMissing,""" +
+      s""""admitted_semantic":${a2.length},"expected_semantic":$sfams,""" +
+      s""""sfam_doubled":$sfamDoubled,"sfam_missing":$sfamMissing,""" +
+      s""""bench_shingles":${bench.length}}""")
     (total.toLong, secs)
   }
 

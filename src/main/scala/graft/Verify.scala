@@ -26,6 +26,10 @@ object Verify {
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    // SPARK_GRAFT_PIN_RELIABLE=true switches every operator pin from
+    // localCheckpoint to a reliable file checkpoint (graft.Pinned) — the
+    // mode where executor loss costs a re-read, not the job.
+    GraftSession.pinConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -52,7 +56,14 @@ object Verify {
     // so the in-flight query can fail terminally. The production answer is
     // a bounded JOB-level retry — what any orchestrator does on executor
     // loss — and determinism says the retry must hash-match the oracle.
-    val retries = sys.env.getOrElse("SPARK_GRAFT_VERIFY_RETRIES", "0").toInt
+    // SPARK_GRAFT_PIN_RELIABLE=true removes the failure class entirely
+    // (pins become files; see graft.Pinned), making this knob chaos-only.
+    val retries = sys.env.get("SPARK_GRAFT_VERIFY_RETRIES").map { v =>
+      try v.trim.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_VERIFY_RETRIES must be an integer, got '$v'")
+      }
+    }.getOrElse(0)
     selected.foreach { case (name, fn) =>
       var attempt = 0
       var done = false
@@ -61,10 +72,14 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           done = true
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed (attempt ${attempt + 1}): ${e.getMessage}")
-          attempt += 1
-          if (attempt > retries) done = true
+        } catch {
+          // NonFatal only: an OutOfMemoryError / linkage error means the
+          // session itself is suspect — re-running queries against it
+          // would produce garbage evidence, so let it crash the run.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[verify] $name failed (attempt ${attempt + 1}): ${e.getMessage}")
+            attempt += 1
+            if (attempt > retries) done = true
         }
       }
     }

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Deep analytical join suite — the TPC-H-flavored decision-support shapes
   * (Q2/Q3/Q4/Q14/Q17/Q18/Q21 adapted to this star schema) that exercise the
@@ -146,7 +147,7 @@ object DeepAnalytics {
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), expr("cast(floor(l_quantity) as bigint)").as("q"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
-      .localCheckpoint()
+      .pinned()
     val perPart = fact.groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n_p"), sum(col("q")).as("sum_q"))
     fact.join(broadcast(perPart), "p_partkey")

@@ -400,8 +400,12 @@ case class SortedSetHits(child: Expression, set: Array[Long])
       child == s.child && java.util.Arrays.equals(set, s.set)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(set)
+  // Content hash computed ONCE per instance (lazy, so transform-copies that
+  // are never hashed pay nothing): Catalyst hashes expressions repeatedly
+  // during analysis/optimization/CSE, and at the 10^7-entry decontam
+  // contract ceiling an uncached Arrays.hashCode is ~10 ms per call.
+  private lazy val setHash = java.util.Arrays.hashCode(set)
+  override def hashCode(): Int = 31 * child.hashCode() + setHash
 
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** User-behavior analytics over the `events` stream — the query family the
   * reference's event-time engine exists to serve (SURVEY §3 positions it as
@@ -355,7 +356,7 @@ object Behavior {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .localCheckpoint(false)
+      .pinned(false)
     val itemN = baskets.select(explode(col("ps")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("c"))
     baskets

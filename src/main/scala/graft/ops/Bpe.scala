@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Pinned.PinnedOps
 
 /** Distributed BPE (byte-pair-encoding) merge learning — the vocabulary-
   * training step of an LLM tokenizer (Sennrich et al. 2016), run over the
@@ -74,7 +75,7 @@ object Bpe {
   def learnMerges(docs: DataFrame, n: Int = NumMerges): DataFrame = {
     val spark = docs.sparkSession
     // pin the vocab table: every round re-reads it, the corpus is scanned once
-    var state = symbolized(wordFreqs(docs)).localCheckpoint(false)
+    var state = symbolized(wordFreqs(docs)).pinned(false)
     val merges = Seq.newBuilder[Row]
     var rank = 1
     var exhausted = false
@@ -141,7 +142,7 @@ object Bpe {
   def learnMergesBatched(docs: DataFrame, rounds: Int = BatchRounds,
       m: Int = BatchM, k: Int = CandWindow): DataFrame = {
     val spark = docs.sparkSession
-    var state = symbolized(wordFreqs(docs)).localCheckpoint(false)
+    var state = symbolized(wordFreqs(docs)).pinned(false)
     val out = Seq.newBuilder[Row]
     var round = 1
     var exhausted = false

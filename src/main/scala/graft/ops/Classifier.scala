@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Pinned.PinnedOps
 
 /** On-engine quality-classifier training — the fasttext/CCNet pattern
   * (curated-vs-crawl document classifier used as the corpus quality filter),
@@ -116,7 +117,7 @@ object Classifier {
   def trainConverged(docs: DataFrame, positives: Seq[String] = CuratedSources,
       maxRounds: Int = MaxRounds, epsE6: Long = EpsE6, lr: Double = LearnRate): DataFrame = {
     val spark = docs.sparkSession
-    val f = featurize(docs, positives).localCheckpoint(false)
+    val f = featurize(docs, positives).pinned(false)
     val (r, w, conv) = convergeOn(f, maxRounds, epsE6, lr)
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(r.toLong, w(0), w(1), w(2), w(3), conv)), 1),
@@ -142,7 +143,7 @@ object Classifier {
     */
   def classifierEval(docs: DataFrame, positives: Seq[String] = CuratedSources,
       maxRounds: Int = MaxRounds, epsE6: Long = EpsE6, lr: Double = LearnRate): DataFrame = {
-    val f = featurize(docs, positives).localCheckpoint(false)
+    val f = featurize(docs, positives).pinned(false)
     val ftr = f.filter(col("doc_id") % EvalFold =!= 0)
     val fte = f.filter(col("doc_id") % EvalFold === 0)
     val (_, w, _) = convergeOn(ftr, maxRounds, epsE6, lr)
@@ -178,7 +179,7 @@ object Classifier {
     */
   def train(docs: DataFrame, positives: Seq[String] = CuratedSources,
       rounds: Int = Rounds, lr: Double = LearnRate): DataFrame = {
-    val f = featurize(docs, positives).localCheckpoint(false)
+    val f = featurize(docs, positives).pinned(false)
     trajectoryDf(docs.sparkSession, gdRounds(f, rounds, lr))
   }
 
@@ -194,7 +195,7 @@ object Classifier {
   def classifierFilter(docs: DataFrame, positives: Seq[String] = CuratedSources): DataFrame = {
     // featurize ONCE: the same pinned projection feeds every GD round and the
     // final scoring pass (round-9 advice: train+score was tokenizing twice)
-    val f = featurize(docs, positives).localCheckpoint(false)
+    val f = featurize(docs, positives).pinned(false)
     val last = gdRounds(f, Rounds, LearnRate).maxBy(_.getLong(0))
     val (w0, w1, w2, w3) =
       (last.getDouble(1), last.getDouble(2), last.getDouble(3), last.getDouble(4))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Pinned.PinnedOps
 
 /** Corpus-level operators that close the gap between a cleaned document set
   * and a training run:
@@ -89,7 +90,7 @@ object Corpus {
     * execution of that prefix (the same order of cost as the range
     * exchange's own sampling pass it replaces on the small path). BOTH
     * outcomes are memoized by (semantic plan hash, threshold) so repeated
-    * builds of the same plan probe once per session; fresh localCheckpoint
+    * builds of the same plan probe once per session; a fresh pin
     * inputs hash fresh and re-probe — they are already materialized, so
     * that probe is a cheap checkpoint scan. The memo is decision-only and
     * cleared past 4096 entries (long sessions over many datasets); a memo
@@ -138,7 +139,7 @@ object Corpus {
       .sortWithinPartitions(col(shardCol) +: order: _*)
     val localSchema = df.schema.add("__pid", IntegerType, nullable = false)
       .add(outCol, LongType, nullable = false)
-    // localCheckpoint pins the partition-id assignment: the totals branch and
+    // the pin fixes the partition-id assignment: the totals branch and
     // the join-back branch BOTH read this one materialized RDD. Without it,
     // each branch may recompute the range exchange with independently SAMPLED
     // bounds (RangePartitioner seeds differ per instance), assigning rows to
@@ -155,7 +156,7 @@ object Corpus {
         run += r.get(valIdx).asInstanceOf[Number].longValue
         Row.fromSeq(r.toSeq :+ pid :+ run)
       }
-    }(Encoders.row(localSchema)).localCheckpoint(false)
+    }(Encoders.row(localSchema)).pinned(false)
     val wOff = Window.partitionBy(col(shardCol)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = local.groupBy(col(shardCol), col("__pid"))
@@ -535,7 +536,7 @@ object Corpus {
     val scored = Text.qualityScoredFromToks(
       docs.select(col("doc_id"), col(shardCol), Text.tokens(col("text")).as("toks")),
       keep = Seq(shardCol))
-      .localCheckpoint(false)
+      .pinned(false)
     val w = Window.partitionBy(col(shardCol))
       .orderBy(col("quality_e6").desc, col("doc_id"))
     val counts = scored.groupBy(col(shardCol)).agg(count(lit(1)).as("n_docs"))
@@ -662,7 +663,7 @@ object Corpus {
       keepE6: Long,
       bucketWidth: Long = LmBucketWidth,
       shardCol: String = "source"): DataFrame = {
-    val scored = lmScored(docs, shardCol).localCheckpoint(false)
+    val scored = lmScored(docs, shardCol).pinned(false)
     val cut = thresholdsBucketedFromScores(scored, keepE6, bucketWidth, shardCol)
       .select(col(shardCol), col("cutoff_e6"))
     scored.join(broadcast(cut), Seq(shardCol))
@@ -684,7 +685,7 @@ object Corpus {
       docs: DataFrame,
       bucketWidth: Long = LmBucketWidth,
       shardCol: String = "source"): DataFrame = {
-    val scored = lmScored(docs, shardCol).localCheckpoint(false)
+    val scored = lmScored(docs, shardCol).pinned(false)
     val head = thresholdsBucketedFromScores(scored, 333334L, bucketWidth, shardCol)
       .select(col(shardCol), col("cutoff_e6").as("cut_head"))
     val mid = thresholdsBucketedFromScores(scored, 666667L, bucketWidth, shardCol)

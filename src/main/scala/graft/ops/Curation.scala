@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Corpus-curation operators that sit between cleaning and training:
   *
@@ -199,7 +200,7 @@ object Curation {
       .withColumn("h", expr(hashSql("seg")))
 
   def boilerplate(docs: DataFrame, minDf: Long = BoilerplateMinDf): DataFrame = {
-    val segs = segments(docs).localCheckpoint(false)
+    val segs = segments(docs).pinned(false)
     val hot = segs.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -448,7 +449,7 @@ object Curation {
         Seq("c_custkey"))
     val cc = j.groupBy(qiCols.map(col) :+ col("p"): _*)
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false) // feeds class totals, global dist, and the grid
+      .pinned(false) // feeds class totals, global dist, and the grid
     val cls = cc.groupBy(qiCols.map(col): _*).agg(sum(col("n")).as("n_c"))
     val gw = cc.groupBy(col("p")).agg(sum(col("n")).as("ng"))
       .withColumn("cumg", sum(col("ng")).over(Window.orderBy(col("p")))) // m rows

@@ -5,6 +5,7 @@ import graft.functions.{Determinism, GraftFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -163,19 +164,19 @@ object Dedup {
     val s = (if (withHs) s0.select(col("doc_id"), col("fp"), mhC.as("mh"),
         expr("array_sort(h60)").as("hs"))
       else s0.select(col("doc_id"), col("fp"), mhC.as("mh")))
-      .localCheckpoint(false)
+      .pinned(false)
     val w = if (withHs) struct(col("doc_id"), col("mh"), col("hs"))
       else struct(col("doc_id"), col("mh"))
     // Pinned: feeds candidate generation and both verify joins.
     val repSigs = s.groupBy(col("fp")).agg(min(w).as("w"))
       .select(Seq(col("w.doc_id").as("doc_id"), col("w.mh").as("mh")) ++
         (if (withHs) Seq(col("w.hs").as("hs")) else Nil): _*)
-      .localCheckpoint(false)
+      .pinned(false)
     // Pinned because the pair expansion reads it up to 4×.
     val members = s.select(col("fp"), col("doc_id"))
       .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .select(col("rep_id"), col("doc_id"))
-      .localCheckpoint(false)
+      .pinned(false)
     (members, repSigs)
   }
 
@@ -404,7 +405,7 @@ object Dedup {
     * passes both bounds.
     *
     * Scale shape: the signature table (doc_id, lang, sorted 60-bit hashes)
-    * is computed ONCE and pinned (`localCheckpoint`) because three
+    * is computed ONCE and pinned (`graft.Pinned`) because three
     * consumers read it (df counts / prefix index / verification) — the
     * md5+shingle projection is the dominant map cost and must not replay
     * per consumer (same discipline as `Pipelines.corpusPipelineNear`'s
@@ -431,16 +432,16 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), md5(concat_ws(" ", col("toks"))).as("fp"),
         GraftFunctions.shingleHashes(col("toks"), sorted = true).as("hs"))
-      .localCheckpoint(false)
+      .pinned(false)
     val sh = base.groupBy(col("lang"), col("fp"))
       .agg(min(struct(col("doc_id"), col("hs"))).as("w"))
       .select(col("lang"), col("w.doc_id").as("doc_id"), col("w.hs").as("hs"))
-      .localCheckpoint(false)
+      .pinned(false)
     val members = base.select(col("lang"), col("fp"), col("doc_id"))
       .withColumn("rep_id",
         min(col("doc_id")).over(Window.partitionBy(col("lang"), col("fp"))))
       .select(col("rep_id"), col("doc_id"))
-      .localCheckpoint(false)
+      .pinned(false)
     val ex = sh.select(col("doc_id"), col("lang"),
       size(col("hs")).as("s"), explode(col("hs")).as("h"))
     val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -625,7 +626,7 @@ object Dedup {
       val reps = sigs.groupBy(col("hs"))
         .agg(min(struct(col("doc_id"), col("mh"))).as("w"))
         .select(col("w.doc_id").as("doc_id"), col("w.mh").as("mh"), col("hs"))
-        .localCheckpoint(false)
+        .pinned(false)
       val mem = sigs.select(col("hs"), col("doc_id"))
         .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("hs"))))
         .select(col("rep_id"), col("doc_id"))
@@ -726,7 +727,7 @@ object Dedup {
     * (doc_id, clean_text, n_cut_tokens) over the normalized text.
     */
   def cutSpans(docs: DataFrame, w: Int = SpanWindow): DataFrame = {
-    val t = tokenize(docs).localCheckpoint(false)
+    val t = tokenize(docs).pinned(false)
     val spans = duplicateSpansFromToks(t, w)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
@@ -755,7 +756,7 @@ object Dedup {
     * long) edges keyed by node id, skew handled by AQE like any hot-key
     * join. Converges in O(log² n) rounds on any graph (near-dup clusters
     * are almost-cliques, which converge in 2-3). Per-round lineage is cut
-    * with `localCheckpoint` exactly like the k-means trainer
+    * with a pin (`graft.Pinned`) exactly like the k-means trainer
     * (Similarity.scala), and the ONLY value the driver ever reads is the
     * 1-row (count, checksum) convergence aggregate.
     *
@@ -767,7 +768,7 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(false)
+      .pinned(false)
     def checksum(df: DataFrame): (Long, Option[Long], Option[Long]) = {
       // bit_xor, not sum: overflow-free under ANSI mode and order-insensitive
       // over the distinct edge set. TWO independent digests (the second mixes
@@ -804,7 +805,7 @@ object Dedup {
           struct(col("u").as("a"), col("m").as("b")))).as("p"))
         .select(col("p.a").as("u"), col("p.b").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(false)
+        .pinned(false)
       val cur = checksum(ss)
       converged = cur == prev
       prev = cur
@@ -929,7 +930,7 @@ object Dedup {
     // bytes-vs-CPU inversion as the unigram Viterbi stages (PLANS.md).
     // Measured at sf100: 1330 s at ~2.4 busy cores → repartitioned, all 32.
     val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Pinned (localCheckpoint) like semanticDedupIncrement's e: the
+    // Pinned (graft.Pinned) like semanticDedupIncrement's e: the
     // normalized table feeds MANY consumers (cents filter, both assignCells
     // argmax stages, the pairwise a/b sides) and un-pinned each one replays
     // scan → normalize → round-robin exchange — the sf100 executed plan
@@ -938,7 +939,7 @@ object Dedup {
     // row-group splits vs 171 s at 2; bench_sf100_probe_r14b adjudication).
     // Pinning computes the projection once and decouples every downstream
     // stage from the storage layout.
-    val e = Similarity.normalized(embs).repartition(n).localCheckpoint(false)
+    val e = Similarity.normalized(embs).repartition(n).pinned(false)
     val k = math.max(SemCells.toLong,
       (embs.count() + SemTargetCell - 1) / SemTargetCell)
     val cents = e.filter(col("vec_id") < k)
@@ -1003,7 +1004,7 @@ object Dedup {
     val all = history.select(col("vec_id"), col("embedding"))
       .unionByName(increment.select(col("vec_id"), col("embedding")))
     val n = all.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = Similarity.normalized(all).repartition(n).localCheckpoint(false)
+    val e = Similarity.normalized(all).repartition(n).pinned(false)
     val k = math.max(SemCells.toLong, (all.count() + SemTargetCell - 1) / SemTargetCell)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
@@ -1038,10 +1039,10 @@ object Dedup {
   def semanticDedupIncrementFromIndex(
       index: DataFrame, increment: DataFrame, cents: DataFrame): DataFrame = {
     val n = increment.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = Similarity.normalized(increment).repartition(n).localCheckpoint(false)
+    val e = Similarity.normalized(increment).repartition(n).pinned(false)
     val k = cents.count() // k-row model table, the documented read class
     val asgI = Similarity.assignCells(e, cents, k)
-      .select(col("cell"), col("vec_id"), col("nv")).localCheckpoint(false)
+      .select(col("cell"), col("vec_id"), col("nv")).pinned(false)
     val inc = asgI.select(col("cell").as("ca"), col("vec_id").as("va"), col("nv").as("na"))
     val earlier = index.select(col("cell").as("cb"), col("vec_id").as("vb"),
         col("nv").as("nb"), lit(1).as("__hist"))

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Graph analytics over corpus-derived graphs: TextRank keyword extraction
   * (PageRank over the token co-occurrence graph).
@@ -55,7 +56,7 @@ object Graph {
 
   /** Undirected co-occurrence edges between adjacent content tokens, stored
     * as the symmetric directed edge list (both orientations), plus degrees.
-    * Returned pinned (`localCheckpoint`) because every PageRank round
+    * Returned pinned (`graft.Pinned`) because every PageRank round
     * re-reads both.
     */
   private def edgeList(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -70,8 +71,8 @@ object Graph {
         col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-    val edges = und.union(und.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
-    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = und.union(und.select(col("b").as("a"), col("a").as("b"))).pinned()
+    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).pinned()
     (edges, deg)
   }
 
@@ -156,7 +157,7 @@ object Graph {
       .filter(col("deg_a") < col("deg_b") ||
         (col("deg_a") === col("deg_b") && col("a") < col("b")))
       .select(col("a").as("u"), col("b").as("v"), col("deg_b").as("deg_v"))
-      .localCheckpoint() // three consumers: two wedge sides + the closing probe
+      .pinned() // three consumers: two wedge sides + the closing probe
     val wedges = oriented.select(col("u"), col("v"), col("deg_v"))
       .join(oriented.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), Seq("u"))
       .filter(col("deg_v") < col("deg_w") ||

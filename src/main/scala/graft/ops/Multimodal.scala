@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Multimodal column plumbing: image/audio/video as opaque `BinaryType`
   * payloads plus a typed metadata struct, with decode / feature-extraction
@@ -305,7 +306,7 @@ object Multimodal {
         // the normalize NaN-free (stub values are unchanged: nrm >> 1e-12)
         "greatest(sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)), 1.0e-12)"))
       .select(col("doc_id"), expr("transform(v, x -> x / nrm)").as("nv"))
-      .localCheckpoint(false)
+      .pinned(false)
     val cents = m.filter(col("doc_id") < EmbedCells)
       .select(col("doc_id").as("cell"), col("nv").as("cv"))
     val wAssign = org.apache.spark.sql.expressions.Window

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Aggregators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Assembled pipelines + distributed-aggregation techniques that round out
   * the operator inventory:
@@ -106,7 +107,7 @@ object Pipelines {
   val CorpusRates = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.5, "fr" -> 1.0, "es" -> 0.25)
 
   /** One tokenized corpus projection feeding every pipeline branch. The
-    * `localCheckpoint(eager = false)` materializes (doc_id, lang, toks) the
+    * `pinned(eager = false)` (graft.Pinned) materializes (doc_id, lang, toks) the
     * first time any branch computes and caches it, so quality / dedup /
     * contamination / the final join all read ONE scan of `documents` instead
     * of four — at 100 TB a corpus build persists exactly this projection.
@@ -114,7 +115,7 @@ object Pipelines {
     */
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      .localCheckpoint(false)
+      .pinned(false)
 
   def corpusPipeline(docs: DataFrame): DataFrame = {
     val t = tokenized(docs)
@@ -163,7 +164,7 @@ object Pipelines {
     * spec can assert its scan shape (raw text read once).
     */
   private[ops] def cleanTokenized(docs: DataFrame): DataFrame =
-    cleanTokenizedPlan(docs).localCheckpoint(false)
+    cleanTokenizedPlan(docs).pinned(false)
 
   /** The un-checkpointed plan of `cleanTokenized`, separated so the spec can
     * assert its scan shape (the checkpoint would otherwise hide it behind an
@@ -211,7 +212,7 @@ object Pipelines {
     */
   def trainPipeline(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
-      .localCheckpoint(false)
+      .pinned(false)
     val kept = Text.qualityFromToks(t).filter(col("verdict") === "keep").select(col("doc_id"))
     val keptT = t.join(kept, Seq("doc_id"))
     val reps = Dedup.exactFromToks(keptT).select(col("keep_id").as("doc_id"))

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Deterministic sampling for training-data curation — the two selection
   * shapes every corpus build runs between cleaning and training:
@@ -126,7 +127,7 @@ object Sampling {
       // pinned: the tokenize+explode+hash feature projection feeds THREE
       // consumers (raw totals, target totals, scoring join) — unpinned, the
       // corpus re-tokenizes per consumer (the q_dedup_prefix lesson)
-      .localCheckpoint(false)
+      .pinned(false)
     val raw = feats.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
     val tgt = feats.filter(col("lang") === DsirTargetLang)
       .groupBy(col("bucket")).agg(sum(col("n")).as("tc"))

@@ -5,6 +5,7 @@ import graft.functions.{Determinism, GraftFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`, 64-dim in the test tables).
@@ -294,11 +295,11 @@ object Similarity {
     * is byte-small but the N×k expansion is CPU-dense, so file-split
     * partitioning serializes it (the semanticDedup/unigram trap, PLANS.md;
     * measured here: sf10 47.8 s at ~3 busy cores without it). The
-    * localCheckpoint then PINS the widened partitioning for every consumer.
+    * the pin (graft.Pinned) then FIXES the widened partitioning for every consumer.
     */
   private def pinnedNormalized(embs: DataFrame): DataFrame = {
     val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    normalized(embs).repartition(n).localCheckpoint(false)
+    normalized(embs).repartition(n).pinned(false)
   }
 
   /** The scaled-IVF search body over an already-pinned normalized corpus and
@@ -402,7 +403,7 @@ object Similarity {
     * SimilaritySpec asserts both equalities), hash-checked by the oracle.
     */
   def ivfTopKIncr(embs: DataFrame): DataFrame = {
-    val e = normalized(embs).localCheckpoint(false)
+    val e = normalized(embs).pinned(false)
     val cents = incrCentroids(e)
     val index = ivfAssign(e.filter(col("vec_id") % IncrSplit =!= 0), cents)
       .unionByName(ivfAssign(e.filter(col("vec_id") % IncrSplit === 0), cents))
@@ -482,7 +483,7 @@ object Similarity {
         round(GraftFunctions.dot(col("qv"), col("cv")), 6).as("ip"))
 
   def pqTopK(embs: DataFrame): DataFrame = {
-    val e = normalized(embs).localCheckpoint(false)
+    val e = normalized(embs).pinned(false)
     val cents = pqCodebook(e)
     val codes = pqEncode(e, cents)
     val lut = pqLut(e.filter(col("vec_id") < QueryCount), cents)
@@ -510,7 +511,7 @@ object Similarity {
     * training-free).
     */
   def ivfPqTopK(embs: DataFrame): DataFrame = {
-    val e = normalized(embs).localCheckpoint(false)
+    val e = normalized(embs).pinned(false)
     val ivfCents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
     val corpusCells = ivfAssign(e, ivfCents).select(col("cell"), col("vec_id").as("n_id"))
@@ -555,7 +556,7 @@ object Similarity {
     * claim.
     */
   def ivfPqResidualTopK(embs: DataFrame): DataFrame = {
-    val e = normalized(embs).localCheckpoint(false)
+    val e = normalized(embs).pinned(false)
     val ivfCents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
     // residual vectors against the assigned cell, rounded per component so
@@ -564,7 +565,7 @@ object Similarity {
       .join(broadcast(ivfCents), Seq("cell"))
       .select(col("cell"), col("vec_id"),
         expr("transform(sequence(1, size(nv)), i -> round(nv[i-1] - cv[i-1], 6))").as("nv"))
-      .localCheckpoint(false)
+      .pinned(false)
     // seed the residual codebook from vectors IvfCells..IvfCells+PqCodes−1:
     // the first IvfCells vectors ARE the coarse centroids, so their own
     // residuals are (rounded) zero vectors — a codebook of zeros encodes
@@ -637,14 +638,14 @@ object Similarity {
     // probe; as pure lineage that doubles the plan per reference (16 corpus
     // scans for 2 iterations). A lazy local checkpoint makes each iteration
     // compute once — the distributed equivalent of persisting between passes.
-    (1 to TrainIters).foldLeft(seed)((c, _) => lloydStep(e, c).localCheckpoint(false))
+    (1 to TrainIters).foldLeft(seed)((c, _) => lloydStep(e, c).pinned(false))
   }
 
   /** IVF probe over the k-means-trained quantizer — same dataflow as
     * `ivfTopK`, better-centered cells (recall comparison in SimilaritySpec).
     */
   def ivfTopKTrained(embs: DataFrame): DataFrame = {
-    val e = normalized(embs).localCheckpoint(false)
+    val e = normalized(embs).pinned(false)
     val cents = trainedCentroids(e)
     val corpusCells = ivfAssign(e, cents)
       .select(col("cell"), col("vec_id").as("n_id"), col("nv").as("nvec"))

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Aggregators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Sketch-backed EXACT heavy hitters — the two-pass scheme production
   * engines use when "top frequent items" must be exact but the domain is
@@ -152,7 +153,7 @@ object Sketches {
     // literal probe list silently turns the whole query into 0 == 0 rows
     // (found round 14). The explode now feeds three consumers, so pin it.
     val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
-      .localCheckpoint(false)
+      .pinned(false)
     val cells = toks
       .select(explode(expr(
         (0 until CmsDepth).map(i => s"struct(${i}L as i, ${cmsHash(i, "token")} as c)")

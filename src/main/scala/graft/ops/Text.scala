@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Text-analysis operators for large-scale training-data pipelines: language
   * ID, quality scoring, token counting, document fingerprinting.
@@ -309,7 +310,7 @@ object Text {
   /** `bm25` with the corpus-derived query: two jobs — the vocabulary-sized
     * term derivation collected once as a model parameter
     * ([[derivedQueryTerms]]), then the UNCHANGED literal-gated scoring body.
-    * The round-14 single-plan spelling (localCheckpoint-pinned explode +
+    * The round-14 single-plan spelling (pin-materialized explode +
     * broadcast semi-join) shuffled the distinct (doc_id, term) pair stream
     * and round-tripped the whole token table through executor storage;
     * this form's scoring plan is bit-identical to `bm25`'s.
@@ -506,7 +507,7 @@ object Text {
     // from 3 to 1.
     val perDoc = inst.groupBy(col("doc_id"), col("u"), col("bg"))
       .agg(count(lit(1)).as("nd"))
-      .localCheckpoint(false)
+      .pinned(false)
     val cBg = perDoc.groupBy(col("bg")).agg(sum(col("nd")).as("c_bg"))
     val cU = perDoc.groupBy(col("u")).agg(sum(col("nd")).as("c_u"))
     val vocab = t.select(explode(col("toks")).as("w"))
@@ -540,7 +541,7 @@ object Text {
     // projecting, so a 60-bit bg collision across different heads still
     // sums exactly like the one-table formulation it replaces).
     val pairCounts = inst.groupBy(col("u"), col("bg"))
-      .agg(count(lit(1)).as("n")).localCheckpoint(false)
+      .agg(count(lit(1)).as("n")).pinned(false)
     LmModel(
       pairCounts.groupBy(col("bg")).agg(sum(col("n")).as("c_bg")),
       pairCounts.groupBy(col("u")).agg(sum(col("n")).as("c_u")),

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 /** Distributed unigram-LM tokenizer training (Kudo 2018, the SentencePiece
   * unigram model) — the OTHER tokenizer real pipelines train next to BPE
@@ -176,11 +177,11 @@ object Unigram {
     // AQE's size-based coalescing cannot see; at production corpus sizes
     // this shuffle is vocabulary-sized, i.e. free.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val w = words(docs).repartition(par).localCheckpoint(false)
-    val subs = substringCounts(w).localCheckpoint(false)
+    val w = words(docs).repartition(par).pinned(false)
+    val subs = substringCounts(w).pinned(false)
     val chars = subs.filter(length(col("piece")) === 1)
     val top = subs.orderBy(col("cnt").desc, col("piece")).limit(Candidates)
-    var vocab = scored(top.union(chars).distinct()).localCheckpoint(false)
+    var vocab = scored(top.union(chars).distinct()).pinned(false)
     for (_ <- 1 to rounds) {
       val counts = segmentCounts(w, vocab)
       // floor-keep single chars (reachability); zero-count multi-char
@@ -188,7 +189,7 @@ object Unigram {
       val zeroChars = chars.select(col("piece"))
         .join(counts, Seq("piece"), "left_anti")
         .select(col("piece"), lit(0L).as("cnt"))
-      vocab = scored(counts.unionByName(zeroChars)).localCheckpoint(false)
+      vocab = scored(counts.unionByName(zeroChars)).pinned(false)
     }
     vocab
   }

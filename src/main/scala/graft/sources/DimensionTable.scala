@@ -3,6 +3,7 @@ package graft.sources
 import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.broadcast
+import graft.Pinned.PinnedOps
 
 /** Periodically-refreshed lookup table with snapshot-consistent reads — the
   * reference's `DimensionTable`/`RdsDimensionTable` capability
@@ -30,7 +31,7 @@ class DimensionTable(loader: () => DataFrame, refreshIntervalMs: Long) {
   private case class Snap(df: DataFrame, loadedAt: Long)
   private val snap = new AtomicReference[Snap](null)
 
-  /** Load + PIN: eager localCheckpoint — materializes the rows as block-
+  /** Load + PIN: eager pin (graft.Pinned) — materializes the rows as block-
     * manager data and CUTS LINEAGE, so the snapshot keeps serving even if
     * the source is rewritten mid-operation. (persist() is not enough:
     * writing over the source path re-caches by path and re-reads.) The
@@ -39,7 +40,7 @@ class DimensionTable(loader: () => DataFrame, refreshIntervalMs: Long) {
     * the same recovery a scheduled reload gives the reference.
     */
   private def load(now: Long): Snap =
-    Snap(loader().localCheckpoint(true), now)
+    Snap(loader().pinned(true), now)
 
   /** Pinned snapshot; reloads at most once per interval. Callers must hold
     * the returned value for the whole operation (curTable() contract,

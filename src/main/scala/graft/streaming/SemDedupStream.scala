@@ -313,6 +313,18 @@ object SemDedupStream {
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
     * and admissions finalize one delay after event time (append-mode agg).
     * Works unchanged on a batch DataFrame like [[verdicts]].
+    *
+    * BLAST-RADIUS CONTAINMENT (round-15 verdict item 5): that conf is
+    * SESSION-global — disabling it would silently relax Spark's
+    * multi-stateful-operator safety check for EVERY streaming query sharing
+    * the session, not just this one. So the streaming build FAILS FAST
+    * unless (a) the conf is already false on the input's session AND (b) no
+    * OTHER streaming query is active on that session. The supported recipe
+    * is a DEDICATED child session: `val hs = spark.newSession()` (own
+    * SQLConf, shared SparkContext), disable the conf on `hs` only, read the
+    * source through `hs`, and run the handover there — the incumbent
+    * single-epoch query keeps its parent session's check fully enabled
+    * (spec'd in SemDedupStreamSpec "handover conf stays scoped").
     */
   def verdictsWithHandover(
       vecs: DataFrame,
@@ -327,6 +339,22 @@ object SemDedupStream {
     require(oldCents.nonEmpty && newCents.nonEmpty,
       "semDedupStream handover: empty centroid table")
     val streaming = vecs.isStreaming
+    if (streaming) {
+      val sess = vecs.sparkSession
+      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      require(sess.conf.get(key, "true").equalsIgnoreCase("false"),
+        s"verdictsWithHandover chains stateful operators and needs $key=false — " +
+          "set it on a DEDICATED session (spark.newSession()), never globally: " +
+          "the conf relaxes a safety check for every query on its session")
+      // StreamingQueryManager is per-session, so this confines the relaxed
+      // check to queries that opted in by sharing the dedicated session
+      require(sess.streams.active.isEmpty,
+        "verdictsWithHandover must run on a dedicated session with no other " +
+          "active streaming queries (found: " +
+          sess.streams.active.map(_.name).mkString(", ") + ") — use " +
+          "spark.newSession() so the disabled correctness check cannot " +
+          "leak to unrelated queries")
+    }
     val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
       .extractAsDuration().toMillis

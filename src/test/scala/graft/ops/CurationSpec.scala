@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
+import graft.Pinned.PinnedOps
 
 class CurationSpec extends SparkSpec {
 
@@ -238,7 +239,7 @@ class CurationSpec extends SparkSpec {
 
   test("anonymize: output is k-anonymous BY CONSTRUCTION; row count preserved") {
     val cust = graft.Tables.customer(spark, sf())
-    val out = Curation.anonymize(cust, Curation.KAnonymityK).localCheckpoint(false)
+    val out = Curation.anonymize(cust, Curation.KAnonymityK).pinned(false)
     assert(out.count() == cust.count(), "suppression withholds columns, not people")
     // every PUBLISHED (non-suppressed) QI group in the release must reach k
     val published = out.filter(col("resolution") =!= "suppressed")
@@ -298,7 +299,7 @@ class CurationSpec extends SparkSpec {
   test("tCloseness: invariants on real data — EMD 0 iff corpus-shaped, bound respected") {
     val out = Curation.tCloseness(graft.Tables.customer(spark, sf()),
       graft.Tables.orders(spark, sf()), Curation.TClosenessNumer, Curation.TClosenessDenom)
-      .localCheckpoint(false)
+      .pinned(false)
     assert(out.count() > 0)
     assert(out.filter(col("emd_scaled") < 0).count() == 0, "scaled EMD is a sum of |.| terms")
     // within-status classes must satisfy the cross-multiplied bound exactly

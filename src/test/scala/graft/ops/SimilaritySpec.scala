@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{SparkSpec, Tables}
+import graft.Pinned.PinnedOps
 
 class SimilaritySpec extends SparkSpec {
 
@@ -79,7 +80,7 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq == (1L to rs.length))
     }
     // every returned neighbor lives in a cell its query probed
-    val e = Similarity.normalized(embs).localCheckpoint(false)
+    val e = Similarity.normalized(embs).pinned(false)
     val cents = e.filter(col("vec_id") < Similarity.IvfCells)
       .select(col("vec_id").as("cell"), col("nv").as("cv"))
     val cellOf = Similarity.ivfAssign(e, cents).collect()
@@ -131,7 +132,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("incremental IVF: split-indexed union == full rebuild against the same centroids") {
     import org.apache.spark.sql.functions.col
-    val e = Similarity.normalized(embs).localCheckpoint(false)
+    val e = Similarity.normalized(embs).pinned(false)
     val cents = Similarity.incrCentroids(e)
     // the maintained index — history and increment assigned separately —
     // must equal one full assignment pass row-for-row

@@ -287,4 +287,62 @@ class SemDedupStreamSpec extends SparkSpec {
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     }
   }
+
+  // ---- blast-radius containment of the checkCorrectness conf (r16 item 5) ----
+
+  private val CheckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+
+  test("handover fails fast while the correctness check is still enabled") {
+    val hs = spark.newSession() // fresh SQLConf: the check defaults to ON
+    val src = Sources.memoryStream[SVec](hs)(org.apache.spark.sql.Encoders.product[SVec])
+    val e = intercept[IllegalArgumentException] {
+      SemDedupStream.verdictsWithHandover(src.toDS().toDF(), oneCell, otherCell, 10000L)
+    }
+    assert(e.getMessage.contains("checkCorrectness"), e.getMessage)
+    assert(e.getMessage.contains("newSession"), e.getMessage)
+  }
+
+  test("handover fails fast when another streaming query shares its session") {
+    val hs = spark.newSession()
+    hs.conf.set(CheckKey, "false")
+    val bystander = Sources.memoryStream[SVec](hs)(org.apache.spark.sql.Encoders.product[SVec])
+    val bq = bystander.toDS().toDF().writeStream.format("memory")
+      .queryName("semhand_bystander").outputMode("append").start()
+    try {
+      val src = Sources.memoryStream[SVec](hs)(org.apache.spark.sql.Encoders.product[SVec])
+      val e = intercept[IllegalArgumentException] {
+        SemDedupStream.verdictsWithHandover(src.toDS().toDF(), oneCell, otherCell, 10000L)
+      }
+      assert(e.getMessage.contains("dedicated session"), e.getMessage)
+    } finally bq.stop()
+  }
+
+  test("handover conf stays scoped: the parent session keeps its check enabled") {
+    import spark.implicits._
+    // the scaladoc recipe: dedicated child session, conf disabled THERE only
+    val hs = spark.newSession()
+    hs.conf.set(CheckKey, "false")
+    val src = Sources.memoryStream[SVec](hs)(org.apache.spark.sql.Encoders.product[SVec])
+    val q = SemDedupStream.admittedWithHandover(src.toDS().toDF(), oneCell, otherCell,
+      10000L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("semhand_scoped").outputMode("append").start()
+    try {
+      src.addData(Seq(SVec(ts(8000), 1L, axis(2)), SVec(ts(11500), 4L, axis(3))))
+      q.processAllAvailable()
+      src.addData(Seq(SVec(ts(100000), 7L, axis(5))))
+      q.processAllAvailable()
+      assert(hs.table("semhand_scoped").count() >= 1)
+      // the blast radius under test: the PARENT session's safety check is
+      // untouched while the handover runs on the child
+      assert(spark.conf.get(CheckKey) == "true",
+        "disabling the check on the dedicated session must not leak to the parent")
+      // and the incumbent's session can still REJECT an unsafe multi-stateful
+      // plan of its own — the check genuinely still fires there: a second
+      // handover on the PARENT fails the guard because the conf is on
+      val src2 = Sources.memoryStream[SVec](spark)
+      intercept[IllegalArgumentException] {
+        SemDedupStream.verdictsWithHandover(src2.toDS().toDF(), oneCell, otherCell, 10000L)
+      }
+    } finally q.stop()
+  }
 }

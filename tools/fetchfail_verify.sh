@@ -11,6 +11,12 @@
 # Usage: bash tools/fetchfail_verify.sh [sfdir] [outdir] [kill1_s] [kill2_s]
 # Artifacts: CORRECTNESS_fetchfail.json (per-query), FETCHFAIL_evidence.log
 # (kill timeline + the driver's executor-loss / stage-resubmit lines).
+#
+# PIN_RELIABLE=1 (round-16 verdict item 1): run with reliable file pins
+# (SPARK_GRAFT_PIN_RELIABLE=true) and SPARK_GRAFT_VERIFY_RETRIES=0 — the
+# claim under test is that executor loss costs a re-read/stage-recompute,
+# never a job restart, so ZERO queries may need the job-level retry. The
+# evidence log carries the retry counter; artifacts get a _reliable suffix.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SFDIR="${1:-/root/testdata/sf0.01}"
@@ -19,6 +25,14 @@ K1="${3:-150}"
 K2="${4:-420}"
 LOG=/tmp/graft_fetchfail_driver.log
 EVID=FETCHFAIL_evidence.log
+CORR=CORRECTNESS_fetchfail.json
+if [ "${PIN_RELIABLE:-0}" = "1" ]; then
+  export SPARK_GRAFT_PIN_RELIABLE=true
+  export SPARK_GRAFT_VERIFY_RETRIES=0
+  EVID=FETCHFAIL_reliable_evidence.log
+  CORR=CORRECTNESS_fetchfail_reliable.json
+  LOG=/tmp/graft_fetchfail_reliable_driver.log
+fi
 
 rm -rf "$OUTDIR"; mkdir -p "$OUTDIR"
 : > "$EVID"
@@ -50,14 +64,15 @@ echo "verify exit=$RC" >> "$EVID"
 grep -E "Lost executor|ExecutorLostFailure|FetchFailed|Resubmitt|failed.*executor|Marking.*as failed" "$LOG" \
   | head -80 >> "$EVID" || true
 echo "--- failed-task / resubmit counts ---" >> "$EVID"
-printf 'lost_executor=%s fetchfailed=%s resubmitted=%s\n' \
+printf 'lost_executor=%s fetchfailed=%s resubmitted=%s job_level_retries=%s\n' \
   "$(grep -c 'Lost executor' "$LOG" || true)" \
   "$(grep -c -i 'fetchfail' "$LOG" || true)" \
-  "$(grep -c -i 'resubmit' "$LOG" || true)" >> "$EVID"
+  "$(grep -c -i 'resubmit' "$LOG" || true)" \
+  "$(grep -c '\[verify\].*failed' "$LOG" || true)" >> "$EVID"
 
 if [ "$RC" -ne 0 ]; then
   echo "FETCHFAIL VERIFY RUN FAILED rc=$RC (see $LOG)"; exit "$RC"
 fi
 
-SKIP_SPARK=1 GRAFT_VERIFY_JSON=CORRECTNESS_fetchfail.json \
+SKIP_SPARK=1 GRAFT_VERIFY_JSON="$CORR" \
   python3 tools/local_verify.py "$SFDIR" "$OUTDIR" | tail -3

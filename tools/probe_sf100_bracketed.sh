@@ -23,16 +23,24 @@ for i in $(seq 1 "$ATTEMPTS"); do
   # over ~minutes, so a before-anchor taken right after a rejected probe
   # reads low and dooms the next bracket too
   [ "$i" -gt 1 ] && sleep 180
+  # every step below is guarded: under `set -e` an unguarded non-zero exit
+  # (a failed probe, a missing anchor field) would abort the script BEFORE
+  # the rejection/retry protocol engages (round-15 advice)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_PASSES=1 SPARK_GRAFT_BENCH_WARMUP=0 \
     SPARK_GRAFT_BENCH_ONLY=q_filter SPARK_GRAFT_BENCH_OUT=/tmp/anchor_before.json \
-    bash tools/run_verify.sh graft.Bench > /dev/null 2>&1
-  BEFORE=$(anchor_of /tmp/anchor_before.json)
+    bash tools/run_verify.sh graft.Bench > /dev/null 2>&1 || true
+  BEFORE=$(anchor_of /tmp/anchor_before.json 2>/dev/null || echo 0)
 
-  bash tools/probe_sf100.sh "$OUT" "$QUERIES" > /tmp/probe_sf100_run.log 2>&1
-  AFTER=$(anchor_of "$OUT")
+  if ! bash tools/probe_sf100.sh "$OUT" "$QUERIES" > /tmp/probe_sf100_run.log 2>&1; then
+    echo "attempt $i: probe itself FAILED (see /tmp/probe_sf100_run.log) — retrying"
+    continue
+  fi
+  AFTER=$(anchor_of "$OUT" 2>/dev/null || echo 0)
 
-  RATIO=$(python3 -c "b=$BEFORE; a=$AFTER; print(round(max(b/a, a/b), 3))")
+  RATIO=$(python3 -c "
+b=$BEFORE; a=$AFTER
+print(round(max(b/a, a/b), 3) if b > 0 and a > 0 else 999.0)")
   OK=$(python3 -c "print(1 if $RATIO <= 1.2 else 0)")
   echo "attempt $i: anchor before=$BEFORE after=$AFTER ratio=$RATIO ok=$OK"
   python3 - "$OUT" "$BEFORE" "$AFTER" "$RATIO" <<'EOF'
