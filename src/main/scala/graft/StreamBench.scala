@@ -865,14 +865,20 @@ object StreamBench {
       feedDf(from, n).repartition(filesPerChunk).write.mode("append").parquet(dirIn)
       from += n
     }
-    // two flush chunks past the watermark horizon: the first advances the
-    // watermark beyond every main row, the second triggers the batch whose
-    // (now-advanced) watermark finalizes them through the OR-agg
+    // two flush chunks past the watermark horizon. They must ride the
+    // ADMITTED path (unique long normal texts), not be junk: under the
+    // default min-watermark policy the OR-agg finalizes on the VERDICT-side
+    // watermark, which only advances when verdict rows flow — a gated flush
+    // would strand exactly the last delay-window of main admissions in agg
+    // state (the 400k smoke measured precisely 10 s of event time missing).
+    // Flush ids are >= total, so the law code excludes them.
     Seq(60000L, 120000L).foreach { off =>
-      feedDf(0, 2).select(
-        timestamp_millis(lit(Epoch) + total.toLong * 3L + off).as("ts"),
-        (col("doc_id") + total.toLong + off).as("doc_id"), col("source"),
-        lit("zz qq xx").as("text")) // junk: advances time, never admitted
+      spark.range(2).select(
+        timestamp_millis(lit(Epoch) + total.toLong * 3L + off + col("id") * 3L).as("ts"),
+        (lit(total.toLong + off) + col("id")).as("doc_id"),
+        lit("src0").as("source"),
+        expr(s"repeat(concat('the flush', cast($total + $off + id as string), ' and '), 27)")
+          .as("text"))
         .repartition(2).write.mode("append").parquet(dirIn)
     }
 
