@@ -26,12 +26,24 @@ object Verify {
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    // local-cluster GOTCHA: the [n,cores,mem] worker size only CAPS
+    // resources — executor JVMs still launch with the spark.executor.memory
+    // DEFAULT (1g), which OOMs sf100-scale stages while sf0.01 sails
+    // through. SPARK_GRAFT_EXECUTOR_MEM sets the real executor heap.
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
     // SPARK_GRAFT_PIN_RELIABLE=true switches every operator pin from
     // localCheckpoint to a reliable file checkpoint (graft.Pinned) — the
     // mode where executor loss costs a re-read, not the job.
     GraftSession.pinConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG_DAG=1: DAGScheduler at INFO while the root stays WARN —
+    // the chaos/fetchfail evidence logs need the "Resubmitting ..." stage-
+    // recompute lines, which Spark only emits at INFO.
+    if (sys.env.get("SPARK_GRAFT_LOG_DAG").contains("1"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.INFO)
     new java.io.File(outDir).mkdirs()
     // Optional subset (comma-separated names) for local spot checks; the
     // driver leaves it unset and gets the full registry. oracle_sql.json is

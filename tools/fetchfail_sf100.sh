@@ -17,7 +17,10 @@ QUERY="${1:-q_dedup_semantic}"
 KILL_S="${2:-120}"
 SFDIR="${3:-testdata/sf100}"
 EVID=FETCHFAIL_sf100_evidence.log
-MASTER='local-cluster[2,16,24576]'
+# 2 executors x 16 threads x 48g: ~3 g/thread, the same heap-per-thread the
+# adjudicated single-JVM sf100 probes run at (64g/32) — 24g executors OOM'd
+# in the semanticDedup normalize/pin stage. Driver adds 12g; 108g total.
+MASTER='local-cluster[2,16,49152]'
 
 anchor() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=32 \
@@ -45,9 +48,10 @@ run_one() { # $1=outdir $2=log $3=kill(0/1)
     ASSASSIN=$!
   fi
   t0=$(date +%s)
-  SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_PIN_RELIABLE=true \
+  SPARK_GRAFT_MASTER="$MASTER" SPARK_SCALA_VERSION=2.13 \
+    SPARK_GRAFT_PIN_RELIABLE=true SPARK_GRAFT_EXECUTOR_MEM=48g \
     SPARK_GRAFT_VERIFY_RETRIES=0 SPARK_GRAFT_VERIFY_ONLY="$QUERY" \
-    SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=32 \
+    SPARK_DRIVER_MEM=12g SPARK_GRAFT_CPUS=32 \
     bash tools/run_verify.sh graft.Verify "$SFDIR" "$1" > "$2" 2>&1
   rc=$?
   t1=$(date +%s)
