@@ -232,7 +232,17 @@ object StreamBench {
       case Some(v) =>
         val n = v.trim.toLowerCase match {
           case "1m" | "default" => 1000000
-          case s if s.nonEmpty && s.forall(_.isDigit) => s.toInt
+          case s if s.nonEmpty && s.forall(_.isDigit) =>
+            // '1' used to be the 10^6 sentinel (pre round-16); a literal
+            // 1-entry "suite" measures nothing, so tiny counts are far more
+            // likely a stale script than an intent — fail loudly instead of
+            // quietly pricing an empty probe (r16 advice)
+            val n = s.toInt
+            require(n >= 1000,
+              s"SPARK_GRAFT_DECONTAM=$s: literal entry counts below 1000 are " +
+                "rejected (a benchmark set that small prices nothing, and '1' " +
+                "was the old 10^6 sentinel — spell that '1m' or 'default')")
+            n
           case other => throw new IllegalArgumentException(
             s"SPARK_GRAFT_DECONTAM must be an entry count or '1m'/'default', got '$other'")
         }

@@ -294,8 +294,8 @@ object Similarity {
   /** Explicit repartition before a k-scaled assignment — the vector scan
     * is byte-small but the N×k expansion is CPU-dense, so file-split
     * partitioning serializes it (the semanticDedup/unigram trap, PLANS.md;
-    * measured here: sf10 47.8 s at ~3 busy cores without it). The
-    * the pin (graft.Pinned) then FIXES the widened partitioning for every consumer.
+    * measured here: sf10 47.8 s at ~3 busy cores without it). The pin
+    * (graft.Pinned) then FIXES the widened partitioning for every consumer.
     */
   private def pinnedNormalized(embs: DataFrame): DataFrame = {
     val n = embs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt

@@ -325,6 +325,14 @@ object SemDedupStream {
     * source through `hs`, and run the handover there — the incumbent
     * single-epoch query keeps its parent session's check fully enabled
     * (spec'd in SemDedupStreamSpec "handover conf stays scoped").
+    *
+    * The no-other-active-queries require is BEST-EFFORT, not an enforcement
+    * boundary: it is a check-then-act guard, so a streaming query started
+    * on the same session AFTER this build returns (but before or while the
+    * handover runs) still executes under the relaxed conf (r16 advice).
+    * The dedicated-session recipe above is what actually contains the blast
+    * radius — the guard exists to catch the recipe being skipped at build
+    * time, the earliest point the library can see the mistake.
     */
   def verdictsWithHandover(
       vecs: DataFrame,

@@ -65,6 +65,44 @@ class PinnedSpec extends SparkSpec {
     }
   }
 
+  test("reliable mode refuses the tmpdir fallback on a distributed master") {
+    // round-16 advice: per-node /tmp is not a shared filesystem, so a
+    // cluster session with no checkpoint dir must fail fast, not silently
+    // checkpoint to files other nodes cannot read
+    val e = intercept[IllegalArgumentException] {
+      Pinned.resolveCheckpointDir(
+        "spark://head:7077", isLocal = false, "app-123", confDir = None)
+    }
+    assert(e.getMessage.contains("visible to every executor"))
+    assert(e.getMessage.contains(Pinned.DirKey))
+    // graft.pin.dir satisfies the same master without the refusal
+    assert(Pinned.resolveCheckpointDir(
+      "spark://head:7077", isLocal = false, "app-123",
+      confDir = Some("hdfs:///pins")) === "hdfs:///pins")
+    // single-box masters keep the tmpdir convenience
+    assert(Pinned.resolveCheckpointDir(
+      "local-cluster[2,2,1024]", isLocal = false, "app-123", None)
+      .contains("graft-pins-app-123"))
+    assert(Pinned.resolveCheckpointDir("local[4]", isLocal = true, "app-123", None)
+      .contains("graft-pins-app-123"))
+  }
+
+  test("reliable pin leaves a pre-existing cache of the same plan in place") {
+    withReliable {
+      val d = base
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        d.count()
+        val p = d.pinned(false)
+        assert(p.count() === 1000)
+        // CacheManager matches by logical plan: an unconditional
+        // persist/unpersist inside pin() would evict this entry (r16 advice)
+        assert(d.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+          "pin must not evict the caller's cache")
+      } finally d.unpersist(blocking = true)
+    }
+  }
+
   test("both modes agree on a grouped aggregate") {
     val d = base.pinned(false).groupBy("k").agg(sum("v").as("sv"))
       .orderBy("k").collect().map(_.toSeq)

@@ -48,7 +48,12 @@ run_one() { # $1=outdir $2=log $3=kill(0/1)
     ASSASSIN=$!
   fi
   t0=$(date +%s)
+  # SPARK_GRAFT_LOG_DAG=1 on EVERY run: the evidence section greps this log
+  # for DAGScheduler "Resubmitting" lines, which Verify only surfaces at
+  # INFO when the flag is set — without it a fresh run always reports
+  # resubmitted=0 even when stage recovery happened (r16 advice)
   SPARK_GRAFT_MASTER="$MASTER" SPARK_SCALA_VERSION=2.13 \
+    SPARK_GRAFT_LOG_DAG=1 \
     SPARK_GRAFT_PIN_RELIABLE=true SPARK_GRAFT_EXECUTOR_MEM=48g \
     SPARK_GRAFT_VERIFY_RETRIES=0 SPARK_GRAFT_VERIFY_ONLY="$QUERY" \
     SPARK_DRIVER_MEM=12g SPARK_GRAFT_CPUS=32 \

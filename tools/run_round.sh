@@ -91,4 +91,17 @@ if [ "$MODE" = "full" ]; then
 else
   echo "== 7/7 skipped (quick mode; 'full' adds sf1 audit + seeded sweeps) =="
 fi
+
+# Final step (round-16 verdict item 5): the catalog citing a stale round and
+# untracked CORRECTNESS_r{N}/BENCH_r{N} artifacts recurred two rounds in a
+# row because both were manual. Regenerate the catalog from whatever is the
+# newest correctness artifact and STAGE the round artifacts, so an ALL-PASS
+# tree is commit-ready by construction (staging only — the commit itself
+# stays a human/agent decision).
+echo "== final: catalog --write + stage round artifacts =="
+python3 tools/gen_catalog.py --write
+git add README.md 2>/dev/null || true
+for f in CORRECTNESS_r*.json BENCH_r*.json VERDICT.md ADVICE.md; do
+  [ -e "$f" ] && git add "$f" 2>/dev/null || true
+done
 echo "ROUND GATES: ALL PASS"
