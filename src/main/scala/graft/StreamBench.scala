@@ -70,10 +70,22 @@ object StreamBench {
     if (master.startsWith("local-cluster"))
       b.config("spark.executor.extraClassPath",
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    // local-cluster worker memory only CAPS executors — the executor JVM
+    // heap is spark.executor.memory (default 1g), so multi-JVM soaks need
+    // the same knob Verify exposes
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(m => b.config("spark.executor.memory", m))
     if (rocksdb)
       b.config("spark.sql.streaming.stateStore.providerClass", GraftSession.RocksDbProvider)
     val spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_LOG_DAG=1 (chaos evidence runs): root at WARN so
+    // Lost-executor / recovery lines surface, DAGScheduler at INFO for the
+    // "Resubmitting" stage-recompute lines (mirrors graft.Verify)
+    if (sys.env.get("SPARK_GRAFT_LOG_DAG").contains("1")) {
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.INFO)
+    } else spark.sparkContext.setLogLevel("ERROR")
 
     val (rows, secs) = mode match {
       case "file"   => runFile(spark, total, batchSize, cpus.toInt)
