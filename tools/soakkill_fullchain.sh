@@ -27,6 +27,10 @@ MASTER='local-cluster[2,16,16384]'
 
 run_one() { # $1=log $2=kill(0/1)
   local t0 t1 rc
+  # clean stale sbfc-* dirs BEFORE spawning the assassin — its ckp1 poll
+  # must only ever see THIS run's checkpoint dir, or the kill timer starts
+  # off a previous run's leftovers and lands in the feed-write phase
+  rm -rf /tmp/sbfc-* 2>/dev/null
   if [ "$2" = "1" ]; then
     (
       # a time-based kill can land in the feed-WRITE phase; instead wait for
@@ -48,7 +52,6 @@ run_one() { # $1=log $2=kill(0/1)
     ) &
     ASSASSIN=$!
   fi
-  rm -rf /tmp/sbfc-* 2>/dev/null
   t0=$(date +%s)
   # SPARK_GRAFT_LOG_DAG=1: StreamBench logs at ERROR by default, which
   # swallows the Lost-executor/recovery lines this evidence needs
