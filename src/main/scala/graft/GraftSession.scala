@@ -77,17 +77,22 @@ object GraftSession {
     math.max(cpus, math.min(4096L, bytes / (32L << 20) + 1).toInt)
   }
 
-  /** Propagate the opt-in reliable-pin mode (env SPARK_GRAFT_PIN_RELIABLE=true
-    * → conf [[Pinned.ReliableKey]]) into a session builder. Also enables the
-    * context cleaner's checkpoint reaping (a static conf, so it must land at
-    * builder time): reliable pins write FILES, and a long multi-pin run would
-    * otherwise accumulate every dead plan's checkpoint data on disk.
+  /** Propagate the opt-in reliable-pin mode (env SPARK_GRAFT_PIN_RELIABLE=
+    * true|auto → conf [[Pinned.ReliableKey]]) into a session builder. Also
+    * enables the context cleaner's checkpoint reaping (a static conf, so it
+    * must land at builder time): reliable pins write FILES, and a long
+    * multi-pin run would otherwise accumulate every dead plan's checkpoint
+    * data on disk.
     */
   def pinConf(b: SparkSession.Builder): SparkSession.Builder =
-    if (sys.env.get("SPARK_GRAFT_PIN_RELIABLE").exists(_.trim.equalsIgnoreCase("true")))
-      b.config(Pinned.ReliableKey, "true")
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-    else b
+    sys.env.get("SPARK_GRAFT_PIN_RELIABLE").map(_.trim.toLowerCase) match {
+      case Some(m @ ("true" | "auto")) =>
+        val wb = b.config(Pinned.ReliableKey, m)
+          .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        sys.env.get("SPARK_GRAFT_PIN_AUTOBYTES")
+          .fold(wb)(v => wb.config(Pinned.AutoBytesKey, v.trim))
+      case _ => b
+    }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

@@ -20,6 +20,15 @@ import org.apache.spark.storage.StorageLevel
   *     The right default for a single JVM, where "executor loss" == "the
   *     whole process died anyway".
   *
+  *   - auto (`graft.pin.reliable=auto`): reliable iff the pinned plan's
+  *     Catalyst size estimate reaches `graft.pin.autoBytes` (default
+  *     4 GiB), else default — the measured crossover rule (BASELINE
+  *     round-17): below low-GB pins the file write dominates (≤1.6×
+  *     slower), above it the eager file pin is FASTER than
+  *     localCheckpoint because it deletes a partition-count-linked
+  *     exchange-and-recompute class (sf100: semanticDedup 0.64×,
+  *     clusters 0.76× of the default walls).
+  *
   *   - reliable (`graft.pin.reliable=true`): `Dataset.checkpoint` to the
   *     checkpoint directory. Blocks become FILES: executor loss costs a
   *     re-read, not a job restart, matching the reference's fault model
@@ -55,8 +64,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pinned {
 
-  /** Runtime conf key selecting the reliable mode. */
+  /** Runtime conf key selecting the durability mode: unset/`false` =
+    * localCheckpoint, `true` = reliable file checkpoint, `auto` = reliable
+    * iff the pinned plan's Catalyst size estimate is at least
+    * [[AutoBytesKey]]. `auto` mechanizes the measured crossover (BASELINE
+    * round-17 crossover table): the eager file pin pays for itself once the
+    * pinned projection reaches the low-GB range (semantic family flips at
+    * 1.5-4.5 GB, the many-small-pin CC family at 4.5-15 GB), while below it
+    * the per-round write dominates.
+    */
   val ReliableKey = "graft.pin.reliable"
+
+  /** Runtime conf key for the `auto` threshold in bytes (default 4 GiB —
+    * between the two measured family crossovers, conservative for the CC
+    * family whose per-round pins are smaller than its corpus).
+    */
+  val AutoBytesKey = "graft.pin.autoBytes"
+
+  private val AutoBytesDefault: Long = 4L << 30
 
   /** Runtime conf key for the checkpoint dir used when the SparkContext has
     * none set (single-box convenience; clusters should `setCheckpointDir`
@@ -91,7 +116,26 @@ object Pinned {
   def pin[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
     val spark = ds.sparkSession
     val reliable =
-      spark.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))
+      spark.conf.getOption(ReliableKey).map(_.trim.toLowerCase) match {
+        case Some("true") => true
+        case Some("auto") =>
+          // Catalyst's estimate for the pinned subplan (propagated from the
+          // scan through the operators) — an order-of-magnitude signal, which
+          // is all the crossover needs: the measured flip points sit a full
+          // decade apart from the regimes on either side. CRITICAL: computed
+          // on a DETACHED QueryExecution, never ds.queryExecution — forcing
+          // the dataset's own QE here resolves its withCachedData stage
+          // BEFORE the reliable branch's persist() registers the cache, so
+          // the eager checkpoint would bypass the around-checkpoint cache
+          // and recompute the whole plan (measured at sf100: +80% CPU and
+          // the default-mode exchange class back in the profile)
+          val bytes = spark.sessionState.executePlan(ds.queryExecution.logical)
+            .optimizedPlan.stats.sizeInBytes
+          val bound = spark.conf.getOption(AutoBytesKey)
+            .map(_.trim.toLong).getOrElse(AutoBytesDefault)
+          bytes >= bound
+        case _ => false
+      }
     if (!reliable) ds.localCheckpoint(eager)
     else {
       val sc = spark.sparkContext
@@ -103,7 +147,19 @@ object Pinned {
       // already holds a cache entry, and persist/unpersist here would evict
       // it out from under them. Their blocks serve the checkpoint read just
       // as well, so only wrap when no entry exists.
-      val preCached = ds.storageLevel != StorageLevel.NONE
+      // A pre-existing cache entry for this plan means the CALLER (or an
+      // equivalent plan elsewhere) holds blocks that persist/unpersist here
+      // would evict out from under them (CacheManager matches by logical
+      // plan). Probed on a DETACHED QueryExecution: consulting
+      // ds.storageLevel instead forces the dataset's own lazy
+      // QueryExecution stages before persist() registers the cache, which
+      // measurably de-optimizes the eager checkpoint that follows (sf10
+      // semanticDedup 7.2 → 11.3 s, sf100 150 → 385 s — the bisected
+      // round-17 regression).
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val preCached = classic.sharedState.cacheManager.lookupCachedData(
+        classic, classic.sessionState.executePlan(ds.queryExecution.logical).analyzed
+      ).isDefined
       if (!preCached) ds.persist(StorageLevel.MEMORY_AND_DISK)
       try ds.checkpoint(eager = true)
       finally if (!preCached) ds.unpersist(blocking = false)

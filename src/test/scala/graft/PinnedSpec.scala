@@ -49,8 +49,13 @@ class PinnedSpec extends SparkSpec {
         _.getClass.getSimpleName.contains("LogicalRDD")))
       assert(p.count() === 1000)
       assert(p.agg(sum("v")).head.getLong(0) === base.agg(sum("v")).head.getLong(0))
-      assert(spark.sparkContext.getPersistentRDDs.size === before,
-        "the around-checkpoint persist must be released")
+      // unpersist(blocking = false) releases asynchronously — poll briefly
+      // instead of asserting the instant after
+      val released = (1 to 50).exists { _ =>
+        if (spark.sparkContext.getPersistentRDDs.size == before) true
+        else { Thread.sleep(100); false }
+      }
+      assert(released, "the around-checkpoint persist must be released")
     }
   }
 
@@ -100,6 +105,43 @@ class PinnedSpec extends SparkSpec {
         assert(d.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
           "pin must not evict the caller's cache")
       } finally d.unpersist(blocking = true)
+    }
+  }
+
+  private def withAuto[A](autoBytes: Long)(body: => A): A = {
+    spark.conf.set(Pinned.ReliableKey, "auto")
+    spark.conf.set(Pinned.AutoBytesKey, autoBytes.toString)
+    try body finally {
+      spark.conf.unset(Pinned.ReliableKey)
+      spark.conf.unset(Pinned.AutoBytesKey)
+    }
+  }
+
+  test("auto mode below the byte bound takes the localCheckpoint path") {
+    withAuto(Long.MaxValue) {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val p = base.pinned(true)
+      // localCheckpoint's signature: the pinned RDD itself is registered as
+      // a persistent RDD (its blocks ARE the pin); the reliable path leaves
+      // no persistent entry behind
+      assert(spark.sparkContext.getPersistentRDDs.size > before,
+        "below the bound, auto must localCheckpoint (persistent RDD blocks)")
+      assert(p.count() === 1000)
+      p.unpersist(blocking = true)
+    }
+  }
+
+  test("auto mode at the byte bound takes the reliable file path") {
+    withAuto(1L) {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val p = base.pinned(true)
+      assert(spark.sparkContext.getPersistentRDDs.size === before,
+        "above the bound, auto must file-checkpoint (no lingering persist)")
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.nonEmpty, "auto-reliable pin must establish a checkpoint dir")
+      assert(p.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.getClass.getSimpleName.contains("LogicalRDD")))
+      assert(p.count() === 1000)
     }
   }
 
