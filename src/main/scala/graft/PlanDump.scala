@@ -22,11 +22,18 @@ object PlanDump {
   def dump(spark: SparkSession, names: Seq[String], sfDir: String): Unit = {
     val prior = spark.conf.getOption(Pinned.ReliableKey)
     spark.conf.set(Pinned.ReliableKey, "false")
+    // SPARK_GRAFT_PLAN_FORMAT=formatted prints `explain("formatted")` output
+    // (numbered operators + per-operator details: PushedFilters, ReadSchema,
+    // join build side) — the round-17 plan-evidence format; default stays the
+    // executed-plan tree the PLANS.md audits use.
+    val formatted = sys.env.get("SPARK_GRAFT_PLAN_FORMAT").contains("formatted")
     try names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.collect()
       println(s"===== $n =====")
-      println(df.queryExecution.executedPlan.toString)
+      if (formatted) println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      else println(df.queryExecution.executedPlan.toString)
     } finally prior match {
       case Some(v) => spark.conf.set(Pinned.ReliableKey, v)
       case None    => spark.conf.unset(Pinned.ReliableKey)

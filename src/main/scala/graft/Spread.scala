@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Conditional scan fan-out (optimization guide §2.5 "input skew: one huge
+  * unsplittable file … repartition immediately after the read", §6 input
+  * split sizing).
+  *
+  * A small parquet fixture is a single row group, i.e. ONE scan split, so
+  * every map-heavy stage rooted at the scan (tokenize → explode → partial
+  * aggregate, codec passes, signature hashing) serializes on one task while
+  * the other cores idle — and a `pinned`/localCheckpoint downstream FREEZES
+  * that 1-partition layout for every consumer. At production scale the same
+  * scan has thousands of row-group splits and needs nothing.
+  *
+  * `fan` therefore repartitions ONLY when the physical scan provides fewer
+  * partitions than the session's parallelism — data-adaptive, not a
+  * local-mode constant: on a 100 TB input the condition is false and the
+  * plan contains no exchange at all. The key must be a deterministic column
+  * (hash partitioning is retry-safe; round-robin repartition of a re-read
+  * source is not, SPARK-38388). Callers place it where the shuffled bytes
+  * are small (ids + text, never payloads/signatures).
+  */
+object Spread {
+  /** A/B kill-switch for adjudication runs: SPARK_GRAFT_SPREAD=0 disables
+    * every fan so a suspected fan-caused regression can be bisected in one
+    * env flip without a rebuild.
+    */
+  private val disabled = sys.env.get("SPARK_GRAFT_SPREAD").contains("0")
+
+  def fan(df: DataFrame, key: Column): DataFrame = {
+    if (disabled) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+  }
+}

@@ -371,6 +371,293 @@ object BigramPairHashes {
   }
 }
 
+/** All `w`-token rolling-window hashes at stride 1, IN POSITION ORDER with
+  * duplicates kept: element i (0-based) is the 60-bit md5 of
+  * `concat_ws(' ', toks[i..i+w-1])` — the substring-dedup window hash
+  * (`Dedup.duplicateSpans`), exactly the SQL spelling
+  * `cast(conv(substr(md5(concat_ws(' ', slice(toks, i, w))), 1, 15), 16, 10)
+  * as bigint)` that the oracle replays. One native pass replaces the
+  * interpreted `transform(sequence(...), i -> struct(i, md5(concat_ws(
+  * slice(...)))))` chain, which pays a boxed lambda, an array slice
+  * allocation, a hex-string md5, a substr and a string-to-long conv PER
+  * WINDOW (HigherOrderFunction = CodegenFallback, outside whole-stage
+  * codegen). Differs from [[ShingleHashes]] in keeping duplicates and
+  * positions — spans need every occurrence, not the distinct set.
+  * Fewer than `w` tokens → empty array.
+  */
+case class WindowHashes(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WindowHashes.compute(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WindowHashes.compute($a, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WindowHashes =
+    copy(child = c)
+}
+
+object WindowHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, w: Int): ArrayData = {
+    val len = toks.numElements()
+    val wins = len - w + 1
+    if (wins <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val digest = md.get()
+    // token bytes fetched once, reused across the w windows sharing them
+    val tb = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](wins)
+    i = 0
+    while (i < wins) {
+      var bytes = 0
+      var j = 0
+      while (j < w) { bytes += tb(i + j).length; j += 1 }
+      val buf = new Array[Byte](bytes + (w - 1))
+      var off = 0
+      j = 0
+      while (j < w) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = tb(i + j)
+        System.arraycopy(t, 0, buf, off, t.length)
+        off += t.length
+        j += 1
+      }
+      digest.reset()
+      val dg = digest.digest(buf)
+      // first 15 hex chars of md5 = top 60 bits of the digest, big-endian
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+      out(i) = h >>> 4
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** All ordered pairs (a[j], a[i]) with j < i of a long array — the basket
+  * pair fan of `Behavior.copurchase`, value-identical to the SQL spelling
+  * `flatten(transform(sequence(2, size(ps)), i -> transform(sequence(1,
+  * i - 1), j -> struct(ps[j] as p1, ps[i] as p2))))` including emission
+  * order (i ascending, j ascending within i — ExpressionsSpec pins it).
+  * On a SORTED DISTINCT input this enumerates exactly the p1 < p2 pairs.
+  * One native codegen pass replaces two nested interpreted lambdas, a
+  * sequence materialization and a flatten copy per basket (guide §4:
+  * HigherOrderFunction = CodegenFallback). Quadratic in basket size by
+  * definition — same contract and the same cap as the SQL form (callers
+  * bound basket size upstream).
+  */
+case class SortedPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("p1", LongType, nullable = false),
+      StructField("p2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_sorted_pairs"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SortedPairs.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SortedPairs.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): SortedPairs =
+    copy(child = c)
+}
+
+object SortedPairs {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    val vals = a.toLongArray()
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](n * (n - 1) / 2)
+    var k = 0
+    var i = 1
+    while (i < n) {
+      var j = 0
+      while (j < i) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        row.setLong(0, vals(j))
+        row.setLong(1, vals(i))
+        out(k) = row
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Viterbi segmentation of one word under a (piece → integer score) map —
+  * the unigram-LM tokenizer's inner loop (`Unigram.segmentCounts` /
+  * `Unigram.encode`), returning the pieces of the optimal segmentation
+  * left-to-right. Bit-exact replay of the SQL recurrence the oracle runs:
+  * best[0] = 0, best[j] = max over l in 1..min(maxLen, j) of best[j−l] +
+  * score(word[j−l+1 .. j]) with score = map value or `negInf`; the backwalk
+  * from j = n takes the SMALLEST l achieving best[j] (shortest piece ending
+  * here). Positions are CODE POINTS (Spark's `substring`/`length`
+  * semantics), all arithmetic BIGINT. One native pass replaces two chained
+  * interpreted `aggregate` HOFs (the DP and the backwalk — ~maxLen boxed
+  * lambda steps, an array concat and a map probe per position, per row).
+  *
+  * The map arrives as a per-row column (broadcast 1-row crossJoin — the
+  * trainer's zero-driver-reads design), so a per-thread cache keyed on the
+  * map's CONTENT hash (XXH64 ×2 over the UnsafeMapData byte region) builds
+  * the java HashMap once per task instead of per row; non-Unsafe maps
+  * (interpreted eval) key on object identity and rebuild when it misses.
+  */
+case class UnigramViterbiPieces(left: Expression, right: Expression,
+    maxLen: Int, negInf: Long)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_viterbi_pieces"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    UnigramViterbiPieces.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], maxLen, negInf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.UnigramViterbiPieces.compute($a, $b, $maxLen, ${negInf}L)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UnigramViterbiPieces =
+    copy(left = l, right = r)
+}
+
+object UnigramViterbiPieces {
+  /** Per-thread word → segmentation memo (alongside the built score map):
+    * `encode` runs the DP once per word INSTANCE, and natural/synthetic text
+    * repeats the same words constantly — a memo turns repeats into a hash
+    * probe. Safe because the result is a pure function of (word, map) and
+    * the returned GenericArrayData is never mutated by consumers (Spark
+    * copies on write into Unsafe rows). Access-order LRU, bounded so a
+    * 100 TB task's vocabulary can't grow the memo without bound.
+    */
+  private final val MemoMax = 1 << 16
+  private final class Cached(
+      val h1: Long, val h2: Long, val n: Int, val ref: AnyRef,
+      val map: java.util.HashMap[String, java.lang.Long]) {
+    val memo = new java.util.LinkedHashMap[String, ArrayData](1024, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, ArrayData]): Boolean =
+        size() > MemoMax
+    }
+  }
+  private val cache = new ThreadLocal[Cached]
+
+  private def build(m: org.apache.spark.sql.catalyst.util.MapData)
+      : java.util.HashMap[String, java.lang.Long] = {
+    val n = m.numElements()
+    val ks = m.keyArray()
+    val vs = m.valueArray()
+    val out = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { out.put(ks.getUTF8String(i).toString, vs.getLong(i)); i += 1 }
+    out
+  }
+
+  private def lookup(m: org.apache.spark.sql.catalyst.util.MapData): Cached = m match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeMapData =>
+      // content-keyed: the byte region fully determines the map; two
+      // independent 64-bit digests make a stale hit astronomically unlikely
+      // even under projection-buffer reuse (same base/offset, new bytes)
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 7L)
+      val c = cache.get()
+      if (c != null && c.h1 == h1 && c.h2 == h2 && c.n == u.numElements()) c
+      else {
+        val built = new Cached(h1, h2, u.numElements(), null, build(u))
+        cache.set(built)
+        built
+      }
+    case other =>
+      val c = cache.get()
+      if (c != null && (c.ref eq other)) c
+      else {
+        val built = new Cached(0L, 0L, other.numElements(), other, build(other))
+        cache.set(built)
+        built
+      }
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(word: org.apache.spark.unsafe.types.UTF8String,
+      mapData: org.apache.spark.sql.catalyst.util.MapData,
+      maxLen: Int, negInf: Long): ArrayData = {
+    val holder = lookup(mapData)
+    val s = word.toString
+    val memoized = holder.memo.get(s)
+    if (memoized != null) return memoized
+    val mp = holder.map
+    // code-point index → java char offset (Spark substring counts code points)
+    val n = s.codePointCount(0, s.length)
+    val cpOff = new Array[Int](n + 1)
+    var ci = 0
+    var off = 0
+    while (ci < n) { cpOff(ci) = off; off += Character.charCount(s.codePointAt(off)); ci += 1 }
+    cpOff(n) = s.length
+    def score(startCp: Int, lenCp: Int): Long = {
+      val v = mp.get(s.substring(cpOff(startCp), cpOff(startCp + lenCp)))
+      if (v == null) negInf else v.longValue()
+    }
+    val best = new Array[Long](n + 1)
+    var j = 1
+    while (j <= n) {
+      val lMax = math.min(maxLen, j)
+      var b = Long.MinValue
+      var l = 1
+      while (l <= lMax) {
+        val c = best(j - l) + score(j - l, l)
+        if (c > b) b = c
+        l += 1
+      }
+      best(j) = b
+      j += 1
+    }
+    // backwalk: smallest l achieving best[pos] (never empty by construction)
+    val pieces = new Array[Any](n) // at most n pieces
+    var cnt = 0
+    var pos = n
+    while (pos > 0) {
+      val lMax = math.min(maxLen, pos)
+      var l = 1
+      while (l <= lMax && best(pos - l) + score(pos - l, l) != best(pos)) l += 1
+      pieces(cnt) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        s.substring(cpOff(pos - l), cpOff(pos)))
+      cnt += 1
+      pos -= l
+    }
+    // collected right-to-left; emit left-to-right like the SQL transform
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) { out(i) = pieces(cnt - 1 - i); i += 1 }
+    val res = new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    holder.memo.put(s, res)
+    res
+  }
+}
+
 /** Count of the input long-array's elements present in a FIXED sorted set —
   * the decontamination primitive: each document's shingle hashes probe the
   * benchmark-suite set. The set rides the closure (one copy per executor via
@@ -521,6 +808,15 @@ object GraftFunctions {
   /** See [[BigramPairHashes]]. */
   def bigramPairHashes(toks: Column): Column =
     GraftBridge.column(BigramPairHashes(GraftBridge.expression(toks)))
+
+  /** See [[WindowHashes]]. */
+  def windowHashes(toks: Column, w: Int): Column =
+    GraftBridge.column(WindowHashes(GraftBridge.expression(toks), w))
+
+  /** See [[UnigramViterbiPieces]]. */
+  def unigramViterbiPieces(word: Column, mp: Column, maxLen: Int, negInf: Long): Column =
+    GraftBridge.column(UnigramViterbiPieces(
+      GraftBridge.expression(word), GraftBridge.expression(mp), maxLen, negInf))
 
   /** `set` must be sorted ascending (see [[SortedSetHits]]). */
   def sortedSetHits(a: Column, set: Array[Long]): Column =

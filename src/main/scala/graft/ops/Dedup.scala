@@ -688,17 +688,30 @@ object Dedup {
     duplicateSpansFromToks(tokenize(docs), w)
 
   def duplicateSpansFromToks(t: DataFrame, w: Int = SpanWindow): DataFrame = {
+    // One native pass (WindowHashes) computes every window hash in position
+    // order — value-identical to the former interpreted spelling
+    // `transform(sequence(1, size(toks)-9), i -> struct(i, md5-60bit(
+    // concat_ws(' ', slice(toks, i, 10)))))` (ExpressionsSpec pins the
+    // equality), but inside whole-stage codegen instead of a boxed lambda +
+    // slice allocation + hex md5 + conv per window (r17 guide §4: the
+    // windowing stage was 84% of the query's CPU).
     val wins = t.filter(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${w - 1}), i -> struct(i as pos, " +
-          s"${hashSql(s"concat_ws(' ', slice(toks, i, $w))")} as h))")).as("p"))
-      .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
-    val dupHashes = wins
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > 1)
-    val flagged = wins.join(dupHashes, Seq("h"))
-      .filter(not(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.windowHashes(col("toks"), w)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    // One pass over `wins` instead of groupBy(h) + self-join: the per-hash
+    // first-occurrence and occurrence count come from window aggregates over
+    // the SAME exchange (guide §2.4 — two operations keyed the same way
+    // share one exchange). The former shape evaluated the whole windowing
+    // subtree twice (once per consumer) and paid a SortAggregate
+    // (min(struct) is not hash-aggregable) plus the join; value-identical:
+    // same first = min(doc_id, pos) tie-break, same n_occ > 1 filter.
+    val byHash = Window.partitionBy(col("h"))
+    val flagged = wins
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .withColumn("n_occ", count(lit(1)).over(byHash))
+      .filter(col("n_occ") > 1 &&
+        not(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
       .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged

@@ -22,6 +22,18 @@ import graft.Pinned.PinnedOps
   */
 object Multimodal {
 
+  /** ImageIO's stream cache defaults to DISK-backed (a temp file created and
+    * deleted per encode/decode). Our payloads are in-memory byte arrays, so
+    * the file cache is pure overhead — and under task parallelism it
+    * serializes the whole codec pass on the tmp-directory inode (32
+    * concurrent create/delete in one dir; thread dumps showed the workers
+    * pinned in UnixFileSystem.delete0/open0, r17). Memory-backed streams
+    * remove the filesystem from the loop entirely. Static, JVM-wide,
+    * executor-side: the object initializer runs on first use in each task
+    * JVM.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Simulated media table: the document text bytes act as the opaque binary
     * payload (in production: the image/audio blob), with typed metadata.
     */

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Pinned.PinnedOps
@@ -134,32 +135,17 @@ object Unigram {
     * (piece, cnt) of the segmentation.
     */
   private def segmentCounts(wordsDf: DataFrame, vocabScores: DataFrame): DataFrame = {
+    // The DP + backwalk run in ONE native codegen pass
+    // (UnigramViterbiPieces) — bit-exact with the former two chained
+    // interpreted `aggregate` HOF columns (ExpressionsSpec pins the
+    // equality against the SQL spelling, including the smallest-l
+    // backwalk tie-break); the piece map stays the broadcast 1-row column
+    // so the [[PieceMapBound]] raise_error guard still runs in-plan.
     val mapDf = pieceMap(vocabScores)
-    val withBest = wordsDf.crossJoin(broadcast(mapDf))
-      .withColumn("best", expr(
-        s"""aggregate(
-           |  sequence(1, length(w)),
-           |  array(0L),
-           |  (acc, j) -> concat(acc, array(
-           |    array_max(transform(sequence(1, least($MaxPieceLen, j)), l ->
-           |      element_at(acc, j - l + 1)
-           |      + coalesce(element_at(mp, substring(w, j - l + 1, l)), ${NegInf}L))))))""".stripMargin))
-    // Backwalk: from position j take the SMALLEST piece length achieving
-    // best[j] (filter is never empty: best[j] was defined as that max).
-    val withCuts = withBest.withColumn("cuts", expr(
-      s"""aggregate(
-         |  sequence(1, length(w)),
-         |  array(cast(length(w) as bigint)),
-         |  (acc, z) -> CASE WHEN element_at(acc, 1) <= 0L THEN acc ELSE concat(array(
-         |    element_at(acc, 1) - array_min(filter(sequence(1L, least(${MaxPieceLen}L, element_at(acc, 1))), l ->
-         |      element_at(best, cast(element_at(acc, 1) - l + 1 as int))
-         |      + coalesce(element_at(mp, substring(w, cast(element_at(acc, 1) - l + 1 as int), cast(l as int))), ${NegInf}L)
-         |      = element_at(best, cast(element_at(acc, 1) + 1 as int))))), acc) END)""".stripMargin))
-    withCuts
-      .select(col("freq"), explode(expr(
-        """transform(sequence(1, size(cuts) - 1), i ->
-          |  substring(w, cast(element_at(cuts, i) + 1 as int),
-          |    cast(element_at(cuts, i + 1) - element_at(cuts, i) as int)))""".stripMargin)).as("piece"))
+    wordsDf.crossJoin(broadcast(mapDf))
+      .select(col("freq"),
+        explode(GraftFunctions.unigramViterbiPieces(
+          col("w"), col("mp"), MaxPieceLen, NegInf)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
   }
 
@@ -210,38 +196,25 @@ object Unigram {
     */
   def encode(docs: DataFrame, vocabScores: DataFrame): DataFrame = {
     val mapDf = pieceMap(vocabScores)
-    // Rebalance the doc scan to core count BEFORE the per-occurrence DP:
+    // Fan the doc scan to core count BEFORE the per-occurrence DP:
     // bytes-based input splits undersize the partition count for a stage
-    // whose cost is ~500 interpreted ops per TOKEN (a 150 MB parquet = 2
-    // splits = 2 cores grinding ~100M-token DPs). One doc-row shuffle buys
-    // full-width parallelism; on a real cluster input splits already exceed
-    // the core count and this becomes a cheap rebalance.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs
-      .repartition(par)
+    // whose cost is ~500 ops per TOKEN (a 150 MB parquet = 2 splits = 2
+    // cores grinding ~100M-token DPs). Spread.fan is conditional (no-op
+    // once input splits exceed the core count — the former unconditional
+    // repartition(par) would COALESCE a wide production scan down to the
+    // core count) and hash-keyed (deterministic under retry, unlike
+    // round-robin).
+    graft.Spread.fan(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
       .crossJoin(broadcast(mapDf))
-      .withColumn("best", expr(
-        s"""aggregate(
-           |  sequence(1, length(w)),
-           |  array(0L),
-           |  (acc, j) -> concat(acc, array(
-           |    array_max(transform(sequence(1, least($MaxPieceLen, j)), l ->
-           |      element_at(acc, j - l + 1)
-           |      + coalesce(element_at(mp, substring(w, j - l + 1, l)), ${NegInf}L))))))""".stripMargin))
-      // piece count of the optimal segmentation, without materializing the
-      // path: walk positions once more counting steps
-      .withColumn("n_pieces", expr(
-        s"""element_at(aggregate(
-           |  sequence(1, length(w)),
-           |  array(cast(length(w) as bigint), 0L),
-           |  (acc, z) -> CASE WHEN element_at(acc, 1) <= 0L THEN acc ELSE array(
-           |    element_at(acc, 1) - array_min(filter(sequence(1L, least(${MaxPieceLen}L, element_at(acc, 1))), l ->
-           |      element_at(best, cast(element_at(acc, 1) - l + 1 as int))
-           |      + coalesce(element_at(mp, substring(w, cast(element_at(acc, 1) - l + 1 as int), cast(l as int))), ${NegInf}L)
-           |      = element_at(best, cast(element_at(acc, 1) + 1 as int)))),
-           |    element_at(acc, 2) + 1L) END), 2)""".stripMargin))
+      // n_pieces = piece count of the optimal segmentation — size() of the
+      // same native Viterbi pass segmentCounts uses (the former spelling
+      // walked the DP twice: one interpreted `aggregate` for best[], a
+      // second for the backwalk step count)
+      .withColumn("n_pieces",
+        size(GraftFunctions.unigramViterbiPieces(
+          col("w"), col("mp"), MaxPieceLen, NegInf)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
   }

@@ -50,9 +50,12 @@ class PinnedSpec extends SparkSpec {
       assert(p.count() === 1000)
       assert(p.agg(sum("v")).head.getLong(0) === base.agg(sum("v")).head.getLong(0))
       // unpersist(blocking = false) releases asynchronously — poll briefly
-      // instead of asserting the instant after
+      // instead of asserting the instant after. <= not ==: the shared
+      // session's ContextCleaner may concurrently reap an EARLIER suite's
+      // (or test's) GC'd localCheckpoint RDD, dropping the count below the
+      // snapshot — still "our persist is gone", which is the contract.
       val released = (1 to 50).exists { _ =>
-        if (spark.sparkContext.getPersistentRDDs.size == before) true
+        if (spark.sparkContext.getPersistentRDDs.size <= before) true
         else { Thread.sleep(100); false }
       }
       assert(released, "the around-checkpoint persist must be released")

@@ -114,6 +114,107 @@ class ExpressionsSpec extends SparkSpec {
     mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("WindowHashes equals the SQL spelling on real documents") {
+    val w = graft.ops.Dedup.SpanWindow
+    val hashSql = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+    val toks = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+    val both = toks.filter(size(col("toks")) >= w).select(
+      col("doc_id"),
+      expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> " +
+        hashSql.replace("(s)", s"(concat_ws(' ', slice(toks, i, $w)))") + ")").as("sql"),
+      GraftFunctions.windowHashes(col("toks"), w).as("nat"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+    // fewer than w tokens -> empty (the SQL form is undefined there; call
+    // sites pre-filter on size >= w with either shape)
+    import spark.implicits._
+    val short = Seq(Seq.fill(w - 1)("t"), Seq("a"), Seq.empty[String]).toDF("toks")
+      .select(GraftFunctions.windowHashes(col("toks"), w)).as[Seq[Long]].collect()
+    assert(short.forall(_.isEmpty))
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = toks.filter(size(col("toks")) >= w).limit(20)
+        .select(col("doc_id"), GraftFunctions.windowHashes(col("toks"), w).as("nat"),
+          expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> " +
+            hashSql.replace("(s)", s"(concat_ws(' ', slice(toks, i, $w)))") + ")").as("sql"))
+        .collect()
+      interp.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2)))
+    }
+  }
+
+  test("UnigramViterbiPieces equals the SQL DP + backwalk spelling") {
+    import spark.implicits._
+    val MaxL = graft.ops.Unigram.MaxPieceLen
+    val NegInf = -1000000000000L // Unigram.NegInf (private): pinned literally
+    // vocab map over corpus-like pieces: every single char scores, plus
+    // multi-char pieces with ties engineered to exercise the smallest-l
+    // backwalk tie-break (score("ab") == score("a")+score("b"))
+    val mpEntries = Seq(
+      "a" -> -10L, "b" -> -10L, "c" -> -12L, "d" -> -15L, "e" -> -9L,
+      "r" -> -11L, "s" -> -13L, "t" -> -8L, "x" -> -14L, "é" -> -10L,
+      "ab" -> -20L, "ba" -> -25L, "est" -> -18L, "rest" -> -30L,
+      "ca" -> -21L, "abc" -> -35L, "éa" -> -19L)
+    val mpSql = "map(" + mpEntries.map { case (k, v) => s"'$k', ${v}L" }.mkString(", ") + ")"
+    val words = Seq("a", "ab", "abc", "abca", "rest", "stress", "ébabcaé",
+      "x", "dcba", "testab", "abababab", "q", "qa").toDF("w")
+      .withColumn("mp", expr(mpSql))
+    val sqlBest =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(0L),
+         |  (acc, j) -> concat(acc, array(
+         |    array_max(transform(sequence(1, least($MaxL, j)), l ->
+         |      element_at(acc, j - l + 1)
+         |      + coalesce(element_at(mp, substring(w, j - l + 1, l)), ${NegInf}L))))))""".stripMargin
+    val sqlCuts =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(cast(length(w) as bigint)),
+         |  (acc, z) -> CASE WHEN element_at(acc, 1) <= 0L THEN acc ELSE concat(array(
+         |    element_at(acc, 1) - array_min(filter(sequence(1L, least(${MaxL}L, element_at(acc, 1))), l ->
+         |      element_at(best, cast(element_at(acc, 1) - l + 1 as int))
+         |      + coalesce(element_at(mp, substring(w, cast(element_at(acc, 1) - l + 1 as int), cast(l as int))), ${NegInf}L)
+         |      = element_at(best, cast(element_at(acc, 1) + 1 as int))))), acc) END)""".stripMargin
+    val sqlPieces =
+      """transform(sequence(1, size(cuts) - 1), i ->
+        |  substring(w, cast(element_at(cuts, i) + 1 as int),
+        |    cast(element_at(cuts, i + 1) - element_at(cuts, i) as int)))""".stripMargin
+    val both = words
+      .withColumn("best", expr(sqlBest))
+      .withColumn("cuts", expr(sqlCuts))
+      .select(col("w"), expr(sqlPieces).as("sql"),
+        GraftFunctions.unigramViterbiPieces(col("w"), col("mp"), MaxL, NegInf).as("nat"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"word '${r.getString(0)}'")
+    }
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = words.select(col("w"),
+        GraftFunctions.unigramViterbiPieces(col("w"), col("mp"), MaxL, NegInf).as("nat"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      both.foreach(r => assert(interp(r.getString(0)) == r.getSeq[String](1)))
+    }
+    // the per-thread map cache must not serve a stale map: two different
+    // maps in one partition give different segmentations
+    val twoMaps = Seq(
+      ("abab", "map('a', -1L, 'b', -1L)"),
+      ("abab", "map('a', -1L, 'b', -1L, 'ab', -1L)")).zipWithIndex
+      .map { case ((w0, m), i) => (i, w0, m) }.toDF("i", "w", "msql")
+    val seg = twoMaps
+      .withColumn("mp", when(col("i") === 0, expr("map('a', -1L, 'b', -1L)"))
+        .otherwise(expr("map('a', -1L, 'b', -1L, 'ab', -1L)")))
+      .coalesce(1)
+      .select(col("i"), GraftFunctions.unigramViterbiPieces(col("w"), col("mp"), MaxL, NegInf))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(seg(0) == Seq("a", "b", "a", "b"))
+    assert(seg(1) == Seq("ab", "ab"))
+  }
+
   test("SortedSetHits counts probes found in the set (duplicates counted)") {
     import spark.implicits._
     val set = Array(2L, 5L, 9L, 100L)
