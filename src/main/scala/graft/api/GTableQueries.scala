@@ -114,7 +114,15 @@ object GTableQueries {
     // the lambda sees (key, List<Row>) and computes every aggregate itself,
     // in the twin's exact integer units.
     "q_gtable_groupby" -> ((s, d) => {
-      val src = li(s, d)
+      // project to the 6 columns the whole-group lambda reads BEFORE the
+      // groupByKey shuffle: the lambda is opaque to Catalyst, so without an
+      // explicit select every lineitem column crosses the exchange
+      // (guide §2.3 "project before the exchange" — 25 MB -> the 6-column
+      // subset). Output is unchanged; the compat path still ships whole
+      // ROWS of the projected table to the lambda.
+      val src = li(s, d).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
       val shipType = src.schema("l_shipdate").dataType
       val out = StructType(Seq(
         StructField("sum_qty_e2", LongType), StructField("sum_base_c", LongType),

@@ -506,6 +506,141 @@ object SortedPairs {
   }
 }
 
+/** Whitespace tokenization of an (already-lowercased) string — bit-exact
+  * with `split(trim(regexp_replace(s, "\\s+", " ")), " ")`, the tokenizer
+  * spelling every text operator shares (`Text.tokens`; the oracle replays
+  * the same chain). Identities used: Java regex `\s` without UNICODE flags
+  * is exactly the ASCII set `[ \t\n\x0B\f\r]`, so "collapse runs to one
+  * space, trim, split on single space" ≡ "emit maximal non-whitespace
+  * runs, or a single empty string when there are none" (the empty-input /
+  * all-whitespace case: `split("", " ")` is `[""]`). `lower` commutes with
+  * all three (no case mapping creates or removes whitespace), so callers
+  * keep Catalyst's `lower()` INSIDE: `WhitespaceTokens(lower(c))` — no
+  * reimplementation of collation-aware lowercasing here. One native pass
+  * replaces two regex-engine traversals (`regexp_replace`, regex `split`)
+  * plus two intermediate string allocations per row; token slices share
+  * the input's byte array (no copies). ExpressionsSpec pins the equality
+  * on real docs and on tab/newline/multibyte/empty edge cases.
+  */
+case class WhitespaceTokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_whitespace_tokens"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WhitespaceTokens.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WhitespaceTokens.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): WhitespaceTokens =
+    copy(child = c)
+}
+
+object WhitespaceTokens {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    // count maximal non-whitespace runs
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        cnt += 1
+        while (i < n && !isWs(b(i))) i += 1
+      } else i += 1
+    }
+    if (cnt == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8))
+    val out = new Array[Any](cnt)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        val start = i
+        while (i < n && !isWs(b(i))) i += 1
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start)
+        k += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** DSIR feature buckets of a token array: for each feature f in
+  * [unigrams ++ bigrams] (bigram = `tok_i ++ " " ++ tok_{i+1}`), emits
+  * `hash60(salt ++ f) % mod` in that order — value-identical to
+  * `Sampling.importanceResample`'s former spelling (explode of
+  * `concat(toks, transform(sequence(1, size(toks)-1), i ->
+  * concat(toks[i], ' ', toks[i+1])))` fed through
+  * `cast(conv(substr(md5(concat(salt, f)), 1, 15), 16, 10) as bigint) % mod`;
+  * ExpressionsSpec pins it). One native pass replaces the interpreted
+  * bigram-string transform plus a per-feature string concat before the md5.
+  * Single token yields just its unigram bucket; empty array yields empty.
+  */
+case class SaltedFeatureBuckets(child: Expression, salt: String, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_salted_feature_buckets"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SaltedFeatureBuckets.compute(a.asInstanceOf[ArrayData], salt, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SaltedFeatureBuckets.compute($a, $saltRef, ${mod}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SaltedFeatureBuckets =
+    copy(child = c)
+}
+
+object SaltedFeatureBuckets {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def h60mod(digest: java.security.MessageDigest,
+      salt: Array[Byte], a: Array[Byte], b: Array[Byte], mod: Long): Long = {
+    digest.reset()
+    digest.update(salt)
+    digest.update(a)
+    if (b != null) { digest.update(' '.toByte); digest.update(b) }
+    val dg = digest.digest()
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+    (h >>> 4) % mod
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, salt: String, mod: Long): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val digest = md.get()
+    val sb = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](n + (n - 1))
+    i = 0
+    while (i < n) { out(i) = h60mod(digest, sb, tb(i), null, mod); i += 1 }
+    i = 0
+    while (i < n - 1) { out(n + i) = h60mod(digest, sb, tb(i), tb(i + 1), mod); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Viterbi segmentation of one word under a (piece → integer score) map —
   * the unigram-LM tokenizer's inner loop (`Unigram.segmentCounts` /
   * `Unigram.encode`), returning the pieces of the optimal segmentation
@@ -812,6 +947,18 @@ object GraftFunctions {
   /** See [[WindowHashes]]. */
   def windowHashes(toks: Column, w: Int): Column =
     GraftBridge.column(WindowHashes(GraftBridge.expression(toks), w))
+
+  /** See [[SortedPairs]]. */
+  def sortedPairs(a: Column): Column =
+    GraftBridge.column(SortedPairs(GraftBridge.expression(a)))
+
+  /** See [[SaltedFeatureBuckets]]. */
+  def saltedFeatureBuckets(toks: Column, salt: String, mod: Long): Column =
+    GraftBridge.column(SaltedFeatureBuckets(GraftBridge.expression(toks), salt, mod))
+
+  /** See [[WhitespaceTokens]]. */
+  def whitespaceTokens(c: Column): Column =
+    GraftBridge.column(WhitespaceTokens(GraftBridge.expression(c)))
 
   /** See [[UnigramViterbiPieces]]. */
   def unigramViterbiPieces(word: Column, mp: Column, maxLen: Int, negInf: Long): Column =

@@ -360,11 +360,13 @@ object Behavior {
     val itemN = baskets.select(explode(col("ps")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("c"))
     baskets
-      .filter(size(col("ps")) >= 2) // sequence(2, 1) would DESCEND
-      .select(explode(expr(
-        "flatten(transform(sequence(2, size(ps)), i -> " +
-          "transform(sequence(1, i - 1), j -> " +
-          "struct(element_at(ps, j) AS p1, element_at(ps, i) AS p2))))")).as("p"))
+      .filter(size(col("ps")) >= 2)
+      // native pair fan (SortedPairs) — value-identical to the former
+      // interpreted `flatten(transform(sequence(2, size(ps)), i ->
+      // transform(sequence(1, i - 1), j -> struct(ps[j], ps[i]))))`
+      // (ExpressionsSpec pins the equality), without two nested boxed
+      // lambdas + a flatten copy per basket
+      .select(explode(graft.functions.GraftFunctions.sortedPairs(col("ps"))).as("p"))
       .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("c_ab"))

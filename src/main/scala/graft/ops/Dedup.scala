@@ -801,7 +801,14 @@ object Dedup {
       // large-star: every strictly-larger neighbor points at the
       // neighborhood minimum. min(Γ⁺(u)) via groupBy-min, attached by
       // equi-join — never a collect_set neighborhood list (a hot node's
-      // neighborhood would not fit a single row at 100 TB).
+      // neighborhood would not fit a single row at 100 TB). A round-17
+      // window-aggregate rewrite (min over partition-by-u, one exchange,
+      // no join) measured WALL-NEUTRAL at bench scale — AQE already
+      // broadcasts the tiny min tables, so the join costs no extra
+      // exchange — and it would trade the groupBy's O(1) map-side partial
+      // aggregation for a spillable per-neighborhood window buffer on
+      // exactly the skewed-graph inputs this shape exists to survive;
+      // reverted, keeping the measured shape.
       val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = dir.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))

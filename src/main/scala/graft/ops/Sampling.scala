@@ -113,15 +113,15 @@ object Sampling {
   def importanceResample(docs: DataFrame, topK: Int = DsirTopK): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       Text.tokens(col("text")).as("toks"))
+    // native unigram+bigram bucket pass (SaltedFeatureBuckets) — the bucket
+    // multiset per doc is identical to the former interpreted spelling
+    // (bigram-string transform + explode + md5-hash60 per feature;
+    // ExpressionsSpec pins the equality), without materializing feature
+    // strings or running a boxed lambda per bigram
     val feats = toks
-      .withColumn("bi",
-        when(size(col("toks")) >= 2,
-          expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .otherwise(array()))
       .select(col("doc_id"), col("lang"),
-        explode(concat(col("toks"), col("bi"))).as("feat"))
-      .withColumn("bucket", hash60("dsir", col("feat")) % DsirBuckets)
+        explode(graft.functions.GraftFunctions.saltedFeatureBuckets(
+          col("toks"), "dsir", DsirBuckets)).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       // pinned: the tokenize+explode+hash feature projection feeds THREE

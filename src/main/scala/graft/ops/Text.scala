@@ -34,7 +34,12 @@ object Text {
   def normalizeDocs(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("norm_text", graft.functions.GraftFunctions.normalizeText(col(textCol)))
 
-  def tokens(c: Column): Column = split(normalized(c), " ")
+  // WhitespaceTokens(lower(c)) ≡ split(normalized(c), " ") — see the
+  // expression's scaladoc for the identities; `lower` stays Catalyst so
+  // collation-aware case mapping is untouched (ExpressionsSpec pins the
+  // equality on real docs + whitespace/multibyte edge cases)
+  def tokens(c: Column): Column =
+    graft.functions.GraftFunctions.whitespaceTokens(lower(c))
 
   /** Stopword list shared verbatim with the oracle SQL. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to")

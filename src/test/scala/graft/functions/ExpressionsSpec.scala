@@ -145,6 +145,98 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("SortedPairs equals the SQL nested-transform spelling, emission order included") {
+    import spark.implicits._
+    val sqlPairs =
+      "flatten(transform(sequence(2, size(ps)), i -> " +
+        "transform(sequence(1, i - 1), j -> " +
+        "struct(element_at(ps, j) AS p1, element_at(ps, i) AS p2))))"
+    val rows = Seq(
+      Array(1L, 2L, 3L, 4L),
+      Array(10L, 20L),
+      Array(5L, 6L, 7L),
+      Array(0L, 100L, 200L, 300L, 400L))
+    val both = rows.toDF("ps").filter(size(col("ps")) >= 2).select(
+      expr(sqlPairs).as("sql"),
+      GraftFunctions.sortedPairs(col("ps")).as("nat")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val s = r.getSeq[Row](0).map(x => (x.getLong(0), x.getLong(1)))
+      val n = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      assert(s == n)
+    }
+    // under 2 elements -> empty (the SQL form is only ever called behind a
+    // size >= 2 filter; the native form is total)
+    val short = Seq(Array(9L), Array.empty[Long]).toDF("ps")
+      .select(GraftFunctions.sortedPairs(col("ps"))).collect()
+    assert(short.forall(_.getSeq[Row](0).isEmpty))
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = rows.toDF("ps").filter(size(col("ps")) >= 2).select(
+        expr(sqlPairs).as("sql"),
+        GraftFunctions.sortedPairs(col("ps")).as("nat")).collect()
+      interp.foreach { r =>
+        val s = r.getSeq[Row](0).map(x => (x.getLong(0), x.getLong(1)))
+        val n = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))
+        assert(s == n)
+      }
+    }
+  }
+
+  test("WhitespaceTokens(lower) equals the split/trim/regexp_replace spelling") {
+    import spark.implicits._
+    val sqlToks = "split(lower(trim(regexp_replace(t, '\\\\s+', ' '))), ' ')"
+    // real corpus text
+    val docs = graft.Tables.documents(spark, sf()).select(col("text").as("t"))
+    val both = docs.select(
+      expr(sqlToks).as("sql"),
+      GraftFunctions.whitespaceTokens(lower(col("t"))).as("nat")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // adversarial whitespace / multibyte / empty shapes
+    val edge = Seq("", "   ", "\t\n x \r\n y z ", "a", " Élan  ÜBER\tß ",
+      "multi  space", "\n", "ZH 的 是\t了", "trail ", " lead").toDF("t")
+    def run(): Unit = edge.select(
+      expr(sqlToks).as("sql"),
+      GraftFunctions.whitespaceTokens(lower(col("t"))).as("nat"))
+      .collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") { run() }
+  }
+
+  test("SaltedFeatureBuckets equals the SQL unigram+bigram hash spelling") {
+    val mod = 10007L
+    val hashSql = "cast(conv(substr(md5(concat('dsir', f)), 1, 15), 16, 10) as bigint)"
+    val sqlBuckets =
+      "transform(concat(toks, CASE WHEN size(toks) >= 2 THEN " +
+        "transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+        s"ELSE array() END), f -> ${hashSql.replace("(s)", "")} % ${mod}L)"
+    val toks = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+    val both = toks.select(col("doc_id"),
+      expr(sqlBuckets).as("sql"),
+      GraftFunctions.saltedFeatureBuckets(col("toks"), "dsir", mod).as("nat"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+    // edge shapes + interpreted mode
+    import spark.implicits._
+    val edge = Seq(Seq.empty[String], Seq("a"), Seq("", "b"), Seq("é", "ß", "x"))
+      .toDF("toks")
+    def run(): Seq[(Seq[Long], Seq[Long])] = edge.select(
+      expr(sqlBuckets).as("sql"),
+      GraftFunctions.saltedFeatureBuckets(col("toks"), "dsir", mod).as("nat"))
+      .collect().toSeq.map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    run().foreach { case (s, n) => assert(s == n) }
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run().foreach { case (s, n) => assert(s == n) }
+    }
+  }
+
   test("UnigramViterbiPieces equals the SQL DP + backwalk spelling") {
     import spark.implicits._
     val MaxL = graft.ops.Unigram.MaxPieceLen

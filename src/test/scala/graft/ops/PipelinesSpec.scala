@@ -80,7 +80,7 @@ class PipelinesSpec extends SparkSpec {
     val scanLines = projPlan.split("\n").filter(_.contains("FileScan"))
     assert(scanLines.length == 1 && !scanLines.head.contains("text#"),
       s"only the pruned (doc_id, lang) read may touch parquet:\n${scanLines.mkString("\n")}")
-    assert(projPlan.split("\n").count(_.contains("regexp_replace")) == 1,
+    assert(projPlan.split("\n").count(_.contains("graft_whitespace_tokens")) == 1,
       s"cleaned text must be tokenized exactly once:\n$projPlan")
   }
 
