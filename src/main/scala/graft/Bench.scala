@@ -293,7 +293,17 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"cpu_anchor":$anchor,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // The final headline carries a COMPACT name -> median-seconds map (round-17
+    // verdict item 2: the full per-query line above exceeded the driver's
+    // bounded stdout tail, so PERF_r17 had per_query empty and the round's
+    // comparison collapsed to one noisy total). ~25 bytes/query keeps the last
+    // line parseable inside any reasonable tail while restoring per-query
+    // round-over-round visibility. Additive only — every pre-existing field,
+    // the full first line, and the bench_out.json artifact are unchanged.
+    val qsCompact = results.collect { case (k, Right(s)) =>
+      "\"" + k + "\":" + median(s.times)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"isolate":${if (isolate) 1 else 0},"gc_ms_total":$gcTotal,"cpu_ms_total":$cpuTotal,"shuffle_mb_total":$shuffleTotal,"ncores":$ncores,"cpu_anchor":$anchor,"nqueries":${results.size},"queries":$qsCompact,"failed":$failedJson,"bench_out":"$outFile","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -43,16 +43,33 @@ object DeepAnalytics {
     * the election (k rows, not the fact), nation broadcast.
     */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val perPs = li(spark, dir)
+    // ONE aggregation, not two (guide §2.4): the lexicographic min over RAW
+    // fact rows of (cost_c, suppkey) equals the former two-level election —
+    // per-(part, supplier) min cost, then struct-min over suppliers —
+    // because min_s(min over s's rows of cost) = min over all rows of cost,
+    // and the min supplier among per-supplier minima achieving it is the
+    // min supplier among ROWS achieving it. The former shape paid two
+    // fact-sized exchanges (by (part, brand, supp) then by (part, brand))
+    // plus a SortAggregate (min(struct) is not hash-aggregable); this is
+    // one hash aggregate with map-side partials on one exchange. The
+    // struct-min is packed into one BIGINT so the aggregate stays a
+    // HashAggregate: pack = cost_c·2^31 + suppkey, lexicographic-order-
+    // preserving for 0 <= cost_c < 2^32 and 0 <= suppkey < 2^31 —
+    // GUARDED per row (raise_error), never silent truncation.
+    val pack = expr(
+      "if(cost_c0 < 0 OR cost_c0 >= 4294967296L OR l_suppkey < 0 OR l_suppkey >= 2147483648L, " +
+        "cast(raise_error('minCostSupplier: (cost_c, suppkey) exceeds the 2^32/2^31 pack bounds') as bigint), " +
+        "cost_c0 * 2147483648L + l_suppkey)")
+    li(spark, dir)
       .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
-      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cost_c"))
-    perPs
+      .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cost_c0"))
       .groupBy(col("p_partkey"), col("p_brand"))
-      .agg(min(struct(col("cost_c"), col("l_suppkey").as("sk"))).as("m"))
+      .agg(min(pack).as("mp"))
       .select(col("p_partkey"), col("p_brand"),
-        col("m.cost_c").as("cost_c"), col("m.sk").as("s_suppkey"))
+        expr("mp div 2147483648L").as("cost_c"),
+        expr("mp % 2147483648L").as("s_suppkey"))
       .join(Tables.supplier(spark, dir), "s_suppkey")
       .join(broadcast(Tables.nation(spark, dir)
         .select(col("n_nationkey"), col("n_name"))),

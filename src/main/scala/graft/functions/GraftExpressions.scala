@@ -371,6 +371,116 @@ object BigramPairHashes {
   }
 }
 
+/** Per-document bigram-instance COUNTS in one native pass: the distinct
+  * (u, bg) hash pairs of [[BigramPairHashes]] with their within-row
+  * occurrence counts, emitted in first-occurrence order. Value-identical
+  * AS AN UNORDERED SET to `explode(graft_bigram_pair_hashes(toks))`
+  * followed by `groupBy(u, bg).agg(count(*) AS nd)` restricted to this row
+  * (ExpressionsSpec pins the multiset equality on real corpus docs) — and
+  * since every downstream consumer groups or joins on (u, bg) (never on
+  * array position), replacing explode+groupBy with explode(this) computes
+  * the same tables. The point (guide §2.3/§2.4): a document's bigram
+  * instances all live in ITS row, so the per-(doc, u, bg) aggregate needs
+  * no exchange at all — the former `groupBy(doc_id, u, bg)` shuffled the
+  * full already-deduped instance stream and re-probed a partition-wide
+  * hash table just to merge groups that were never split. Each token
+  * digests once (u cached across the slide), each pair once — identical
+  * digest work to [[BigramPairHashes]]; the count map adds one probe per
+  * instance. Fewer than 2 tokens → empty array.
+  */
+case class BigramCountHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("u", LongType, nullable = false),
+      StructField("bg", LongType, nullable = false),
+      StructField("nd", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_bigram_count_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BigramCountHashes.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BigramCountHashes.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): BigramCountHashes =
+    copy(child = c)
+}
+
+object BigramCountHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def h60(digest: java.security.MessageDigest, buf: Array[Byte]): Long = {
+    digest.reset()
+    val dg = digest.digest(buf)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+    h >>> 4
+  }
+
+  /** (u, bg) composite key — groups by BOTH hashes, exactly like the SQL
+    * groupBy (a bg collision between different heads must stay two groups).
+    */
+  private final class Key(val u: Long, val bg: Long) {
+    override def hashCode(): Int = {
+      val m = u * 0x9e3779b97f4a7c15L + bg
+      (m ^ (m >>> 32)).toInt
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => k.u == u && k.bg == bg
+      case _ => false
+    }
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    val digest = md.get()
+    // first-occurrence emission order (deterministic; consumers are
+    // order-insensitive group/join keys)
+    val counts = new java.util.LinkedHashMap[Key, Array[Long]](math.max(16, n))
+    var prev = toks.getUTF8String(0).getBytes
+    var prevH = h60(digest, prev)
+    var i = 0
+    while (i < n - 1) {
+      val next = toks.getUTF8String(i + 1).getBytes
+      val pair = new Array[Byte](prev.length + next.length + 1)
+      System.arraycopy(prev, 0, pair, 0, prev.length)
+      pair(prev.length) = ' '
+      System.arraycopy(next, 0, pair, prev.length + 1, next.length)
+      val key = new Key(prevH, h60(digest, pair))
+      val cell = counts.get(key)
+      if (cell == null) counts.put(key, Array(1L)) else cell(0) += 1L
+      prev = next
+      prevH = h60(digest, prev)
+      i += 1
+    }
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+      row.setLong(0, e.getKey.u)
+      row.setLong(1, e.getKey.bg)
+      row.setLong(2, e.getValue()(0))
+      out(k) = row
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+}
+
 /** All `w`-token rolling-window hashes at stride 1, IN POSITION ORDER with
   * duplicates kept: element i (0-based) is the 60-bit md5 of
   * `concat_ws(' ', toks[i..i+w-1])` — the substring-dedup window hash
@@ -943,6 +1053,10 @@ object GraftFunctions {
   /** See [[BigramPairHashes]]. */
   def bigramPairHashes(toks: Column): Column =
     GraftBridge.column(BigramPairHashes(GraftBridge.expression(toks)))
+
+  /** See [[BigramCountHashes]]. */
+  def bigramCountHashes(toks: Column): Column =
+    GraftBridge.column(BigramCountHashes(GraftBridge.expression(toks)))
 
   /** See [[WindowHashes]]. */
   def windowHashes(toks: Column, w: Int): Column =

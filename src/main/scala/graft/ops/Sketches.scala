@@ -151,17 +151,31 @@ object Sketches {
     // tokens + one guaranteed-absent term) rather than literal: a seeded
     // fixture's bijective text redraw rewrites the vocabulary, and a
     // literal probe list silently turns the whole query into 0 == 0 rows
-    // (found round 14). The explode now feeds three consumers, so pin it.
-    val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+    // (found round 14).
+    //
+    // Everything downstream is a function of per-token COUNTS, so aggregate
+    // the instance stream to the vocabulary-sized (token, tn) table ONCE and
+    // derive all three legs from it (guide §2.3 — aggregate before you fan):
+    //   - the CMS cell table = the 4-hash fan over DISTINCT tokens weighted
+    //     by tn (count over instances grouped by (i, c) == sum of per-token
+    //     counts, exactly) — the 4 md5+hex+conv chains now run per distinct
+    //     token, not per instance;
+    //   - the probe top-k reads it directly (it IS the former groupBy);
+    //   - the exact leg is a semi-join lookup of tn (the former
+    //     join+groupBy re-counted what tn already holds; the absent probe
+    //     still has no row on the exact side, same inner-join drop).
+    // The pin also shrinks from instance-sized to vocabulary-sized.
+    val tc = docs.select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tn"))
       .pinned(false)
-    val cells = toks
-      .select(explode(expr(
+    val cells = tc
+      .select(col("tn"), explode(expr(
         (0 until CmsDepth).map(i => s"struct(${i}L as i, ${cmsHash(i, "token")} as c)")
           .mkString("array(", ", ", ")"))).as("s"))
       .groupBy(col("s.i").as("i"), col("s.c").as("c"))
-      .agg(count(lit(1)).as("n"))
-    val probes = toks.groupBy(col("token")).agg(count(lit(1)).as("pc"))
-      .orderBy(col("pc").desc, col("token")).limit(CmsProbeK)
+      .agg(sum(col("tn")).as("n"))
+    val probes = tc
+      .orderBy(col("tn").desc, col("token")).limit(CmsProbeK)
       .select(col("token"))
       .unionAll(docs.sparkSession.range(1).select(lit(CmsAbsentProbe).as("token")))
     val probeCells = probes.select(col("token"), explode(expr(
@@ -172,8 +186,8 @@ object Sketches {
       .join(cells, Seq("i", "c"))
       .groupBy(col("token"))
       .agg(min(col("n")).as("est_cms"))
-    val exact = toks.join(broadcast(probes), Seq("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val exact = tc.join(broadcast(probes), Seq("token"))
+      .select(col("token"), col("tn").as("n_exact"))
     exact.join(est, Seq("token"))
   }
 

@@ -501,17 +501,26 @@ object Text {
     */
   def lmScore(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val inst = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(graft.functions.GraftFunctions.bigramPairHashes(col("toks"))).as("p"))
-      .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
     // perDoc feeds THREE consumers (c_bg, c_u, the scoring join): pin it,
     // or Catalyst replays tokenize->explode->shuffle once per consumer —
     // the multi-consumer rule that cost q_dedup_prefix 20x. The pinned
     // table is the compact (doc, u, bg, nd) form, the smallest thing the
     // whole family can share; at sf10 this cut the instance-stream passes
     // from 3 to 1.
-    val perDoc = inst.groupBy(col("doc_id"), col("u"), col("bg"))
-      .agg(count(lit(1)).as("nd"))
+    //
+    // The per-(doc, u, bg) counts are computed NATIVELY inside the row
+    // (BigramCountHashes) instead of explode + groupBy(doc_id, u, bg): a
+    // document's bigram instances all live in its own row, so that groupBy
+    // merged nothing across partitions — it existed only to dedup, paying a
+    // full exchange of the instance stream plus two hash-aggregate passes
+    // for an aggregation that is local to each row (guide §2.4: remove
+    // shuffles outright). Value-identical (ExpressionsSpec pins the
+    // multiset equality); the pin now sits on a map-only plan.
+    val perDoc = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.bigramCountHashes(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"),
+        col("p.nd").as("nd"))
       .pinned(false)
     val cBg = perDoc.groupBy(col("bg")).agg(sum(col("nd")).as("c_bg"))
     val cU = perDoc.groupBy(col("u")).agg(sum(col("nd")).as("c_u"))
@@ -537,16 +546,21 @@ object Text {
     */
   def lmModel(docs: DataFrame): LmModel = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val inst = t.filter(size(col("toks")) >= 2)
-      .select(explode(graft.functions.GraftFunctions.bigramPairHashes(col("toks"))).as("p"))
-      .select(col("p.u").as("u"), col("p.bg").as("bg"))
     // One instance-stream pass, not two: aggregate to the vocabulary-sized
     // (u, bg, n) table once (pinned — two consumers), then both model
     // tables are roll-ups OF it (the bg side re-groups rather than
     // projecting, so a 60-bit bg collision across different heads still
     // sums exactly like the one-table formulation it replaces).
-    val pairCounts = inst.groupBy(col("u"), col("bg"))
-      .agg(count(lit(1)).as("n")).pinned(false)
+    // Per-row pre-counts come from the native BigramCountHashes pass, so
+    // the exchange feeding this aggregate carries per-doc-deduped (u, bg,
+    // nd) rows and the map-side partial aggregation probes per distinct
+    // pair, not per instance; sum of per-doc counts == the former
+    // count(*) over instances, exactly (integers).
+    val pairCounts = t.filter(size(col("toks")) >= 2)
+      .select(explode(graft.functions.GraftFunctions.bigramCountHashes(col("toks"))).as("p"))
+      .select(col("p.u").as("u"), col("p.bg").as("bg"), col("p.nd").as("nd"))
+      .groupBy(col("u"), col("bg"))
+      .agg(sum(col("nd")).as("n")).pinned(false)
     LmModel(
       pairCounts.groupBy(col("bg")).agg(sum(col("n")).as("c_bg")),
       pairCounts.groupBy(col("u")).agg(sum(col("n")).as("c_u")),
@@ -564,11 +578,13 @@ object Text {
     */
   def lmScoreFromModel(docs: DataFrame, m: LmModel): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // native per-row (u, bg, nd) counts — same rewrite as lmScore's perDoc:
+    // the former groupBy(doc_id, u, bg) shuffled per-doc-local groups
     val perDoc = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(graft.functions.GraftFunctions.bigramPairHashes(col("toks"))).as("p"))
-      .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"))
-      .groupBy(col("doc_id"), col("u"), col("bg"))
-      .agg(count(lit(1)).as("nd"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.bigramCountHashes(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.bg").as("bg"),
+        col("p.nd").as("nd"))
     perDoc
       .join(m.bigrams, Seq("bg"), "left")
       .join(m.unigrams, Seq("u"), "left")

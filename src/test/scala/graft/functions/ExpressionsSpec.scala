@@ -145,6 +145,46 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("BigramCountHashes equals explode+group of BigramPairHashes on real documents") {
+    import spark.implicits._
+    val toks = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val both = toks.select(
+      col("doc_id"),
+      GraftFunctions.bigramPairHashes(col("toks")).as("pairs"),
+      GraftFunctions.bigramCountHashes(col("toks")).as("cnts")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val pairs = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      val expected = pairs.groupBy(identity)
+        .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+      val got = r.getSeq[Row](2).map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      // keys distinct (it IS a groupBy), values the exact instance counts
+      assert(got.map(g => (g._1, g._2)).distinct.size == got.size,
+        s"duplicate group keys @doc ${r.getLong(0)}")
+      assert(got.toSet == expected, s"counts @doc ${r.getLong(0)}")
+    }
+    // first-occurrence emission order is deterministic; < 2 tokens -> empty
+    val edge = Seq(Seq("a", "b", "a", "b", "c"), Seq("x"), Seq.empty[String]).toDF("toks")
+      .select(GraftFunctions.bigramCountHashes(col("toks")).as("c")).collect()
+    assert(edge(0).getSeq[Row](0).map(_.getLong(2)) == Seq(2L, 1L, 1L))
+    assert(edge(1).getSeq[Row](0).isEmpty && edge(2).getSeq[Row](0).isEmpty)
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = toks.limit(20).select(
+        GraftFunctions.bigramPairHashes(col("toks")).as("pairs"),
+        GraftFunctions.bigramCountHashes(col("toks")).as("cnts")).collect()
+      interp.foreach { r =>
+        val expected = r.getSeq[Row](0).map(x => (x.getLong(0), x.getLong(1)))
+          .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+        val got = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+        assert(got == expected)
+      }
+    }
+  }
+
   test("SortedPairs equals the SQL nested-transform spelling, emission order included") {
     import spark.implicits._
     val sqlPairs =
