@@ -826,24 +826,34 @@ object Dedup {
     * cluster_id = the component's minimum doc_id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = pairs
+    // Convergence checksum FUSED into the pin job via Dataset.observe
+    // (round-18, guide §1.5/§2.4 job-count discipline): the former shape
+    // pinned lazily and ran a separate count+bit_xor aggregate as the
+    // materializing action, paying the aggregate's exchange-to-1 tail
+    // stage every round; observe collects the same three values as
+    // accumulators DURING the eager pin's own job, so a round's only
+    // action is the pin itself. Checksum semantics unchanged: bit_xor,
+    // not sum (overflow-free under ANSI mode, order-insensitive over the
+    // distinct edge set), and TWO independent digests (the second mixes a
+    // constant into every hash input) — one 64-bit xor collision between
+    // DIFFERENT edge sets would declare false convergence and silently
+    // emit wrong clusters; requiring both digests to collide squares
+    // those odds away.
+    def pinWithChecksum(df: DataFrame): (DataFrame, (Long, Option[Long], Option[Long])) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinnedDf = df.observe(obs,
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(u, v))").as("x1"),
+        expr("bit_xor(xxhash64(7L, u, v))").as("x2"))
+        .pinned() // eager: the pin job IS the observed action
+      val m = obs.get
+      def opt(k: String) = Option(m(k)).map(_.asInstanceOf[Long])
+      (pinnedDf, (m("n").asInstanceOf[Long], opt("x1"), opt("x2")))
+    }
+    var (e, prev) = pinWithChecksum(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .pinned(false)
-    def checksum(df: DataFrame): (Long, Option[Long], Option[Long]) = {
-      // bit_xor, not sum: overflow-free under ANSI mode and order-insensitive
-      // over the distinct edge set. TWO independent digests (the second mixes
-      // a constant into every hash input): one 64-bit xor collision between
-      // DIFFERENT edge sets would declare false convergence and silently emit
-      // wrong clusters; requiring both digests to collide squares those odds
-      // away. Still one job, one driver row.
-      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"),
-        expr("bit_xor(xxhash64(7L, u, v))")).head()
-      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-      (r.getLong(0), opt(1), opt(2))
-    }
-    var prev = checksum(e)
+      .filter(col("u") =!= col("v")).distinct())
     var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
@@ -874,11 +884,10 @@ object Dedup {
           struct(col("u").as("a"), col("m").as("b")))).as("p"))
         .select(col("p.a").as("u"), col("p.b").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .pinned(false)
-      val cur = checksum(ss)
+      val (ssPinned, cur) = pinWithChecksum(ss)
       converged = cur == prev
       prev = cur
-      e = ss
+      e = ssPinned
       i += 1
     }
     require(converged,
