@@ -26,9 +26,41 @@ object MicroBench {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.headOption.getOrElse("shingle") match {
       case "shingle" => shingleProbe(spark.emptyDataFrame.sparkSession, d)
+      case "vec16" => vecProbe(spark.emptyDataFrame.sparkSession, d)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
+  }
+
+  /** Price the per-row vector HOFs (int8 mse aggregate, residual transform)
+    * against a native-loop traversal of the same arrays (DotProduct), on the
+    * embeddings fixture AND on a 2M-row synthetic — the round-18 "is a
+    * native expression worth writing here" decision (r17 verdict item 7).
+    */
+  private def vecProbe(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val dequant = "(lo + round((x - lo) * 255.0 / scale) * scale / 255.0)"
+    def probes(v: DataFrame, label: String): Unit = {
+      val prepped = v
+        .withColumn("lo", array_min(col("v")))
+        .withColumn("scale", greatest(array_max(col("v")) - col("lo"), lit(1e-12)))
+      prepped.cache().count()
+      def agg(c: org.apache.spark.sql.Column): Long =
+        prepped.select(sum(c).cast("long")).collect()(0).getLong(0)
+      time(s"$label native dot(v,v)", 5)(agg(
+        graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+      time(s"$label int8 mse HOF", 5)(agg(expr(
+        "cast(round(aggregate(v, cast(0.0 as double), (acc, x) -> acc + " +
+          s"(x - $dequant) * (x - $dequant)) / 64.0 * 1e12) as bigint)")))
+      time(s"$label residual HOF", 5)(agg(expr(
+        "aggregate(transform(sequence(1, size(v)), i -> round(v[i-1] - lo, 6)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)")))
+      prepped.unpersist()
+    }
+    probes(Tables.embeddings(spark, d)
+      .select(col("embedding").cast("array<double>").as("v")), "fixture")
+    probes(spark.range(2000000).selectExpr(
+      "transform(sequence(1, 64), i -> cast((id * 31 + i * 7) % 997 as double) / 997.0) as v"),
+      "synthetic 2M x 64")
   }
 
   /** Decompose the shingle-hash pipeline stage: tokenize only, tokenize +

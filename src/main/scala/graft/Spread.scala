@@ -28,9 +28,19 @@ object Spread {
     */
   private val disabled = sys.env.get("SPARK_GRAFT_SPREAD").contains("0")
 
+  /** CONTRACT: call only on a frame rooted directly at a scan (or another
+    * already-materialized source). Probing the partition count requires
+    * physically planning `df` once on the driver, and the count read is the
+    * PRE-AQE one — both fine for a scan root (planning a scan is cheap and
+    * its split count is final), but a mid-pipeline fan would pay a full
+    * plan-and-discard and read a pre-coalesce number that AQE then changes.
+    * `toRdd` (the internal-row RDD) rather than `df.rdd` avoids planning a
+    * second, throwaway deserializer projection just to count partitions.
+    */
   def fan(df: DataFrame, key: Column): DataFrame = {
     if (disabled) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+    val scanParts = df.queryExecution.toRdd.getNumPartitions
+    if (scanParts < cores) df.repartition(cores, key) else df
   }
 }

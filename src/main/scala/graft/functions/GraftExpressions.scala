@@ -801,7 +801,14 @@ object UnigramViterbiPieces {
   private final val MemoMax = 1 << 16
   private final class Cached(
       val h1: Long, val h2: Long, val n: Int, val ref: AnyRef,
+      val baseObj: AnyRef, val baseOff: Long, val baseLen: Long,
       val map: java.util.HashMap[String, java.lang.Long]) {
+    // NOTE (aliasing contract): memo values are SHARED GenericArrayData
+    // instances returned verbatim on repeated words. Safe for the in-repo
+    // consumers (explode / size — both copy element-wise into Unsafe rows)
+    // but NOT for a consumer that retains the reference across rows
+    // (collect_list of the raw array). Keep consumers explode/size-shaped,
+    // or copy at the new call site.
     val memo = new java.util.LinkedHashMap[String, ArrayData](1024, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, ArrayData]): Boolean =
         size() > MemoMax
@@ -824,23 +831,33 @@ object UnigramViterbiPieces {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeMapData =>
       // content-keyed: the byte region fully determines the map; two
       // independent 64-bit digests make a stale hit astronomically unlikely
-      // even under projection-buffer reuse (same base/offset, new bytes)
+      // even under projection-buffer reuse (same base/offset, new bytes).
+      // FAST PATH (r17 advice — the double hash was O(map bytes) PER ROW):
+      // one digest always runs (it is what detects a reused buffer with new
+      // bytes), but when the buffer identity AND h1 match the cached entry
+      // the second digest is skipped — steady state halves the per-row
+      // hashing of the broadcast-literal map column.
+      val c = cache.get()
       val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 42L)
-      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 7L)
-      val c = cache.get()
-      if (c != null && c.h1 == h1 && c.h2 == h2 && c.n == u.numElements()) c
+      if (c != null && (c.baseObj eq u.getBaseObject) && c.baseOff == u.getBaseOffset &&
+          c.baseLen == u.getSizeInBytes && c.h1 == h1 && c.n == u.numElements()) c
       else {
-        val built = new Cached(h1, h2, u.numElements(), null, build(u))
-        cache.set(built)
-        built
+        val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 7L)
+        if (c != null && c.h1 == h1 && c.h2 == h2 && c.n == u.numElements()) c
+        else {
+          val built = new Cached(h1, h2, u.numElements(), null,
+            u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, build(u))
+          cache.set(built)
+          built
+        }
       }
     case other =>
       val c = cache.get()
       if (c != null && (c.ref eq other)) c
       else {
-        val built = new Cached(0L, 0L, other.numElements(), other, build(other))
+        val built = new Cached(0L, 0L, other.numElements(), other, null, 0L, 0L, build(other))
         cache.set(built)
         built
       }
@@ -968,6 +985,72 @@ case class SortedSetHits(child: Expression, set: Array[Long])
     copy(child = c)
 }
 
+/** Int8 scalar-quantization reconstruction-error numerator in ONE native
+  * pass: per-vector min, range (floored at 1e-12), and the left-to-right
+  * fold Σ (x − dq)² with dq = lo + round((x − lo)·255/scale)·scale/255 —
+  * bit-exact with `Similarity.int8Quantization`'s former SQL spelling
+  * (`aggregate(v, 0.0, (acc, x) -> acc + (x − dq)²)` over
+  * lo = array_min(v), scale = greatest(array_max(v) − lo, 1e-12)):
+  * the same HALF_UP decimal-string rounding as Spark's `round()` on
+  * doubles, the same fold order, the same scale floor (ExpressionsSpec
+  * pins the equality on the real fixture and in interpreted mode). The
+  * interpreted `aggregate` HOF paid a boxed lambda + closure dispatch per
+  * element per row — measured 53× the native traversal cost at 2M×64 dims
+  * (MicroBench `vec16`). Input must be null-free and NaN-free (embedding
+  * vectors); empty array → 0.0 like the empty fold.
+  */
+case class Int8MseSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_mse_sum"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Int8MseSum.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Int8MseSum.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): Int8MseSum =
+    copy(child = c)
+}
+
+object Int8MseSum {
+  /** Spark's `round(double)` semantics: shortest-decimal-string BigDecimal,
+    * HALF_UP, scale 0 (RoundBase's DoubleType path). NaN/∞ pass through.
+    */
+  private def roundHalfUp(y: Double): Double =
+    if (java.lang.Double.isNaN(y) || java.lang.Double.isInfinite(y)) y
+    else new java.math.BigDecimal(java.lang.Double.toString(y))
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(v: ArrayData): Double = {
+    val n = v.numElements()
+    if (n == 0) return 0.0
+    var mn = v.getDouble(0)
+    var mx = mn
+    var i = 1
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = math.max(mx - mn, 1e-12)
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val dq = mn + roundHalfUp((x - mn) * 255.0 / scale) * scale / 255.0
+      val d = x - dq
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Unicode text canonicalization in one native pass: NFC-compose, then
   * collapse every maximal run of space-ish code points (categories Z, Cc,
   * Cf — spaces, separators, controls, zero-widths/BOM) into a single ASCII
@@ -1057,6 +1140,10 @@ object GraftFunctions {
   /** See [[BigramCountHashes]]. */
   def bigramCountHashes(toks: Column): Column =
     GraftBridge.column(BigramCountHashes(GraftBridge.expression(toks)))
+
+  /** See [[Int8MseSum]]. */
+  def int8MseSum(v: Column): Column =
+    GraftBridge.column(Int8MseSum(GraftBridge.expression(v)))
 
   /** See [[WindowHashes]]. */
   def windowHashes(toks: Column, w: Int): Column =

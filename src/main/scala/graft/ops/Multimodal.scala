@@ -147,11 +147,16 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        if (id % 10 == 9)
-          MediaPayload(id, if (text == null) null else text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        else MediaPayload(id, synthImageBytes(id))
-      })
+      .mapPartitions { it =>
+        // per-task re-assert (see decodeImagePartition): the synth ENCODES
+        // through ImageIO too
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          if (id % 10 == 9)
+            MediaPayload(id, if (text == null) null else text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else MediaPayload(id, synthImageBytes(id))
+        }
+      }
       .toDF()
   }
 
@@ -168,7 +173,14 @@ object Multimodal {
     * deterministic fallback (the former stub, now demoted to the error
     * path); null blob → a visible unreadable row.
     */
-  def decodeImagePartition(rows: Iterator[MediaPayload]): Iterator[ImgDecoded] =
+  def decodeImagePartition(rows: Iterator[MediaPayload]): Iterator[ImgDecoded] = {
+    // Re-asserted per task (not only in the object initializer): the
+    // initializer runs when THIS class loads in an executor JVM, which is
+    // guaranteed for these call sites but brittle against refactors that
+    // move the closure; one boolean set per partition is free. JVM-WIDE
+    // side effect, deliberately: every ImageIO user in this JVM gets
+    // memory-backed streams (see the object-level note).
+    javax.imageio.ImageIO.setUseCache(false)
     rows.map { m =>
       if (m.payload == null) ImgDecoded(m.doc_id, "fake/unreadable", 0L, 0L, -1L, -1L, -1L)
       else {
@@ -203,6 +215,7 @@ object Multimodal {
         } finally if (iis != null) iis.close()
       }
     }
+  }
 
   /** The real decode as a plan-native operator (same typed-mapPartitions
     * shape as `decoded`).

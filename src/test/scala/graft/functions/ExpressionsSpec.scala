@@ -185,6 +185,37 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("Int8MseSum equals the SQL aggregate HOF spelling on the real embeddings") {
+    import spark.implicits._
+    val dequant = "(lo + round((x - lo) * 255.0 / scale) * scale / 255.0)"
+    val hofSql = "aggregate(v, cast(0.0 as double), (acc, x) -> acc + " +
+      s"(x - $dequant) * (x - $dequant))"
+    val prepped = graft.Tables.embeddings(spark, sf())
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("scale", greatest(array_max(col("v")) - col("lo"), lit(1e-12)))
+    val both = prepped.select(expr(hofSql).as("sql"),
+      GraftFunctions.int8MseSum(col("v")).as("nat")).collect()
+    assert(both.nonEmpty)
+    // bit-exact: the native pass replicates the fold order and the HALF_UP
+    // decimal-string round, so == on doubles, not a tolerance
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // edges: constant vector (scale floor), single element, empty
+    val edges = Seq(Seq(3.5, 3.5, 3.5), Seq(1.25), Seq.empty[Double]).toDF("v")
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("scale", greatest(array_max(col("v")) - col("lo"), lit(1e-12)))
+      .select(coalesce(expr(hofSql), lit(0.0)).as("sql"),
+        GraftFunctions.int8MseSum(col("v")).as("nat")).collect()
+    edges.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = prepped.limit(20).select(expr(hofSql).as("sql"),
+        GraftFunctions.int8MseSum(col("v")).as("nat")).collect()
+      interp.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    }
+  }
+
   test("SortedPairs equals the SQL nested-transform spelling, emission order included") {
     import spark.implicits._
     val sqlPairs =
