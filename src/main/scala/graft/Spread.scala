@@ -37,8 +37,23 @@ object Spread {
     * `toRdd` (the internal-row RDD) rather than `df.rdd` avoids planning a
     * second, throwaway deserializer projection just to count partitions.
     */
-  def fan(df: DataFrame, key: Column): DataFrame = {
+  /** `minBytes` > 0 additionally requires the frame's Catalyst size
+    * estimate to reach that floor before fanning: the repartition ships
+    * every byte once, so on a small under-split input (the KB-scale bench
+    * fixture is ONE split) the exchange costs more than the unlocked
+    * parallelism earns — measured at sf0.1 for the LM family: fanning the
+    * 0.5 MB single-split scan took q_text_lmscore 0.53 -> 0.91 s, while at
+    * sf100 the same fan on the 560 MB / 5-split scan is the difference
+    * between 5 and 32 cores doing the digest work. Callers whose per-row
+    * work is extreme enough to win even at KB scale (Unigram.encode's
+    * Viterbi DP) pass 0.
+    */
+  def fan(df: DataFrame, key: Column, minBytes: Long = 0L): DataFrame = {
     if (disabled) return df
+    if (minBytes > 0) {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est < minBytes) return df
+    }
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val scanParts = df.queryExecution.toRdd.getNumPartitions
     if (scanParts < cores) df.repartition(cores, key) else df

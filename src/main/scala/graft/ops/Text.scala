@@ -499,8 +499,26 @@ object Text {
     * sum is rounded at 6dp so cross-engine double summation order cannot
     * flip the oracle hash (the embed-drift precedent).
     */
+  /** The LM family's tokenized projection, scan-fanned: with the per-doc
+    * counts now computed map-only (BigramCountHashes), no exchange sits
+    * between the scan and the pin, so the pin would FREEZE the scan's
+    * split count for every consumer — at sf100 the 560 MB documents file
+    * is ~5 splits, leaving 27 of 32 cores idle through the md5-heavy
+    * hashing pass. `Spread.fan` is conditional (a no-op once the scan
+    * provides >= core-count splits, i.e. on any production-sized input)
+    * and hash-keyed on doc_id (retry-safe), with a 256 MB size floor:
+    * below it the one-time (doc_id, text) exchange costs more than the
+    * unlocked cores earn (measured: fanning the 0.5 MB sf0.1 scan took
+    * q_text_lmscore 0.53 -> 0.91 s; the floored fan is a no-op there and
+    * the sf100 numbers are in OPTIMIZATION_r18.md).
+    */
+  private def fannedToks(docs: DataFrame): DataFrame =
+    graft.Spread.fan(docs.select(col("doc_id"), col("text")), col("doc_id"),
+        minBytes = 256L << 20)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+
   def lmScore(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val t = fannedToks(docs)
     // perDoc feeds THREE consumers (c_bg, c_u, the scoring join): pin it,
     // or Catalyst replays tokenize->explode->shuffle once per consumer —
     // the multi-consumer rule that cost q_dedup_prefix 20x. The pinned
@@ -545,7 +563,7 @@ object Text {
     * shuffles carry 8-byte hashes, never text.
     */
   def lmModel(docs: DataFrame): LmModel = {
-    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val t = fannedToks(docs)
     // One instance-stream pass, not two: aggregate to the vocabulary-sized
     // (u, bg, n) table once (pinned — two consumers), then both model
     // tables are roll-ups OF it (the bg side re-groups rather than
@@ -577,7 +595,7 @@ object Text {
     * `lmScore` (inner == left when every key hits; TextSpec asserts).
     */
   def lmScoreFromModel(docs: DataFrame, m: LmModel): DataFrame = {
-    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val t = fannedToks(docs)
     // native per-row (u, bg, nd) counts — same rewrite as lmScore's perDoc:
     // the former groupBy(doc_id, u, bg) shuffled per-doc-local groups
     val perDoc = t.filter(size(col("toks")) >= 2)
