@@ -138,7 +138,11 @@ class PinnedSpec extends SparkSpec {
     withAuto(1L) {
       val before = spark.sparkContext.getPersistentRDDs.size
       val p = base.pinned(true)
-      assert(spark.sparkContext.getPersistentRDDs.size === before,
+      // <=, not ==: the contract is "this pin leaves NO NEW persistent
+      // entry"; a concurrent ContextCleaner reap of an EARLIER suite's
+      // GC'd localCheckpoint RDD can drop the count BELOW the snapshot
+      // (the same race the released-persist test hit in round 17)
+      assert(spark.sparkContext.getPersistentRDDs.size <= before,
         "above the bound, auto must file-checkpoint (no lingering persist)")
       val dir = spark.sparkContext.getCheckpointDir
       assert(dir.nonEmpty, "auto-reliable pin must establish a checkpoint dir")
